@@ -1,0 +1,62 @@
+"""The singleton hub owning all managers (ref: lib/hyrise.hpp:25 —
+Hyrise::get() with StorageManager, TransactionManager, PluginManager,
+MetaTableManager, SettingsManager, LogManager, Topology, scheduler and the
+default LQP/PQP plan caches)."""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+
+class Database:
+    """Process-wide engine state.  `Database.get()` returns the singleton;
+    tests call `Database.reset()` per test (ref: test/base_test.hpp:41)."""
+
+    _instance: Optional["Database"] = None
+    _lock = threading.Lock()
+
+    def __init__(self):
+        from hyrise_tpu.storage.storage_manager import StorageManager
+        from hyrise_tpu.meta.log_manager import LogManager
+        from hyrise_tpu.meta.settings_manager import SettingsManager
+        from hyrise_tpu.concurrency.transaction_manager import TransactionManager
+        from hyrise_tpu.scheduler.scheduler import ImmediateExecutionScheduler
+        from hyrise_tpu.scheduler.topology import Topology
+        from hyrise_tpu.sql.plan_cache import GDFSCache
+        from hyrise_tpu.meta.meta_table_manager import MetaTableManager
+        from hyrise_tpu.plugins.plugin_manager import PluginManager
+
+        self.storage_manager = StorageManager()
+        self.log_manager = LogManager()
+        self.settings_manager = SettingsManager()
+        self.transaction_manager = TransactionManager()
+        self.topology = Topology.use_default_topology()
+        self.scheduler = ImmediateExecutionScheduler()
+        self.default_lqp_cache = GDFSCache(capacity=1024)
+        self.default_pqp_cache = GDFSCache(capacity=1024)
+        self.meta_table_manager = MetaTableManager(self)
+        self.plugin_manager = PluginManager(self)
+
+    # ------------------------------------------------------------- singleton
+
+    @classmethod
+    def get(cls) -> "Database":
+        with cls._lock:
+            if cls._instance is None:
+                cls._instance = cls()
+            return cls._instance
+
+    @classmethod
+    def reset(cls) -> "Database":
+        """Tear down and rebuild global state (test isolation)."""
+        with cls._lock:
+            if cls._instance is not None:
+                cls._instance.scheduler.finish()
+            cls._instance = cls()
+            return cls._instance
+
+    def set_scheduler(self, scheduler) -> None:
+        old = self.scheduler
+        self.scheduler = scheduler
+        old.finish()

@@ -1,0 +1,115 @@
+"""Group-by + aggregation device kernels (sort-based grouping).
+
+TPU-native replacement for the reference's hash aggregation
+(ref: operators/aggregate_hash.cpp — partition/aggregate over per-chunk key
+arrays into a flat hash map).  On TPU the grouping is one fused
+lexicographic sort + run-boundary detection + segment reductions
+(jax.ops.segment_*), which XLA maps onto VPU-wide compare/scan/scatter
+passes without pointer chasing.  Null semantics:
+
+  - group keys: SQL GROUP BY treats NULLs as one group (null flag becomes
+    part of the sort key);
+  - aggregates: NULL inputs are skipped; COUNT(*) counts all rows; an
+    empty/all-null group yields NULL for min/max/sum/avg/stddev.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hyrise_tpu.kernels.joins import normalize_key
+
+
+@jax.jit
+def group_rows(
+    key_data: Tuple[jax.Array, ...],
+    key_valid: Tuple[jax.Array, ...],
+    n_mask: jax.Array,
+):
+    """Sort rows by (padding, keys...) and detect group boundaries.
+
+    key_data: normalized int64 key arrays; key_valid: validity per key
+    (all-True arrays when non-nullable); n_mask: True for real rows.
+
+    Returns (perm, seg_ids, num_groups) where perm sorts rows with padding
+    last, seg_ids assigns a dense group id per *sorted* position (padding
+    rows get the last group id + are excluded by num_groups), and
+    num_groups counts distinct real-row key combinations (device scalar).
+    """
+    capacity = key_data[0].shape[0]
+    operands: List[jax.Array] = [(~n_mask).astype(jnp.int8)]
+    for data, valid in zip(key_data, key_valid):
+        operands.append((~valid).astype(jnp.int8))
+        operands.append(jnp.where(valid, data, jnp.int64(0)))
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    operands.append(iota)
+    out = jax.lax.sort(tuple(operands), num_keys=len(operands) - 1, is_stable=True)
+    perm = out[-1]
+    sorted_cols = out[:-1]
+    # Boundary where any sort key differs from the previous row.
+    diff = jnp.zeros(capacity, dtype=bool).at[0].set(True)
+    for col in sorted_cols:
+        diff = diff | jnp.concatenate([jnp.ones(1, dtype=bool), col[1:] != col[:-1]])
+    seg_ids = jnp.cumsum(diff.astype(jnp.int64)) - 1
+    n_real = jnp.sum(n_mask, dtype=jnp.int64)
+    # Number of groups among real rows: boundaries within [0, n_real).
+    in_real = jnp.arange(capacity, dtype=jnp.int64) < n_real
+    num_groups = jnp.sum(jnp.where(in_real, diff, False), dtype=jnp.int64)
+    return perm, seg_ids, num_groups
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_sum(values, seg_ids, valid, num_segments: int):
+    acc = values.astype(_acc_dtype(values.dtype))
+    acc = jnp.where(valid, acc, 0)
+    return jax.ops.segment_sum(acc, seg_ids, num_segments=num_segments)
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_count(seg_ids, valid, num_segments: int):
+    return jax.ops.segment_sum(
+        valid.astype(jnp.int64), seg_ids, num_segments=num_segments
+    )
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_min(values, seg_ids, valid, num_segments: int):
+    big = _max_sentinel(values.dtype)
+    vals = jnp.where(valid, values, big)
+    return jax.ops.segment_min(vals, seg_ids, num_segments=num_segments)
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_max(values, seg_ids, valid, num_segments: int):
+    small = _min_sentinel(values.dtype)
+    vals = jnp.where(valid, values, small)
+    return jax.ops.segment_max(vals, seg_ids, num_segments=num_segments)
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_sum_sq(values, seg_ids, valid, num_segments: int):
+    acc = values.astype(jnp.float64)
+    acc = jnp.where(valid, acc * acc, 0.0)
+    return jax.ops.segment_sum(acc, seg_ids, num_segments=num_segments)
+
+
+def _acc_dtype(dtype):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.float64
+    return jnp.int64
+
+
+def _max_sentinel(dtype):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(jnp.inf, dtype=dtype)
+    return jnp.array(jnp.iinfo(dtype).max, dtype=dtype)
+
+
+def _min_sentinel(dtype):
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(-jnp.inf, dtype=dtype)
+    return jnp.array(jnp.iinfo(dtype).min, dtype=dtype)

@@ -1,0 +1,111 @@
+"""Equi-join device kernels: sort + binary-search + static-bound expansion.
+
+TPU-native replacement for the reference's radix-partitioned hash join
+(ref: operators/join_hash.cpp, join_hash/join_hash_steps.hpp).  Instead of
+pointer-chasing hash tables, the build side is sorted once (XLA fused sort)
+and probes run vectorized binary searches; duplicate expansion uses the
+count -> bucket -> expand pattern so every shape stays XLA-static:
+
+  1. count:  per-probe match counts via searchsorted left/right  (1 pass)
+  2. host sync: total -> pick a power-of-two output capacity
+  3. expand: each output slot finds its (probe, duplicate) pair via one
+     searchsorted over the inclusive count prefix sum            (1 pass)
+
+Null keys and padding rows are excluded by giving them a +inf sentinel slot
+past `n_valid` and clamping searchsorted results.  Secondary (non-equi or
+additional equi) join predicates are evaluated on the expanded pairs
+(ref: multi_predicate_join_evaluator.*).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+_I64_MAX = jnp.iinfo(jnp.int64).max
+
+
+def normalize_key(data: jax.Array) -> jax.Array:
+    """Map any column dtype to an order-preserving int64 join key."""
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        from hyrise_tpu.kernels.sortops import float_order_key
+
+        return float_order_key(data).astype(jnp.int64)
+    return data.astype(jnp.int64)
+
+
+def pack_keys(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Pack two int32-range keys into one int64 (for 2-column equi joins)."""
+    return (hi.astype(jnp.int64) << 32) | (lo.astype(jnp.int64) & 0xFFFFFFFF)
+
+
+@jax.jit
+def build_sorted(keys: jax.Array, valid: jax.Array):
+    """Sort the build side: invalid (null-key or padding) rows get the +inf
+    sentinel and sort last.  Returns (sorted_keys, perm, n_valid)."""
+    skeys = jnp.where(valid, keys, _I64_MAX)
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    sorted_keys, perm = jax.lax.sort((skeys, iota), num_keys=1, is_stable=True)
+    n_valid = jnp.sum(valid, dtype=jnp.int64)
+    return sorted_keys, perm, n_valid
+
+
+@jax.jit
+def probe_counts(
+    sorted_keys: jax.Array,
+    n_build_valid: jax.Array,
+    probe_keys: jax.Array,
+    probe_valid: jax.Array,
+):
+    """Per-probe-row match counts + match ranges.  Returns
+    (left, counts) where left is the first matching slot in sorted order."""
+    left = jnp.searchsorted(sorted_keys, probe_keys, side="left").astype(jnp.int64)
+    right = jnp.searchsorted(sorted_keys, probe_keys, side="right").astype(jnp.int64)
+    left = jnp.minimum(left, n_build_valid)
+    right = jnp.minimum(right, n_build_valid)
+    counts = jnp.where(probe_valid, right - left, 0)
+    return left, counts
+
+
+@partial(jax.jit, static_argnames=("out_capacity",))
+def expand_matches(
+    left: jax.Array,
+    counts: jax.Array,
+    build_perm: jax.Array,
+    out_capacity: int,
+):
+    """Expand (probe, duplicate) pairs into padded index vectors.
+
+    Returns (probe_idx, build_idx, valid) each of length out_capacity."""
+    cum = jnp.cumsum(counts)               # inclusive prefix sum
+    total = cum[-1] if counts.shape[0] else jnp.int64(0)
+    starts = cum - counts                  # exclusive prefix sum
+    out_j = jnp.arange(out_capacity, dtype=jnp.int64)
+    probe_idx = jnp.searchsorted(cum, out_j, side="right")
+    probe_idx = jnp.minimum(probe_idx, counts.shape[0] - 1)
+    k = out_j - jnp.take(starts, probe_idx)
+    build_pos = jnp.take(left, probe_idx) + k
+    build_pos = jnp.clip(build_pos, 0, build_perm.shape[0] - 1)
+    build_idx = jnp.take(build_perm, build_pos)
+    valid = out_j < total
+    return probe_idx.astype(jnp.int64), build_idx.astype(jnp.int64), valid
+
+
+@jax.jit
+def total_matches(counts: jax.Array) -> jax.Array:
+    return jnp.sum(counts, dtype=jnp.int64)
+
+
+@jax.jit
+def contains(sorted_keys: jax.Array, n_valid: jax.Array, keys: jax.Array,
+             keys_valid: jax.Array) -> jax.Array:
+    """Membership test (semi/anti joins, IN-subqueries): True where `keys`
+    appears among the first n_valid sorted build keys."""
+    left = jnp.searchsorted(sorted_keys, keys, side="left").astype(jnp.int64)
+    right = jnp.searchsorted(sorted_keys, keys, side="right").astype(jnp.int64)
+    left = jnp.minimum(left, n_valid)
+    right = jnp.minimum(right, n_valid)
+    return keys_valid & (right > left)

@@ -1,0 +1,88 @@
+"""Multi-key sort with SQL null ordering as one fused lexicographic
+device sort.
+
+The reference sorts by iterated std::stable_sort per sort definition
+(ref: operators/sort.cpp:423); on TPU we instead build one
+`jax.lax.sort` call over transformed key operands (lexicographic via
+num_keys), which XLA lowers to a single fused bitonic/merge sort:
+
+- DESC integer keys are bitwise-complemented (~x reverses order exactly,
+  including INT_MIN); DESC float keys are order-negated via their sign-aware
+  integer bit pattern.
+- NULL ordering becomes a leading 1-bit flag key per sort column
+  (ref: types.hpp:219 four SortMode variants).
+- Padding rows get a leading flag sorting them last, so the first n output
+  slots are exactly the sorted real rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hyrise_tpu.types import SortMode
+
+
+def _order_key(data: jax.Array, ascending: bool) -> jax.Array:
+    """Transform values so ascending integer sort == requested order.
+
+    Floats are mapped to their total-order integer representation first
+    (sign-magnitude -> two's complement trick) so a single integer sort
+    key handles every dtype; this also gives -0.0 == 0.0 stable ordering
+    and keeps DESC exact."""
+    if jnp.issubdtype(data.dtype, jnp.floating):
+        key = float_order_key(data)
+    else:
+        key = data
+    return key if ascending else ~key
+
+
+def float_order_key(data: jax.Array) -> jax.Array:
+    """Total-order integer key for floats: negative values have all bits
+    flipped then the sign bit restored, so signed integer comparison of the
+    keys matches float ordering (with -0.0 < 0.0, no NaNs expected)."""
+    if data.dtype == jnp.float64:
+        bits = jax.lax.bitcast_convert_type(data, jnp.int64)
+        sign = jnp.int64(1) << jnp.int64(63)
+    else:
+        bits = jax.lax.bitcast_convert_type(data.astype(jnp.float32), jnp.int32)
+        sign = jnp.int32(1) << jnp.int32(31)
+    return jnp.where(bits < 0, (~bits) ^ sign, bits)
+
+
+def sort_permutation(
+    keys: Sequence[Tuple[jax.Array, Optional[jax.Array]]],
+    modes: Sequence[SortMode],
+    n: int,
+) -> jax.Array:
+    """Return the permutation (capacity-sized, int32/int64) that sorts rows
+    [0, n) by the given (data, validity) keys; padding rows sort last.
+
+    keys: list of (data array, validity or None); modes align with keys.
+    """
+    capacity = keys[0][0].shape[0]
+    operands: List[jax.Array] = []
+    pad = (jnp.arange(capacity, dtype=jnp.int32) >= n).astype(jnp.int8)
+    operands.append(pad)
+    for (data, validity), mode in zip(keys, modes):
+        if validity is not None:
+            is_null = ~validity
+            # Leading flag key: 0 sorts first.  NULLS FIRST -> null rows
+            # get 0; NULLS LAST -> null rows get 1.
+            if mode.nulls_first:
+                flag = jnp.where(is_null, jnp.int8(0), jnp.int8(1))
+            else:
+                flag = jnp.where(is_null, jnp.int8(1), jnp.int8(0))
+            operands.append(flag)
+        operands.append(_order_key(data, mode.ascending))
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    operands.append(iota)
+    out = jax.lax.sort(tuple(operands), num_keys=len(operands) - 1, is_stable=True)
+    return out[-1]
+
+
+def take_along(arrays: Sequence[jax.Array], perm: jax.Array) -> List[jax.Array]:
+    return [jnp.take(a, perm, axis=0) for a in arrays]

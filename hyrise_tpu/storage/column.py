@@ -1,0 +1,210 @@
+"""Columnar storage: one device array per column with validity mask.
+
+TPU-native redesign of the reference's segment zoo (ref:
+storage/abstract_segment.hpp:13, value_segment.hpp:16,
+dictionary_segment.hpp:20).  Instead of per-chunk polymorphic segments we
+keep ONE padded device array per column; strings are always
+dictionary-encoded (sorted dictionary on the host, int32 codes on device —
+the TPU analogue of DictionarySegment, where a sorted dictionary makes
+code-order == value-order so range predicates run on codes).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.types import DataType, LANE, padded_size, physical_dtype
+from hyrise_tpu.utils.dates import date_str_to_days, days_to_date_str
+
+
+@dataclass
+class Column:
+    """A full-table column: padded 1-D device array + optional validity.
+
+    `validity` is True for valid (non-NULL) rows; None means "no NULLs".
+    Rows at index >= the owning table's num_rows are padding garbage —
+    every consumer masks them via the table's row mask.
+    """
+
+    data_type: DataType
+    data: jax.Array
+    validity: Optional[jax.Array] = None
+    dictionary: Optional[np.ndarray] = None  # sorted unicode array (STRING)
+    dict_sorted: bool = True
+
+    # ------------------------------------------------------------------ build
+
+    @staticmethod
+    def from_values(
+        values: Sequence[Any],
+        data_type: DataType,
+        capacity: Optional[int] = None,
+    ) -> "Column":
+        """Build from host values (list with possible None entries)."""
+        n = len(values)
+        cap = capacity if capacity is not None else padded_size(n)
+        has_null = any(v is None for v in values)
+        if data_type == DataType.STRING:
+            strs = np.array(["" if v is None else str(v) for v in values], dtype=object)
+            dictionary, codes = _encode_dictionary(strs.astype(str) if n else np.array([], dtype=str))
+            data = np.zeros(cap, dtype=np.int32)
+            data[:n] = codes
+            col = Column(data_type, jnp.asarray(data), None, dictionary, True)
+        elif data_type == DataType.DATE:
+            days = np.zeros(n, dtype=np.int32)
+            idx = [i for i, v in enumerate(values) if v is not None]
+            if idx:
+                days[idx] = date_str_to_days([str(values[i]) for i in idx])
+            data = np.zeros(cap, dtype=np.int32)
+            data[:n] = days
+            col = Column(data_type, jnp.asarray(data))
+        else:
+            np_dtype = physical_dtype(data_type)
+            raw = np.zeros(n, dtype=np_dtype)
+            for i, v in enumerate(values):
+                if v is not None:
+                    raw[i] = v
+            data = np.zeros(cap, dtype=np_dtype)
+            data[:n] = raw
+            col = Column(data_type, jnp.asarray(data))
+        if has_null:
+            valid = np.ones(cap, dtype=bool)
+            for i, v in enumerate(values):
+                if v is None:
+                    valid[i] = False
+            col.validity = jnp.asarray(valid)
+        return col
+
+    @staticmethod
+    def from_numpy(
+        arr: np.ndarray,
+        data_type: DataType,
+        validity: Optional[np.ndarray] = None,
+        capacity: Optional[int] = None,
+    ) -> "Column":
+        """Build from a numpy array (no None entries; use `validity`)."""
+        n = len(arr)
+        cap = capacity if capacity is not None else padded_size(n)
+        if data_type == DataType.STRING:
+            dictionary, codes = _encode_dictionary(np.asarray(arr, dtype=str))
+            data = np.zeros(cap, dtype=np.int32)
+            data[:n] = codes
+            col = Column(data_type, jnp.asarray(data), None, dictionary, True)
+        else:
+            np_dtype = physical_dtype(data_type)
+            data = np.zeros(cap, dtype=np_dtype)
+            data[:n] = np.asarray(arr, dtype=np_dtype)
+            col = Column(data_type, jnp.asarray(data))
+        if validity is not None and not validity.all():
+            valid = np.ones(cap, dtype=bool)
+            valid[:n] = validity
+            col.validity = jnp.asarray(valid)
+        return col
+
+    @staticmethod
+    def from_device(
+        data: jax.Array,
+        data_type: DataType,
+        validity: Optional[jax.Array] = None,
+        dictionary: Optional[np.ndarray] = None,
+        dict_sorted: bool = True,
+    ) -> "Column":
+        return Column(data_type, data, validity, dictionary, dict_sorted)
+
+    # ------------------------------------------------------------- transforms
+
+    @property
+    def capacity(self) -> int:
+        return int(self.data.shape[0])
+
+    def take(self, indices: jax.Array, null_where_negative: bool = False) -> "Column":
+        """Gather rows by index (the late-materialization primitive; ref:
+        ReferenceSegment / pos lists, storage/reference_segment.hpp:20).
+
+        If `null_where_negative`, indices < 0 produce NULL rows (used by
+        outer joins for unmatched sides)."""
+        safe = jnp.maximum(indices, 0)
+        data = jnp.take(self.data, safe, axis=0)
+        validity = None
+        if self.validity is not None:
+            validity = jnp.take(self.validity, safe, axis=0)
+        if null_where_negative:
+            ok = indices >= 0
+            validity = ok if validity is None else (validity & ok)
+        return replace(self, data=data, validity=validity)
+
+    def with_validity(self, validity: Optional[jax.Array]) -> "Column":
+        return replace(self, validity=validity)
+
+    def valid_mask(self, n: Optional[int] = None) -> jax.Array:
+        """Boolean validity over the full capacity (padding not excluded)."""
+        if self.validity is not None:
+            return self.validity
+        return jnp.ones(self.data.shape[0], dtype=bool)
+
+    # ------------------------------------------------------------------ host
+
+    def to_numpy(self, n: int):
+        """Return (values, valid) host arrays for the first n rows; STRING
+        columns are decoded through the dictionary."""
+        data = np.asarray(self.data[:n])
+        valid = (
+            np.asarray(self.validity[:n])
+            if self.validity is not None
+            else np.ones(n, dtype=bool)
+        )
+        if self.data_type == DataType.STRING:
+            if len(self.dictionary) == 0:
+                return np.array([""] * n, dtype=object), valid
+            codes = np.clip(data, 0, len(self.dictionary) - 1)
+            return self.dictionary[codes].astype(object), valid
+        if self.data_type == DataType.DATE:
+            return days_to_date_str(data).astype(object), valid
+        return data, valid
+
+    def to_pylist(self, n: int) -> list:
+        values, valid = self.to_numpy(n)
+        return [v.item() if hasattr(v, "item") else v for v in
+                (values[i] if valid[i] else None for i in range(n))]
+
+
+# ----------------------------------------------------------------- dictionary
+
+
+def _encode_dictionary(arr: np.ndarray):
+    """Sorted-dictionary encode (ref: dictionary_segment.hpp:20 — sorted
+    dictionary => ValueID order is value order)."""
+    if arr.size == 0:
+        return np.array([], dtype=str), np.array([], dtype=np.int32)
+    dictionary, codes = np.unique(arr, return_inverse=True)
+    return dictionary, codes.astype(np.int32)
+
+
+def recode_to_dictionary(
+    col: Column, target_dict: np.ndarray
+) -> jax.Array:
+    """Map a STRING column's codes into another dictionary's code space.
+    Codes absent from `target_dict` map to -1 (used for joins/comparisons
+    across tables with different dictionaries)."""
+    src = col.dictionary
+    pos = np.searchsorted(target_dict, src)
+    pos_clipped = np.clip(pos, 0, max(len(target_dict) - 1, 0))
+    found = (
+        (pos < len(target_dict))
+        & (target_dict[pos_clipped] == src)
+        if len(target_dict)
+        else np.zeros(len(src), dtype=bool)
+    )
+    lut = np.where(found, pos_clipped, -1).astype(np.int32)
+    if len(lut) == 0:
+        return jnp.full(col.data.shape, -1, dtype=jnp.int32)
+    return jnp.take(jnp.asarray(lut), jnp.clip(col.data, 0, len(lut) - 1), axis=0)
+
+
+def merge_dictionaries(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.unique(np.concatenate([a, b])) if (len(a) or len(b)) else a

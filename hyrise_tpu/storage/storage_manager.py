@@ -1,0 +1,101 @@
+"""Catalog of tables, views and prepared plans.
+
+Ref: storage/storage_manager.hpp:23-62 (name -> table/view/prepared-plan
+maps) — same surface, host-side Python.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+from hyrise_tpu.storage.table import Table
+
+
+class LQPView:
+    """Named logical-plan snapshot for CREATE VIEW (ref: storage/lqp_view.hpp)."""
+
+    def __init__(self, lqp, column_names: Optional[List[str]] = None):
+        self.lqp = lqp
+        self.column_names = column_names
+
+
+class PreparedPlan:
+    """Parameterized plan for PREPARE/EXECUTE (ref: storage/prepared_plan.hpp)."""
+
+    def __init__(self, lqp, parameter_ids):
+        self.lqp = lqp
+        self.parameter_ids = parameter_ids
+
+
+class StorageManager:
+    def __init__(self):
+        self._tables: Dict[str, Table] = {}
+        self._views: Dict[str, LQPView] = {}
+        self._prepared_plans: Dict[str, PreparedPlan] = {}
+        self._lock = threading.RLock()
+
+    # -------------------------------------------------------------- tables
+    def add_table(self, name: str, table: Table) -> None:
+        with self._lock:
+            if name in self._tables or name in self._views:
+                raise ValueError(f"table or view {name!r} already exists")
+            self._tables[name] = table
+
+    def drop_table(self, name: str) -> None:
+        with self._lock:
+            if name not in self._tables:
+                raise KeyError(f"no table named {name!r}")
+            del self._tables[name]
+
+    def replace_table(self, name: str, table: Table) -> None:
+        with self._lock:
+            self._tables[name] = table
+
+    def get_table(self, name: str) -> Table:
+        with self._lock:
+            if name not in self._tables:
+                raise KeyError(f"no table named {name!r}")
+            return self._tables[name]
+
+    def has_table(self, name: str) -> bool:
+        return name in self._tables
+
+    def table_names(self) -> List[str]:
+        return sorted(self._tables)
+
+    # --------------------------------------------------------------- views
+    def add_view(self, name: str, view: LQPView) -> None:
+        with self._lock:
+            if name in self._tables or name in self._views:
+                raise ValueError(f"table or view {name!r} already exists")
+            self._views[name] = view
+
+    def drop_view(self, name: str) -> None:
+        with self._lock:
+            if name not in self._views:
+                raise KeyError(f"no view named {name!r}")
+            del self._views[name]
+
+    def get_view(self, name: str) -> LQPView:
+        return self._views[name]
+
+    def has_view(self, name: str) -> bool:
+        return name in self._views
+
+    def view_names(self) -> List[str]:
+        return sorted(self._views)
+
+    # ------------------------------------------------------ prepared plans
+    def add_prepared_plan(self, name: str, plan: PreparedPlan) -> None:
+        with self._lock:
+            self._prepared_plans[name] = plan
+
+    def get_prepared_plan(self, name: str) -> PreparedPlan:
+        return self._prepared_plans[name]
+
+    def has_prepared_plan(self, name: str) -> bool:
+        return name in self._prepared_plans
+
+    def drop_prepared_plan(self, name: str) -> None:
+        del self._prepared_plans[name]

@@ -1,0 +1,196 @@
+"""In-memory table: named columns over padded device arrays.
+
+TPU-native redesign of ref storage/table.hpp:40 + chunk.hpp:38.  Rather than
+a vector of chunks with polymorphic segments, a Table is a struct of padded
+1-D device arrays (one per column) plus a logical row count; "chunks" exist
+only as per-block pruning statistics (see statistics/pruning.py) and as the
+sharding unit across devices (parallel/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.storage.column import Column
+from hyrise_tpu.types import (
+    ColumnDefinition,
+    DataType,
+    padded_size,
+)
+
+
+@dataclass
+class TableKeyConstraint:
+    """Soft PK/unique constraint (ref: storage/constraints/
+    table_key_constraint.hpp; NOT ENFORCED, table.hpp:215-218)."""
+
+    columns: tuple
+    is_primary_key: bool = False
+
+
+@dataclass
+class ForeignKeyConstraint:
+    """Soft FK (ref: storage/constraints/foreign_key_constraint.hpp)."""
+
+    columns: tuple
+    referenced_table: str
+    referenced_columns: tuple
+
+
+@dataclass
+class TableOrderConstraint:
+    """Soft order dependency (ref: storage/constraints/table_order_constraint.hpp)."""
+
+    ordering_columns: tuple
+    ordered_columns: tuple
+
+
+class Table:
+    """Columnar table (ref: table.hpp:40)."""
+
+    def __init__(
+        self,
+        column_names: Sequence[str],
+        columns: Sequence[Column],
+        num_rows: int,
+    ):
+        assert len(column_names) == len(columns)
+        self.column_names: List[str] = list(column_names)
+        self.columns: List[Column] = list(columns)
+        self.num_rows = num_rows
+        # Soft constraints consumed by the optimizer (data dependencies).
+        self.key_constraints: List[TableKeyConstraint] = []
+        self.foreign_key_constraints: List[ForeignKeyConstraint] = []
+        self.order_constraints: List[TableOrderConstraint] = []
+        # (column_name, SortMode) metadata when known sorted (ref:
+        # chunk.hpp:156 individually_sorted_by).
+        self.sorted_by: List[tuple] = []
+        # Lazily built statistics (statistics/table_statistics.py attaches).
+        self.statistics = None
+        self.pruning_statistics = None
+        # MVCC sidecar (concurrency/mvcc.py attaches for DML tables).
+        self.mvcc = None
+
+    # ----------------------------------------------------------------- schema
+
+    @property
+    def num_columns(self) -> int:
+        return len(self.columns)
+
+    @property
+    def capacity(self) -> int:
+        return self.columns[0].capacity if self.columns else 0
+
+    def column_id(self, name: str) -> int:
+        try:
+            return self.column_names.index(name)
+        except ValueError:
+            raise KeyError(f"no column named {name!r}; have {self.column_names}")
+
+    def column(self, name: str) -> Column:
+        return self.columns[self.column_id(name)]
+
+    def column_definitions(self) -> List[ColumnDefinition]:
+        return [
+            ColumnDefinition(n, c.data_type, c.validity is not None)
+            for n, c in zip(self.column_names, self.columns)
+        ]
+
+    # ------------------------------------------------------------------ build
+
+    @staticmethod
+    def from_dict(
+        data: Dict[str, Sequence[Any]],
+        types: Optional[Dict[str, DataType]] = None,
+    ) -> "Table":
+        """Build from {name: python values}; types inferred if not given."""
+        names = list(data.keys())
+        n = len(next(iter(data.values()))) if data else 0
+        cap = padded_size(n)
+        cols = []
+        for name in names:
+            values = list(data[name])
+            dt = (types or {}).get(name) or _infer_type(values)
+            cols.append(Column.from_values(values, dt, capacity=cap))
+        return Table(names, cols, n)
+
+    @staticmethod
+    def from_numpy(
+        data: Dict[str, np.ndarray],
+        types: Dict[str, DataType],
+        num_rows: Optional[int] = None,
+    ) -> "Table":
+        names = list(data.keys())
+        n = num_rows if num_rows is not None else len(next(iter(data.values())))
+        cap = padded_size(n)
+        cols = [
+            Column.from_numpy(np.asarray(data[name]), types[name], capacity=cap)
+            for name in names
+        ]
+        return Table(names, cols, n)
+
+    @staticmethod
+    def empty(definitions: Sequence[ColumnDefinition]) -> "Table":
+        cols = [Column.from_values([], d.data_type) for d in definitions]
+        return Table([d.name for d in definitions], cols, 0)
+
+    # ------------------------------------------------------------------- ops
+
+    def take(self, indices, n: int, null_where_negative: bool = False) -> "Table":
+        """Row gather: new table of the first n gathered rows."""
+        out = Table(
+            self.column_names,
+            [c.take(indices, null_where_negative) for c in self.columns],
+            n,
+        )
+        return out
+
+    def row_mask(self):
+        """Mask of real (non-padding) rows over capacity."""
+        return jnp.arange(self.capacity) < self.num_rows
+
+    def rename(self, names: Sequence[str]) -> "Table":
+        t = Table(list(names), self.columns, self.num_rows)
+        return t
+
+    def select(self, names: Sequence[str]) -> "Table":
+        return Table(list(names), [self.column(n) for n in names], self.num_rows)
+
+    # ------------------------------------------------------------------ host
+
+    def to_pylist(self) -> List[tuple]:
+        """All rows as python tuples (None for NULL) — test oracle surface
+        (ref: utils/check_table_equal.cpp)."""
+        cols = [c.to_pylist(self.num_rows) for c in self.columns]
+        return [tuple(col[i] for col in cols) for i in range(self.num_rows)]
+
+    def to_dict(self) -> Dict[str, list]:
+        return {
+            n: c.to_pylist(self.num_rows)
+            for n, c in zip(self.column_names, self.columns)
+        }
+
+    def __repr__(self) -> str:
+        types = ",".join(
+            f"{n}:{c.data_type.value}" for n, c in zip(self.column_names, self.columns)
+        )
+        return f"Table[{self.num_rows} rows]({types})"
+
+
+def _infer_type(values: Iterable[Any]) -> DataType:
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return DataType.INT
+        if isinstance(v, int):
+            return DataType.LONG if abs(v) > 2**31 - 1 else DataType.INT
+        if isinstance(v, float):
+            return DataType.DOUBLE
+        if isinstance(v, str):
+            return DataType.STRING
+    return DataType.INT

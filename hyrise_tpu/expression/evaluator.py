@@ -1,0 +1,784 @@
+"""Vectorized expression evaluation on device arrays.
+
+TPU-native counterpart of the reference's chunk-at-a-time interpreter
+(ref: expression/evaluation/expression_evaluator.cpp, ~1800 LoC over
+ExpressionResult<T> value+null vectors).  Differences by design:
+
+- whole-column evaluation (padded device arrays), not per-chunk;
+- strings never reach the device as bytes: comparisons/LIKE/functions are
+  computed over the (small) host dictionary and applied as code LUT
+  gathers (the reference's DictionarySegment trick generalized);
+- three-valued logic carried as (bool values, validity) pairs with Kleene
+  AND/OR;
+- uncorrelated subquery results are injected pre-execution
+  (ref: expression_evaluator.hpp:59 uncorrelated_subquery_results).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.expression import ast
+from hyrise_tpu.kernels import datetime as dtk
+from hyrise_tpu.kernels import joins as joink
+from hyrise_tpu.storage.column import (
+    Column,
+    merge_dictionaries,
+    recode_to_dictionary,
+)
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import (
+    DataType,
+    PredicateCondition,
+    common_numeric_type,
+    physical_dtype,
+)
+from hyrise_tpu.utils.dates import single_date_to_days
+
+
+@dataclass
+class ExprResult:
+    """Evaluation result: full-capacity device values + validity."""
+
+    data: jax.Array
+    validity: Optional[jax.Array]  # None = all valid
+    dtype: DataType
+    dictionary: Optional[np.ndarray] = None
+    dict_sorted: bool = True
+
+    def to_column(self) -> Column:
+        data = self.data
+        if data.dtype == jnp.bool_:
+            data = data.astype(jnp.int32)
+        return Column(self.dtype, data, self.validity, self.dictionary,
+                      self.dict_sorted)
+
+    @property
+    def is_bool(self) -> bool:
+        return self.data.dtype == jnp.bool_
+
+
+class EvaluationError(ValueError):
+    pass
+
+
+class ExpressionEvaluator:
+    def __init__(
+        self,
+        table: Table,
+        column_map: Optional[Dict[tuple, int]] = None,
+        uncorrelated_results: Optional[Dict[tuple, Table]] = None,
+        parameters: Optional[Dict[int, object]] = None,
+    ):
+        """column_map maps expression keys -> physical column index of
+        `table`; defaults to matching ColumnRef display names."""
+        self.table = table
+        self.capacity = table.capacity
+        if column_map is None:
+            column_map = {}
+        self.column_map = column_map
+        self.uncorrelated_results = uncorrelated_results or {}
+        self.parameters = parameters or {}
+        self._cache: Dict[tuple, ExprResult] = {}
+
+    # ------------------------------------------------------------------ API
+
+    def evaluate(self, expr: ast.Expression) -> ExprResult:
+        key = expr.key()
+        if key in self._cache:
+            return self._cache[key]
+        if key in self.column_map:
+            res = self._from_column(self.column_map[key])
+        else:
+            res = self._dispatch(expr)
+        self._cache[key] = res
+        return res
+
+    def evaluate_bool(self, expr: ast.Expression):
+        """Evaluate a predicate to (bool values, validity)."""
+        r = self.evaluate(expr)
+        vals = r.data
+        if vals.dtype != jnp.bool_:
+            vals = vals != 0
+        return vals, r.validity
+
+    def selection_mask(self, expr: ast.Expression) -> jax.Array:
+        """WHERE-clause semantics: keep rows where predicate is TRUE
+        (not false, not NULL), over the full capacity (padding included —
+        caller ANDs the row mask)."""
+        vals, validity = self.evaluate_bool(expr)
+        if validity is not None:
+            vals = vals & validity
+        return vals
+
+    # ------------------------------------------------------------- dispatch
+
+    def _dispatch(self, expr: ast.Expression) -> ExprResult:
+        if isinstance(expr, ast.ColumnRef):
+            raise EvaluationError(
+                f"unresolved column {expr.display_name!r} (cid={expr.cid}) — "
+                f"not in column_map"
+            )
+        if isinstance(expr, ast.Literal):
+            return self._literal(expr)
+        if isinstance(expr, ast.Parameter):
+            return self._parameter(expr)
+        if isinstance(expr, ast.Arithmetic):
+            return self._arithmetic(expr)
+        if isinstance(expr, ast.UnaryMinus):
+            r = self.evaluate(expr.children[0])
+            return ExprResult(-r.data, r.validity, r.dtype)
+        if isinstance(expr, ast.Predicate):
+            return self._predicate(expr)
+        if isinstance(expr, ast.Logical):
+            return self._logical(expr)
+        if isinstance(expr, ast.Not):
+            vals, validity = self.evaluate_bool(expr.children[0])
+            return ExprResult(~vals, validity, DataType.INT)
+        if isinstance(expr, ast.Case):
+            return self._case(expr)
+        if isinstance(expr, ast.Cast):
+            return self._cast(expr)
+        if isinstance(expr, ast.Function):
+            return self._function(expr)
+        if isinstance(expr, ast.Extract):
+            return self._extract(expr)
+        if isinstance(expr, ast.InList):
+            return self._in_list(expr)
+        if isinstance(expr, ast.InSubquery):
+            return self._in_subquery(expr)
+        if isinstance(expr, ast.Exists):
+            return self._exists(expr)
+        if isinstance(expr, ast.Subquery):
+            return self._scalar_subquery(expr)
+        raise EvaluationError(f"cannot evaluate {expr!r}")
+
+    # ------------------------------------------------------------ terminals
+
+    def _from_column(self, idx: int) -> ExprResult:
+        c = self.table.columns[idx]
+        return ExprResult(c.data, c.validity, c.data_type, c.dictionary,
+                          c.dict_sorted)
+
+    def _literal(self, expr: ast.Literal) -> ExprResult:
+        v = expr.value
+        dt = expr.data_type()
+        if v is None:
+            return ExprResult(
+                jnp.zeros(self.capacity, dtype=jnp.int32),
+                jnp.zeros(self.capacity, dtype=bool),
+                DataType.NULL,
+            )
+        if dt == DataType.STRING:
+            dictionary = np.array([v], dtype=str)
+            return ExprResult(
+                jnp.zeros(self.capacity, dtype=jnp.int32), None, dt, dictionary
+            )
+        if dt == DataType.DATE and isinstance(v, str):
+            v = single_date_to_days(v)
+        data = jnp.full(self.capacity, v, dtype=physical_dtype(dt))
+        return ExprResult(data, None, dt)
+
+    def _parameter(self, expr: ast.Parameter) -> ExprResult:
+        if expr.parameter_id not in self.parameters:
+            raise EvaluationError(f"unbound parameter ${expr.parameter_id}")
+        return self._literal(ast.Literal(self.parameters[expr.parameter_id]))
+
+    # ----------------------------------------------------------- arithmetic
+
+    def _arithmetic(self, expr: ast.Arithmetic) -> ExprResult:
+        left_e, right_e = expr.children
+        if isinstance(right_e, ast.IntervalLiteral):
+            return self._date_interval(left_e, right_e, expr.op)
+        l = self.evaluate(left_e)
+        r = self.evaluate(right_e)
+        if DataType.NULL in (l.dtype, r.dtype):
+            return ExprResult(
+                jnp.zeros(self.capacity, physical_dtype(DataType.INT)),
+                jnp.zeros(self.capacity, dtype=bool),
+                l.dtype if r.dtype == DataType.NULL else r.dtype,
+            )
+        if l.dtype == DataType.DATE and r.dtype in (DataType.INT, DataType.LONG):
+            out = l.data + r.data.astype(jnp.int32) if expr.op == "+" else \
+                l.data - r.data.astype(jnp.int32)
+            return ExprResult(out, _merge_validity(l.validity, r.validity),
+                              DataType.DATE)
+        out_dt = common_numeric_type(l.dtype, r.dtype)
+        np_dt = physical_dtype(out_dt)
+        a = l.data.astype(np_dt)
+        b = r.data.astype(np_dt)
+        validity = _merge_validity(l.validity, r.validity)
+        if expr.op == "+":
+            out = a + b
+        elif expr.op == "-":
+            out = a - b
+        elif expr.op == "*":
+            out = a * b
+        elif expr.op == "/":
+            if out_dt in (DataType.INT, DataType.LONG):
+                zero = b == 0
+                out = jnp.where(zero, 0, _int_div_trunc(a, b))
+                validity = _and_validity(validity, ~zero)
+            else:
+                zero = b == 0
+                out = a / jnp.where(zero, 1, b)
+                validity = _and_validity(validity, ~zero)
+        elif expr.op == "%":
+            zero = b == 0
+            out = jnp.where(zero, 0, _int_mod_trunc(a, b))
+            validity = _and_validity(validity, ~zero)
+        else:
+            raise EvaluationError(expr.op)
+        return ExprResult(out, validity, out_dt)
+
+    def _date_interval(self, left_e, interval: ast.IntervalLiteral, op: str):
+        l = self.evaluate(left_e)
+        if l.dtype != DataType.DATE:
+            raise EvaluationError("interval arithmetic needs a DATE operand")
+        n = interval.count if op == "+" else -interval.count
+        if interval.unit == "day":
+            return ExprResult(l.data + jnp.int32(n), l.validity, DataType.DATE)
+        months = n * 12 if interval.unit == "year" else n
+        return ExprResult(dtk.add_months(l.data, months), l.validity, DataType.DATE)
+
+    # ----------------------------------------------------------- predicates
+
+    def _predicate(self, expr: ast.Predicate) -> ExprResult:
+        cond = expr.condition
+        if cond == PredicateCondition.IS_NULL:
+            r = self.evaluate(expr.children[0])
+            vals = (
+                ~r.validity if r.validity is not None
+                else jnp.zeros(self.capacity, dtype=bool)
+            )
+            return ExprResult(vals, None, DataType.INT)
+        if cond == PredicateCondition.IS_NOT_NULL:
+            r = self.evaluate(expr.children[0])
+            vals = (
+                r.validity if r.validity is not None
+                else jnp.ones(self.capacity, dtype=bool)
+            )
+            return ExprResult(vals, None, DataType.INT)
+        if cond in (PredicateCondition.LIKE, PredicateCondition.NOT_LIKE):
+            return self._like(expr)
+        if cond in (
+            PredicateCondition.BETWEEN_INCLUSIVE,
+            PredicateCondition.BETWEEN_LOWER_EXCLUSIVE,
+            PredicateCondition.BETWEEN_UPPER_EXCLUSIVE,
+            PredicateCondition.BETWEEN_EXCLUSIVE,
+        ):
+            x, lo, hi = expr.children
+            lo_c = (
+                PredicateCondition.GREATER_THAN_EQUALS
+                if cond in (PredicateCondition.BETWEEN_INCLUSIVE,
+                            PredicateCondition.BETWEEN_UPPER_EXCLUSIVE)
+                else PredicateCondition.GREATER_THAN
+            )
+            hi_c = (
+                PredicateCondition.LESS_THAN_EQUALS
+                if cond in (PredicateCondition.BETWEEN_INCLUSIVE,
+                            PredicateCondition.BETWEEN_LOWER_EXCLUSIVE)
+                else PredicateCondition.LESS_THAN
+            )
+            return self._logical(
+                ast.and_(
+                    ast.Predicate(lo_c, [x, lo]), ast.Predicate(hi_c, [x, hi])
+                )
+            )
+        # plain binary comparison
+        l_e, r_e = expr.children
+        return self._compare(cond, l_e, r_e)
+
+    def _compare(self, cond, l_e, r_e) -> ExprResult:
+        l = self.evaluate(l_e)
+        r = self.evaluate(r_e)
+        if DataType.NULL in (l.dtype, r.dtype):
+            return ExprResult(
+                jnp.zeros(self.capacity, dtype=bool),
+                jnp.zeros(self.capacity, dtype=bool),
+                DataType.INT,
+            )
+        validity = _merge_validity(l.validity, r.validity)
+        if l.dtype == DataType.STRING or r.dtype == DataType.STRING:
+            a, b = self._align_strings(l, r, l_e, r_e)
+        elif DataType.DATE in (l.dtype, r.dtype):
+            a, b = _align_date(l, r)
+        else:
+            out_dt = common_numeric_type(l.dtype, r.dtype)
+            np_dt = physical_dtype(out_dt)
+            a, b = l.data.astype(np_dt), r.data.astype(np_dt)
+        vals = _apply_cmp(cond, a, b)
+        return ExprResult(vals, validity, DataType.INT)
+
+    def _align_strings(self, l: ExprResult, r: ExprResult, l_e, r_e):
+        """Return comparable code arrays for two string results."""
+        if l.dtype != DataType.STRING or r.dtype != DataType.STRING:
+            # DATE vs STRING literal: parse the string side as a date
+            if l.dtype == DataType.DATE and isinstance(r_e, ast.Literal):
+                return l.data, jnp.full(
+                    self.capacity, single_date_to_days(r_e.value), jnp.int32
+                )
+            if r.dtype == DataType.DATE and isinstance(l_e, ast.Literal):
+                return (
+                    jnp.full(self.capacity, single_date_to_days(l_e.value), jnp.int32),
+                    r.data,
+                )
+            raise EvaluationError(
+                f"cannot compare {l.dtype} with {r.dtype}"
+            )
+        if l.dictionary is r.dictionary and l.dict_sorted and r.dict_sorted:
+            return l.data, r.data
+        # Literal vs column with a sorted dictionary: rank the literal.
+        if len(r.dictionary) == 1 and l.dict_sorted:
+            # position such that code-compare == lexicographic compare
+            word = r.dictionary[0]
+            rank = np.searchsorted(l.dictionary, word)
+            exact = rank < len(l.dictionary) and l.dictionary[rank] == word
+            # encode literal as rank*2 (+1 if between dict entries), and
+            # column codes as code*2 so strict/equal compares stay exact
+            rcode = rank * 2 + (0 if exact else -1)
+            return l.data.astype(jnp.int64) * 2, jnp.full(
+                self.capacity, rcode, jnp.int64
+            )
+        if len(l.dictionary) == 1 and r.dict_sorted:
+            word = l.dictionary[0]
+            rank = np.searchsorted(r.dictionary, word)
+            exact = rank < len(r.dictionary) and r.dictionary[rank] == word
+            lcode = rank * 2 + (0 if exact else -1)
+            return (
+                jnp.full(self.capacity, lcode, jnp.int64),
+                r.data.astype(jnp.int64) * 2,
+            )
+        # General column-vs-column: recode through a merged dictionary.
+        merged = merge_dictionaries(l.dictionary, r.dictionary)
+        lc = Column(DataType.STRING, l.data, l.validity, l.dictionary, l.dict_sorted)
+        rc = Column(DataType.STRING, r.data, r.validity, r.dictionary, r.dict_sorted)
+        return recode_to_dictionary(lc, merged), recode_to_dictionary(rc, merged)
+
+    def _like(self, expr: ast.Predicate) -> ExprResult:
+        l = self.evaluate(expr.children[0])
+        pat = expr.children[1]
+        if not isinstance(pat, ast.Literal) or l.dtype != DataType.STRING:
+            raise EvaluationError("LIKE requires a string column and literal pattern")
+        regex = like_to_regex(pat.value)
+        lut = np.fromiter(
+            (regex.fullmatch(s) is not None for s in l.dictionary),
+            dtype=bool,
+            count=len(l.dictionary),
+        ) if len(l.dictionary) else np.zeros(0, dtype=bool)
+        if expr.condition == PredicateCondition.NOT_LIKE:
+            lut = ~lut
+        if len(lut) == 0:
+            vals = jnp.zeros(self.capacity, dtype=bool)
+        else:
+            vals = jnp.take(jnp.asarray(lut), jnp.clip(l.data, 0, len(lut) - 1))
+        return ExprResult(vals, l.validity, DataType.INT)
+
+    def _logical(self, expr: ast.Logical) -> ExprResult:
+        lv, lm = self.evaluate_bool(expr.children[0])
+        rv, rm = self.evaluate_bool(expr.children[1])
+        lm = lm if lm is not None else jnp.ones(self.capacity, dtype=bool)
+        rm = rm if rm is not None else jnp.ones(self.capacity, dtype=bool)
+        if expr.op == "and":
+            known_true = (lm & lv) & (rm & rv)
+            known_false = (lm & ~lv) | (rm & ~rv)
+        else:
+            known_true = (lm & lv) | (rm & rv)
+            known_false = (lm & ~lv) & (rm & ~rv)
+        return ExprResult(known_true, known_true | known_false, DataType.INT)
+
+    # --------------------------------------------------------------- others
+
+    def _case(self, expr: ast.Case) -> ExprResult:
+        out_dt = expr.data_type()
+        results = [(self.evaluate_bool(c), self.evaluate(t)) for c, t in expr.whens]
+        else_r = self.evaluate(expr.else_) if expr.else_ is not None else None
+        if out_dt == DataType.STRING:
+            return self._case_string(results, else_r)
+        np_dt = physical_dtype(out_dt)
+        if else_r is not None and else_r.dtype != DataType.NULL:
+            acc = else_r.data.astype(np_dt)
+            acc_valid = (
+                else_r.validity
+                if else_r.validity is not None
+                else jnp.ones(self.capacity, dtype=bool)
+            )
+        else:
+            acc = jnp.zeros(self.capacity, dtype=np_dt)
+            acc_valid = jnp.zeros(self.capacity, dtype=bool)
+        taken = jnp.zeros(self.capacity, dtype=bool)
+        # first-match-wins: apply in order, masking already-taken rows
+        for (cv, cm), t in results:
+            fires = cv if cm is None else (cv & cm)
+            use = fires & ~taken
+            t_valid = (
+                t.validity if t.validity is not None
+                else jnp.ones(self.capacity, dtype=bool)
+            )
+            if t.dtype == DataType.NULL:
+                t_valid = jnp.zeros(self.capacity, dtype=bool)
+                t_data = jnp.zeros(self.capacity, dtype=np_dt)
+            else:
+                t_data = t.data.astype(np_dt)
+            acc = jnp.where(use, t_data, acc)
+            acc_valid = jnp.where(use, t_valid, acc_valid)
+            taken = taken | fires
+        return ExprResult(acc, acc_valid, out_dt)
+
+    def _case_string(self, results, else_r) -> ExprResult:
+        dicts = [t.dictionary for (_, t) in results if t.dictionary is not None]
+        if else_r is not None and else_r.dictionary is not None:
+            dicts.append(else_r.dictionary)
+        merged = dicts[0]
+        for d in dicts[1:]:
+            merged = merge_dictionaries(merged, d)
+        def recode(r):
+            c = Column(DataType.STRING, r.data, r.validity, r.dictionary, r.dict_sorted)
+            return recode_to_dictionary(c, merged)
+        if else_r is not None and else_r.dtype == DataType.STRING:
+            acc = recode(else_r)
+            acc_valid = (
+                else_r.validity if else_r.validity is not None
+                else jnp.ones(self.capacity, dtype=bool)
+            )
+        else:
+            acc = jnp.zeros(self.capacity, dtype=jnp.int32)
+            acc_valid = jnp.zeros(self.capacity, dtype=bool)
+        taken = jnp.zeros(self.capacity, dtype=bool)
+        for (cv, cm), t in results:
+            fires = cv if cm is None else (cv & cm)
+            use = fires & ~taken
+            if t.dtype == DataType.STRING:
+                t_data = recode(t)
+                t_valid = (
+                    t.validity if t.validity is not None
+                    else jnp.ones(self.capacity, dtype=bool)
+                )
+            else:
+                t_data = jnp.zeros(self.capacity, dtype=jnp.int32)
+                t_valid = jnp.zeros(self.capacity, dtype=bool)
+            acc = jnp.where(use, t_data, acc)
+            acc_valid = jnp.where(use, t_valid, acc_valid)
+            taken = taken | fires
+        return ExprResult(acc, acc_valid, DataType.STRING, merged, True)
+
+    def _cast(self, expr: ast.Cast) -> ExprResult:
+        r = self.evaluate(expr.children[0])
+        target = expr.target
+        if r.dtype == target:
+            return r
+        if target == DataType.STRING:
+            # host-side render through values (small dictionaries only for
+            # dates; numeric cast-to-string goes through host formatting)
+            raise EvaluationError("CAST to string not supported on device yet")
+        if r.dtype == DataType.STRING:
+            # parse strings via dictionary LUT
+            lut = np.zeros(len(r.dictionary), dtype=physical_dtype(target))
+            ok = np.ones(len(r.dictionary), dtype=bool)
+            for i, s in enumerate(r.dictionary):
+                try:
+                    lut[i] = (
+                        float(s)
+                        if target in (DataType.FLOAT, DataType.DOUBLE)
+                        else int(float(s))
+                    )
+                except ValueError:
+                    ok[i] = False
+            data = jnp.take(jnp.asarray(lut), jnp.clip(r.data, 0, len(lut) - 1))
+            valid_lut = jnp.take(
+                jnp.asarray(ok), jnp.clip(r.data, 0, len(lut) - 1)
+            )
+            return ExprResult(data, _and_validity(r.validity, valid_lut), target)
+        data = r.data
+        if data.dtype == jnp.bool_:
+            data = data.astype(jnp.int32)
+        return ExprResult(data.astype(physical_dtype(target)), r.validity, target)
+
+    def _function(self, expr: ast.Function) -> ExprResult:
+        f = expr.fname
+        if f == "coalesce":
+            return self._coalesce(expr)
+        if f in ("substr", "substring", "upper", "lower", "trim", "ltrim",
+                 "rtrim", "length", "char_length", "concat"):
+            return self._string_function(expr)
+        args = [self.evaluate(a) for a in expr.children]
+        if f == "abs":
+            return ExprResult(jnp.abs(args[0].data), args[0].validity, args[0].dtype)
+        if f in ("floor", "ceil"):
+            fn = jnp.floor if f == "floor" else jnp.ceil
+            return ExprResult(fn(args[0].data), args[0].validity, args[0].dtype)
+        if f == "round":
+            nd = 0
+            if len(expr.children) > 1 and isinstance(expr.children[1], ast.Literal):
+                nd = int(expr.children[1].value)
+            scale = 10.0 ** nd
+            return ExprResult(
+                jnp.round(args[0].data * scale) / scale,
+                args[0].validity,
+                args[0].dtype,
+            )
+        if f == "mod":
+            return self._arithmetic(ast.Arithmetic("%", expr.children[0], expr.children[1]))
+        if f in ("sqrt", "exp", "ln", "log"):
+            fn = {"sqrt": jnp.sqrt, "exp": jnp.exp, "ln": jnp.log, "log": jnp.log}[f]
+            x = args[0].data.astype(jnp.float64)
+            return ExprResult(fn(x), args[0].validity, DataType.DOUBLE)
+        if f == "power":
+            return ExprResult(
+                jnp.power(args[0].data.astype(jnp.float64),
+                          args[1].data.astype(jnp.float64)),
+                _merge_validity(args[0].validity, args[1].validity),
+                DataType.DOUBLE,
+            )
+        raise EvaluationError(f"function {f}")
+
+    def _coalesce(self, expr: ast.Function) -> ExprResult:
+        results = [self.evaluate(a) for a in expr.children]
+        non_null = [r for r in results if r.dtype != DataType.NULL]
+        if not non_null:
+            return results[0]
+        out_dt = non_null[0].dtype
+        if out_dt == DataType.STRING:
+            merged = non_null[0].dictionary
+            for r in non_null[1:]:
+                merged = merge_dictionaries(merged, r.dictionary)
+            acc = jnp.zeros(self.capacity, dtype=jnp.int32)
+            acc_valid = jnp.zeros(self.capacity, dtype=bool)
+            for r in reversed(non_null):
+                c = Column(DataType.STRING, r.data, r.validity, r.dictionary,
+                           r.dict_sorted)
+                data = recode_to_dictionary(c, merged)
+                valid = (
+                    r.validity if r.validity is not None
+                    else jnp.ones(self.capacity, dtype=bool)
+                )
+                acc = jnp.where(valid, data, acc)
+                acc_valid = acc_valid | valid
+            return ExprResult(acc, acc_valid, out_dt, merged, True)
+        np_dt = physical_dtype(out_dt)
+        acc = jnp.zeros(self.capacity, dtype=np_dt)
+        acc_valid = jnp.zeros(self.capacity, dtype=bool)
+        for r in reversed(non_null):
+            valid = (
+                r.validity if r.validity is not None
+                else jnp.ones(self.capacity, dtype=bool)
+            )
+            acc = jnp.where(valid, r.data.astype(np_dt), acc)
+            acc_valid = acc_valid | valid
+        return ExprResult(acc, acc_valid, out_dt)
+
+    def _string_function(self, expr: ast.Function) -> ExprResult:
+        f = expr.fname
+        arg0 = self.evaluate(expr.children[0])
+        if arg0.dtype != DataType.STRING:
+            raise EvaluationError(f"{f} needs a string argument")
+        src = arg0.dictionary
+        if f in ("length", "char_length"):
+            lut = np.array([len(s) for s in src], dtype=np.int64)
+            data = jnp.take(jnp.asarray(lut), jnp.clip(arg0.data, 0, max(len(src) - 1, 0)))
+            return ExprResult(data, arg0.validity, DataType.LONG)
+        if f in ("upper", "lower", "trim", "ltrim", "rtrim"):
+            tf = {
+                "upper": str.upper, "lower": str.lower, "trim": str.strip,
+                "ltrim": str.lstrip, "rtrim": str.rstrip,
+            }[f]
+            new_vals = np.array([tf(s) for s in src], dtype=str)
+        elif f in ("substr", "substring"):
+            start = int(expr.children[1].value)
+            count = int(expr.children[2].value) if len(expr.children) > 2 else None
+            b = start - 1 if start > 0 else 0
+            e = b + count if count is not None else None
+            new_vals = np.array([s[b:e] for s in src], dtype=str)
+        elif f == "concat":
+            parts = [self.evaluate(c) for c in expr.children]
+            if all(len(p.dictionary) == 1 or p is arg0 for p in parts):
+                # column ++ literals: transform the dictionary
+                new_vals = src
+                out = []
+                for s in src:
+                    acc = ""
+                    for c_e, p in zip(expr.children, parts):
+                        if p is arg0:
+                            acc += s
+                        else:
+                            acc += str(p.dictionary[0])
+                    out.append(acc)
+                new_vals = np.array(out, dtype=str)
+            else:
+                raise EvaluationError("CONCAT of multiple columns unsupported")
+        else:
+            raise EvaluationError(f)
+        # Re-encode: transformed dictionary may be unsorted / contain dups.
+        new_dict, inverse = np.unique(new_vals, return_inverse=True) if len(
+            new_vals
+        ) else (np.array([], dtype=str), np.array([], dtype=np.int64))
+        if len(inverse):
+            data = jnp.take(
+                jnp.asarray(inverse.astype(np.int32)),
+                jnp.clip(arg0.data, 0, len(inverse) - 1),
+            )
+        else:
+            data = arg0.data
+        return ExprResult(data, arg0.validity, DataType.STRING, new_dict, True)
+
+    def _extract(self, expr: ast.Extract) -> ExprResult:
+        r = self.evaluate(expr.children[0])
+        if r.dtype != DataType.DATE:
+            raise EvaluationError("EXTRACT needs a DATE operand")
+        y, m, d = dtk.civil_from_days(r.data)
+        out = {"year": y, "month": m, "day": d}[expr.field]
+        return ExprResult(out, r.validity, DataType.INT)
+
+    def _in_list(self, expr: ast.InList) -> ExprResult:
+        acc = None
+        for v in expr.values:
+            cmp = self._compare(PredicateCondition.EQUALS, expr.operand, v)
+            acc = cmp if acc is None else self._or_results(acc, cmp)
+        if acc is None:
+            acc = ExprResult(jnp.zeros(self.capacity, bool), None, DataType.INT)
+        if expr.negated:
+            return ExprResult(~acc.data, acc.validity, DataType.INT)
+        return acc
+
+    def _or_results(self, a: ExprResult, b: ExprResult) -> ExprResult:
+        am = a.validity if a.validity is not None else jnp.ones(self.capacity, bool)
+        bm = b.validity if b.validity is not None else jnp.ones(self.capacity, bool)
+        known_true = (am & a.data) | (bm & b.data)
+        known_false = (am & ~a.data) & (bm & ~b.data)
+        return ExprResult(known_true, known_true | known_false, DataType.INT)
+
+    def _subquery_result_column(self, sub: ast.Subquery) -> Column:
+        table = self.uncorrelated_results.get(sub.key())
+        if table is None:
+            raise EvaluationError("uncorrelated subquery result not injected")
+        return table.columns[0], table.num_rows
+
+    def _scalar_subquery(self, expr: ast.Subquery) -> ExprResult:
+        (col, n) = self._subquery_result_column(expr)
+        if n > 1:
+            raise EvaluationError("scalar subquery returned more than one row")
+        if n == 0:
+            return ExprResult(
+                jnp.zeros(self.capacity, jnp.int32),
+                jnp.zeros(self.capacity, bool),
+                DataType.NULL,
+            )
+        vals = col.to_pylist(1)
+        return self._literal(ast.Literal(vals[0], col.data_type if vals[0] is not None else DataType.NULL))
+
+    def _in_subquery(self, expr: ast.InSubquery) -> ExprResult:
+        (col, n) = self._subquery_result_column(expr.subquery)
+        operand = self.evaluate(expr.operand)
+        if operand.dtype == DataType.STRING or col.data_type == DataType.STRING:
+            merged = merge_dictionaries(operand.dictionary, col.dictionary)
+            oc = Column(DataType.STRING, operand.data, operand.validity,
+                        operand.dictionary, operand.dict_sorted)
+            keys = recode_to_dictionary(oc, merged).astype(jnp.int64)
+            bkeys = recode_to_dictionary(col, merged).astype(jnp.int64)
+        else:
+            keys = joink.normalize_key(operand.data)
+            bkeys = joink.normalize_key(col.data)
+        from hyrise_tpu.kernels.masks import padding_mask
+
+        bvalid = padding_mask(n, bkeys.shape[0])
+        if col.validity is not None:
+            bvalid = bvalid & col.validity
+        sk, perm, nv = joink.build_sorted(bkeys, bvalid)
+        kvalid = (
+            operand.validity if operand.validity is not None
+            else jnp.ones(self.capacity, bool)
+        )
+        member = joink.contains(sk, nv, keys, kvalid)
+        # SQL null semantics for IN: if no match but the set has NULLs or
+        # the operand is NULL -> result is NULL (matters for NOT IN).
+        has_null_in_set = bool(col.validity is not None and
+                               bool(jnp.any(padding_mask(n, bkeys.shape[0]) & ~col.validity)))
+        validity = None
+        if has_null_in_set or operand.validity is not None:
+            opv = (
+                operand.validity if operand.validity is not None
+                else jnp.ones(self.capacity, bool)
+            )
+            # valid when matched (TRUE) or (no match and no nulls anywhere)
+            no_null_path = jnp.logical_and(opv, not has_null_in_set)
+            validity = member | no_null_path
+        vals = ~member if expr.negated else member
+        return ExprResult(vals, validity, DataType.INT)
+
+    def _exists(self, expr: ast.Exists) -> ExprResult:
+        table = self.uncorrelated_results.get(expr.subquery.key())
+        if table is None:
+            raise EvaluationError("uncorrelated subquery result not injected")
+        exists = table.num_rows > 0
+        val = (not exists) if expr.negated else exists
+        return ExprResult(jnp.full(self.capacity, val, dtype=bool), None, DataType.INT)
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _merge_validity(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
+def _and_validity(validity, extra):
+    if validity is None:
+        return extra
+    return validity & extra
+
+
+def _int_div_trunc(a, b):
+    """C-style truncating integer division (SQL semantics), avoiding
+    Python-floor behavior of // for negative operands."""
+    q = jnp.abs(a) // jnp.abs(jnp.where(b == 0, 1, b))
+    sign = jnp.sign(a) * jnp.sign(jnp.where(b == 0, 1, b))
+    return (q * sign).astype(a.dtype)
+
+
+def _int_mod_trunc(a, b):
+    safe_b = jnp.where(b == 0, 1, b)
+    return a - _int_div_trunc(a, safe_b) * safe_b
+
+
+def _apply_cmp(cond, a, b):
+    if cond == PredicateCondition.EQUALS:
+        return a == b
+    if cond == PredicateCondition.NOT_EQUALS:
+        return a != b
+    if cond == PredicateCondition.LESS_THAN:
+        return a < b
+    if cond == PredicateCondition.LESS_THAN_EQUALS:
+        return a <= b
+    if cond == PredicateCondition.GREATER_THAN:
+        return a > b
+    if cond == PredicateCondition.GREATER_THAN_EQUALS:
+        return a >= b
+    raise EvaluationError(cond)
+
+
+def _align_date(l: ExprResult, r: ExprResult):
+    return l.data.astype(jnp.int32), r.data.astype(jnp.int32)
+
+
+def like_to_regex(pattern: str) -> "re.Pattern":
+    """SQL LIKE -> compiled regex (%% -> .*, _ -> .), escaping the rest
+    (ref: expression/evaluation/like_matcher.cpp)."""
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("".join(out), flags=re.DOTALL)

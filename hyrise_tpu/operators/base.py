@@ -49,6 +49,8 @@ class AbstractOperator:
         # Expressions describing this operator's output columns (set by the
         # LQP translator; TableWrapper/GetTable synthesize them).
         self.output_expressions: List[ast.Expression] = []
+        # prepared-statement / correlated parameter bindings
+        self.parameters: Dict[int, object] = {}
 
     # ---------------------------------------------------------------- wiring
 
@@ -120,7 +122,10 @@ class AbstractOperator:
             key: plan.get_output()
             for key, plan in self.uncorrelated_subquery_plans.items()
         }
-        return ExpressionEvaluator(table, column_map, sub_results, parameters)
+        return ExpressionEvaluator(
+            table, column_map, sub_results,
+            parameters if parameters is not None else self.parameters,
+        )
 
     def description(self, indent: int = 0) -> str:
         pad = " " * indent

@@ -1,0 +1,242 @@
+"""DML operators: Insert / Delete / Update (ref: operators/insert.hpp:22,
+delete.hpp:18, update.hpp:28).
+
+Insert appends rows to the target table (growing the padded device arrays),
+marking them with the transaction id; begin-CIDs are set on commit
+(ref: insert.cpp flow §3.3 of SURVEY).  Delete locks rows via CAS on the
+MVCC tid and sets end-CIDs on commit.  Update composes Delete + Insert.
+
+Row identity: DML target scans carry a hidden __rowid__ column added by
+GetTable (the TPU analogue of the reference's RowID pos lists).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.concurrency.mvcc import MvccData
+from hyrise_tpu.database import Database
+from hyrise_tpu.expression import ast
+from hyrise_tpu.operators.base import AbstractReadWriteOperator
+from hyrise_tpu.storage.column import Column, merge_dictionaries, recode_to_dictionary
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import DataType, padded_size, physical_dtype
+
+ROWID_COLUMN = "__rowid__"
+
+_global_append_lock = threading.Lock()
+
+
+def ensure_mvcc(table: Table) -> MvccData:
+    if table.mvcc is None:
+        table.mvcc = MvccData(table.capacity, table.num_rows, initial_cid=0)
+    return table.mvcc
+
+
+class Insert(AbstractReadWriteOperator):
+    def __init__(self, table_name: str, source_op,
+                 column_names: Optional[Sequence[str]] = None):
+        super().__init__(source_op)
+        self.table_name = table_name
+        self.column_names = list(column_names) if column_names else None
+        self._inserted_rows: List[int] = []
+        self._target: Optional[Table] = None
+
+    def _on_execute(self) -> Optional[Table]:
+        src = self.input_table_left()
+        target = Database.get().storage_manager.get_table(self.table_name)
+        self._target = target
+        mvcc = ensure_mvcc(target)
+        with _global_append_lock:
+            old_n = target.num_rows
+            n_new = src.num_rows
+            new_n = old_n + n_new
+            new_cap = max(target.capacity, padded_size(new_n))
+            if new_cap > target.capacity:
+                new_cap = max(new_cap, padded_size(target.capacity * 2))
+            src_names = self.column_names or list(src.column_names)
+            name_to_src = {n: i for i, n in enumerate(src_names)}
+            new_cols = []
+            for tname, tcol in zip(target.column_names, target.columns):
+                if tname == ROWID_COLUMN:
+                    continue
+                if tname in name_to_src and n_new > 0:
+                    scol = src.columns[name_to_src[tname]]
+                    new_cols.append(
+                        _append_column(tcol, scol, old_n, n_new, new_cap)
+                    )
+                else:
+                    new_cols.append(_append_nulls(tcol, old_n, n_new, new_cap))
+            target.columns = new_cols
+            target.num_rows = new_n
+            target.statistics = None
+            target.pruning_statistics = None
+            mvcc.grow(new_cap)
+            self._inserted_rows = list(range(old_n, new_n))
+            mvcc.register_insert(self._inserted_rows,
+                                 self.transaction_context.transaction_id)
+        return None
+
+    def commit_records(self, commit_id: int) -> None:
+        mvcc = self._target.mvcc
+        mvcc.commit_insert(self._inserted_rows, commit_id)
+        mvcc.snapshot_uncommitted_flags()
+
+    def rollback_records(self) -> None:
+        if self._target is not None and self._inserted_rows:
+            self._target.mvcc.rollback_insert(self._inserted_rows)
+            self._target.mvcc.snapshot_uncommitted_flags()
+
+
+class Delete(AbstractReadWriteOperator):
+    def __init__(self, table_name: str, in_op):
+        super().__init__(in_op)
+        self.table_name = table_name
+        self._locked_rows: List[int] = []
+        self._target: Optional[Table] = None
+
+    def _on_execute(self) -> Optional[Table]:
+        rows_table = self.input_table_left()
+        target = Database.get().storage_manager.get_table(self.table_name)
+        self._target = target
+        mvcc = ensure_mvcc(target)
+        rowids = _extract_rowids(rows_table)
+        ok, locked = mvcc.try_lock_rows(
+            rowids, self.transaction_context.transaction_id
+        )
+        if not ok:
+            self.failed = True
+            self.transaction_context.mark_as_conflicted()
+            return None
+        self._locked_rows = locked
+        return None
+
+    def commit_records(self, commit_id: int) -> None:
+        if self._locked_rows:
+            self._target.mvcc.commit_delete(self._locked_rows, commit_id)
+            self._target.mvcc.snapshot_uncommitted_flags()
+
+    def rollback_records(self) -> None:
+        if self._locked_rows:
+            self._target.mvcc.unlock_rows(self._locked_rows)
+            self._target.mvcc.snapshot_uncommitted_flags()
+
+
+class Update(AbstractReadWriteOperator):
+    """Composed Delete + Insert (ref: update.hpp:28)."""
+
+    def __init__(self, table_name: str, update_expressions, in_op):
+        super().__init__(in_op)
+        self.table_name = table_name
+        self.update_expressions = list(update_expressions)
+        self._delete: Optional[Delete] = None
+        self._insert: Optional[Insert] = None
+
+    def _on_execute(self) -> Optional[Table]:
+        from hyrise_tpu.operators.projection import Projection
+        from hyrise_tpu.operators.table_wrapper import TableWrapper
+
+        rows_table = self.input_table_left()
+        target = Database.get().storage_manager.get_table(self.table_name)
+
+        # 1. delete the matched rows
+        self._delete = Delete(self.table_name, self._left)
+        self._delete.transaction_context = self.transaction_context
+        self.transaction_context.register_read_write_operator(self._delete)
+        self._delete._on_execute()
+        if self._delete.failed:
+            self.failed = True
+            return None
+
+        # 2. insert the updated values
+        wrapper = TableWrapper(rows_table)
+        wrapper.output_expressions = list(self._left.output_expressions)
+        wrapper.execute()
+        target_names = [
+            n for n in target.column_names if n != ROWID_COLUMN
+        ]
+        proj = Projection(wrapper, self.update_expressions, target_names)
+        proj.uncorrelated_subquery_plans = self.uncorrelated_subquery_plans
+        proj.execute()
+        self._insert = Insert(self.table_name, proj, target_names)
+        self._insert.transaction_context = self.transaction_context
+        self.transaction_context.register_read_write_operator(self._insert)
+        self._insert.execute()
+        return None
+
+    def commit_records(self, commit_id: int) -> None:
+        pass  # the registered Delete/Insert commit themselves
+
+    def rollback_records(self) -> None:
+        pass
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _extract_rowids(table: Table) -> List[int]:
+    try:
+        idx = table.column_names.index(ROWID_COLUMN)
+    except ValueError:
+        raise RuntimeError(
+            "DML input lacks __rowid__ column (GetTable must include row ids)"
+        )
+    data = np.asarray(table.columns[idx].data[: table.num_rows])
+    return [int(x) for x in data]
+
+
+def _append_column(tcol: Column, scol: Column, old_n: int, n_new: int,
+                   new_cap: int) -> Column:
+    if tcol.data_type == DataType.STRING:
+        merged = merge_dictionaries(tcol.dictionary, scol.dictionary)
+        old_codes = recode_to_dictionary(tcol, merged)
+        src_codes = recode_to_dictionary(scol, merged)
+        data = jnp.zeros(new_cap, dtype=jnp.int32)
+        data = data.at[: old_codes.shape[0]].set(old_codes)
+        data = data.at[old_n:old_n + n_new].set(src_codes[:n_new])
+        new_col = Column(DataType.STRING, data, None, merged, True)
+    else:
+        np_dt = physical_dtype(tcol.data_type)
+        data = jnp.zeros(new_cap, dtype=np_dt)
+        data = data.at[: tcol.data.shape[0]].set(tcol.data.astype(np_dt))
+        src_data = scol.data.astype(np_dt)
+        if scol.data_type == DataType.STRING:
+            raise RuntimeError("cannot insert string into non-string column")
+        data = data.at[old_n:old_n + n_new].set(src_data[:n_new])
+        new_col = Column(tcol.data_type, data)
+    validity = _merge_append_validity(tcol, scol, old_n, n_new, new_cap)
+    new_col.validity = validity
+    return new_col
+
+
+def _append_nulls(tcol: Column, old_n: int, n_new: int, new_cap: int) -> Column:
+    if tcol.data_type == DataType.STRING:
+        data = jnp.zeros(new_cap, dtype=jnp.int32)
+        data = data.at[: tcol.data.shape[0]].set(tcol.data)
+        col = Column(DataType.STRING, data, None, tcol.dictionary, tcol.dict_sorted)
+    else:
+        data = jnp.zeros(new_cap, dtype=tcol.data.dtype)
+        data = data.at[: tcol.data.shape[0]].set(tcol.data)
+        col = Column(tcol.data_type, data)
+    valid = jnp.ones(new_cap, dtype=bool)
+    if tcol.validity is not None:
+        valid = valid.at[: tcol.validity.shape[0]].set(tcol.validity)
+    valid = valid.at[old_n:old_n + n_new].set(False)
+    col.validity = valid
+    return col
+
+
+def _merge_append_validity(tcol: Column, scol: Column, old_n: int, n_new: int,
+                           new_cap: int):
+    if tcol.validity is None and scol.validity is None:
+        return None
+    valid = jnp.ones(new_cap, dtype=bool)
+    if tcol.validity is not None:
+        valid = valid.at[: tcol.validity.shape[0]].set(tcol.validity)
+    if scol.validity is not None:
+        valid = valid.at[old_n:old_n + n_new].set(scol.validity[:n_new])
+    return valid

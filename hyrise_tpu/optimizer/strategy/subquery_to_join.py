@@ -1,0 +1,236 @@
+"""Subquery unnesting (ref: optimizer/strategy/subquery_to_join_rule.cpp):
+
+- (NOT) IN (uncorrelated subquery)     -> semi / anti-null-as-true join
+- (NOT) EXISTS (correlated subquery)   -> semi / anti-null-as-false join,
+  hoisting `inner_col = outer_param` equality predicates to join predicates
+- (NOT) IN (correlated subquery)       -> same + operand equality predicate
+- cmp with correlated scalar aggregate -> inner join against the aggregate
+  grouped by the correlation columns (covers TPC-H Q2/Q17-style patterns)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from hyrise_tpu.expression import ast
+from hyrise_tpu.optimizer.optimizer import AbstractRule
+from hyrise_tpu.plan import lqp as L
+from hyrise_tpu.types import JoinMode, PredicateCondition
+
+
+class SubqueryToJoinRule(AbstractRule):
+    name = "SubqueryToJoin"
+
+    def apply(self, root: L.LQPNode) -> L.LQPNode:
+        def visit(node: L.LQPNode) -> L.LQPNode:
+            if node.left is not None:
+                node.left = visit(node.left)
+            if node.right is not None:
+                node.right = visit(node.right)
+            # recurse into any remaining subquery plans first
+            for e in node.node_expressions():
+                for sub in e.walk():
+                    if isinstance(sub, ast.Subquery):
+                        sub.lqp = self.apply(sub.lqp)
+            if isinstance(node, L.PredicateNode):
+                rewritten = self._rewrite_predicate(node)
+                if rewritten is not None:
+                    return visit(rewritten)
+            return node
+
+        return visit(root)
+
+    # ------------------------------------------------------------------
+
+    def _rewrite_predicate(self, node: L.PredicateNode) -> Optional[L.LQPNode]:
+        pred = node.predicate
+        if isinstance(pred, ast.InSubquery):
+            return self._rewrite_in(node, pred, pred.negated)
+        if isinstance(pred, ast.Exists):
+            return self._rewrite_exists(node, pred)
+        if isinstance(pred, ast.Not) and isinstance(pred.children[0], ast.Exists):
+            inner = pred.children[0]
+            return self._rewrite_exists(
+                node, ast.Exists(inner.subquery, not inner.negated)
+            )
+        if isinstance(pred, ast.Predicate) and len(pred.children) == 2:
+            l, r = pred.children
+            if isinstance(r, ast.Subquery) and r.is_correlated():
+                return self._rewrite_correlated_scalar(node, pred, l, r)
+            if isinstance(l, ast.Subquery) and l.is_correlated():
+                from hyrise_tpu.types import FLIPPED_CONDITION
+
+                flipped = FLIPPED_CONDITION.get(pred.condition)
+                if flipped is None:
+                    return None
+                return self._rewrite_correlated_scalar(
+                    node, ast.Predicate(flipped, [r, l]), r, l
+                )
+        return None
+
+    def _rewrite_in(self, node, pred: ast.InSubquery, negated: bool):
+        sub: ast.Subquery = pred.subquery
+        sub_cols = sub.lqp.output_expressions()
+        if len(sub_cols) != 1:
+            return None
+        join_preds = [ast.eq(pred.operand, sub_cols[0])]
+        inner, hoisted = self._hoist_correlation(sub)
+        if hoisted is None:
+            return None
+        join_preds += hoisted
+        mode = JoinMode.ANTI_NULL_AS_TRUE if negated else JoinMode.SEMI
+        return L.JoinNode(mode, join_preds, node.left, inner)
+
+    def _rewrite_exists(self, node, pred: ast.Exists):
+        sub: ast.Subquery = pred.subquery
+        inner, hoisted = self._hoist_correlation(sub)
+        if hoisted is None or not hoisted:
+            if not sub.is_correlated() and hoisted is not None:
+                # uncorrelated EXISTS: leave for direct evaluation
+                return None
+            return None
+        mode = JoinMode.ANTI_NULL_AS_FALSE if pred.negated else JoinMode.SEMI
+        return L.JoinNode(mode, hoisted, node.left, inner)
+
+    def _rewrite_correlated_scalar(self, node, pred, outer_operand,
+                                   sub: ast.Subquery):
+        """x cmp (SELECT agg(...) FROM ... WHERE inner = outer) — group the
+        inner aggregate by its correlation columns and join."""
+        inner, hoisted = self._hoist_correlation(sub)
+        if hoisted is None or not hoisted:
+            return None
+        # the subquery must produce a single aggregate column; find the
+        # AggregateNode and add the correlation columns as group keys
+        agg_node = self._find_sole_aggregate(inner)
+        if agg_node is None or agg_node.group_by:
+            return None
+        corr_cols = []
+        for jp in hoisted:
+            inner_side = jp.children[1]
+            corr_cols.append(inner_side)
+        # correlation columns must be plain inner columns below the aggregate
+        below_keys = {e.key() for e in agg_node.left.output_expressions()}
+        if not all(c.key() in below_keys for c in corr_cols):
+            return None
+        agg_node.group_by = corr_cols
+        self._extend_projections(inner, corr_cols, stop_at=agg_node)
+        sub_out = sub.lqp.output_expressions()
+        if len(sub_out) != 1:
+            return None
+        join = L.JoinNode(JoinMode.INNER, hoisted, node.left, inner)
+        return L.PredicateNode(
+            ast.Predicate(pred.condition, [outer_operand, sub_out[0]]), join
+        )
+
+    # ------------------------------------------------------------------
+
+    def _hoist_correlation(self, sub: ast.Subquery):
+        """Remove `inner_col = Parameter` predicates from the subquery plan
+        and return (inner_root, join_predicates) with the Parameters
+        replaced by the outer expressions.  Returns (root, None) when a
+        correlated parameter is used in a non-hoistable way."""
+        param_map: Dict[int, ast.Expression] = {
+            pid: outer for pid, outer in sub.parameters
+        }
+        hoisted: List[ast.Expression] = []
+
+        # read-only feasibility check first: every parameter use must sit in
+        # a hoistable equality predicate (mutation below must not be partial)
+        for n in sub.lqp.walk():
+            if isinstance(n, L.PredicateNode):
+                p = n.predicate
+                if self._as_hoistable(p, param_map) is None and _uses_params(
+                    p, param_map
+                ):
+                    return sub.lqp, None
+            else:
+                if any(_uses_params(e, param_map) for e in n.node_expressions()):
+                    return sub.lqp, None
+
+        def visit(node: L.LQPNode) -> Optional[L.LQPNode]:
+            if node.left is not None:
+                new_left = visit(node.left)
+                if new_left is _FAIL:
+                    return _FAIL
+                node.left = new_left
+            if node.right is not None:
+                new_right = visit(node.right)
+                if new_right is _FAIL:
+                    return _FAIL
+                node.right = new_right
+            if isinstance(node, L.PredicateNode):
+                p = node.predicate
+                hp = self._as_hoistable(p, param_map)
+                if hp is not None:
+                    hoisted.append(hp)
+                    return node.left
+                if _uses_params(p, param_map):
+                    return _FAIL
+                return node
+            if isinstance(node, (L.ProjectionNode, L.AliasNode)):
+                # projections must not drop columns the hoisted predicates
+                # use; we extend them afterwards
+                if any(_uses_params(e, param_map) for e in node.node_expressions()):
+                    return _FAIL
+                return node
+            if any(_uses_params(e, param_map) for e in node.node_expressions()):
+                return _FAIL
+            return node
+
+        result = visit(sub.lqp)
+        if result is _FAIL:
+            return sub.lqp, None
+        # make sure inner columns used by hoisted predicates survive
+        inner_cols = [hp.children[1] for hp in hoisted]
+        self._extend_projections(result, inner_cols, stop_at=None)
+        return result, hoisted
+
+    def _as_hoistable(self, p: ast.Expression,
+                      param_map: Dict[int, ast.Expression]):
+        """col/expr = Parameter  ->  Predicate(outer_expr = inner_expr)."""
+        if not isinstance(p, ast.Predicate) or len(p.children) != 2:
+            return None
+        if p.condition != PredicateCondition.EQUALS:
+            return None
+        a, b = p.children
+        if isinstance(a, ast.Parameter) and a.parameter_id in param_map and \
+                not _uses_params(b, param_map):
+            return ast.eq(param_map[a.parameter_id], b)
+        if isinstance(b, ast.Parameter) and b.parameter_id in param_map and \
+                not _uses_params(a, param_map):
+            return ast.eq(param_map[b.parameter_id], a)
+        return None
+
+    def _find_sole_aggregate(self, root: L.LQPNode) -> Optional[L.AggregateNode]:
+        aggs = [n for n in root.walk() if isinstance(n, L.AggregateNode)]
+        return aggs[0] if len(aggs) == 1 else None
+
+    def _extend_projections(self, root: L.LQPNode, cols, stop_at) -> None:
+        """Append columns to Projection/Alias nodes between root and
+        stop_at so hoisted join predicates can reference them."""
+        node = root
+        while node is not None and node is not stop_at:
+            if isinstance(node, L.ProjectionNode):
+                for c in cols:
+                    if c not in node.expressions:
+                        node.expressions.append(c)
+            if isinstance(node, L.AliasNode):
+                for c in cols:
+                    if c not in node.expressions:
+                        node.expressions.append(c)
+                        node.names.append(c.name())
+            node = node.left
+
+
+class _FailSentinel:
+    pass
+
+
+_FAIL = _FailSentinel()
+
+
+def _uses_params(e: ast.Expression, param_map) -> bool:
+    return any(
+        isinstance(s, ast.Parameter) and s.parameter_id in param_map
+        for s in e.walk()
+    )

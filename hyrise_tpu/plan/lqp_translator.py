@@ -1,0 +1,249 @@
+"""LQP -> physical operator (PQP) translation
+(ref: logical_query_plan/lqp_translator.cpp:138-175 — 1:1 node mapping,
+uncorrelated-subquery wiring, predicate -> scan dispatch).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from hyrise_tpu.expression import ast
+from hyrise_tpu.plan import lqp as L
+from hyrise_tpu.operators.base import AbstractOperator
+from hyrise_tpu.operators import (
+    Aggregate,
+    AliasOperator,
+    Difference,
+    GetTable,
+    Intersect,
+    Join,
+    Limit,
+    Product,
+    Projection,
+    Sort,
+    TableScan,
+    TableWrapper,
+    UnionAll,
+    UnionUnique,
+)
+from hyrise_tpu.operators.joins import JoinPredicate
+from hyrise_tpu.operators.set_ops import Distinct
+from hyrise_tpu.types import (
+    FLIPPED_CONDITION,
+    JoinMode,
+    PredicateCondition,
+    SetOperationMode,
+)
+
+
+class LQPTranslationError(ValueError):
+    pass
+
+
+class LQPTranslator:
+    def translate(self, node: L.LQPNode) -> AbstractOperator:
+        cache: Dict[int, AbstractOperator] = {}
+        return self._translate(node, cache)
+
+    def _translate(self, node: L.LQPNode, cache) -> AbstractOperator:
+        if id(node) in cache:
+            return cache[id(node)]
+        op = self._translate_node(node, cache)
+        cache[id(node)] = op
+        return op
+
+    def _translate_node(self, node: L.LQPNode, cache) -> AbstractOperator:
+        t = type(node)
+        if t is L.StoredTableNode:
+            op = GetTable(
+                node.table_name,
+                pruned_column_names=node.pruned_column_names,
+                output_expressions=node.output_expressions(),
+                include_row_ids=node.include_row_ids,
+            )
+            return op
+        if t is L.StaticTableNode:
+            op = TableWrapper(node.table)
+            op.output_expressions = node.output_expressions()
+            return op
+        if t is L.DummyTableNode:
+            from hyrise_tpu.storage.table import Table
+
+            op = TableWrapper(Table.from_dict({"dummy": [0]}))
+            op.output_expressions = []
+            return op
+        if t is L.PredicateNode:
+            left = self._translate(node.left, cache)
+            op = TableScan(left, node.predicate)
+            self._wire_subqueries(op, [node.predicate], cache)
+            return op
+        if t is L.ProjectionNode:
+            left = self._translate(node.left, cache)
+            op = Projection(left, node.expressions)
+            self._wire_subqueries(op, node.expressions, cache)
+            return op
+        if t is L.AliasNode:
+            left = self._translate(node.left, cache)
+            return AliasOperator(left, node.names)
+        if t is L.AggregateNode:
+            left = self._translate(node.left, cache)
+            op = Aggregate(left, node.group_by, node.aggregates)
+            self._wire_subqueries(op, node.group_by + node.aggregates, cache)
+            return op
+        if t is L.SortNode:
+            left = self._translate(node.left, cache)
+            return Sort(left, node.sort_items)
+        if t is L.LimitNode:
+            left = self._translate(node.left, cache)
+            n = _literal_int(node.row_count)
+            offset = _literal_int(node.offset) if node.offset is not None else 0
+            return Limit(left, n, offset)
+        if t is L.JoinNode:
+            return self._translate_join(node, cache)
+        if t is L.UnionNode:
+            left = self._translate(node.left, cache)
+            right = self._translate(node.right, cache)
+            if node.set_mode == SetOperationMode.ALL:
+                return UnionAll(left, right)
+            return UnionUnique(left, right)
+        if t is L.IntersectNode:
+            left = self._translate(node.left, cache)
+            right = self._translate(node.right, cache)
+            return Intersect(left, right)
+        if t is L.ExceptNode:
+            left = self._translate(node.left, cache)
+            right = self._translate(node.right, cache)
+            return Difference(left, right)
+        if t is L.DistinctNode:
+            left = self._translate(node.left, cache)
+            return Distinct(left)
+        if t is L.ValidateNode:
+            from hyrise_tpu.operators.validate import Validate
+
+            left = self._translate(node.left, cache)
+            return Validate(left)
+        if t is L.WindowNode:
+            from hyrise_tpu.operators.window import WindowOperator
+
+            left = self._translate(node.left, cache)
+            return WindowOperator(left, node.window_expr)
+        if t is L.InsertNode:
+            from hyrise_tpu.operators.modification import Insert
+
+            left = self._translate(node.left, cache)
+            return Insert(node.table_name, left,
+                          getattr(node, "column_names", None))
+        if t is L.UpdateNode:
+            from hyrise_tpu.operators.modification import Update
+
+            left = self._translate(node.left, cache)
+            op = Update(node.table_name, node.update_expressions, left)
+            self._wire_subqueries(op, node.update_expressions, cache)
+            return op
+        if t is L.DeleteNode:
+            from hyrise_tpu.operators.modification import Delete
+
+            left = self._translate(node.left, cache)
+            return Delete(node.table_name, left)
+        if t is L.CreateTableNode:
+            from hyrise_tpu.operators.maintenance import CreateTable
+
+            left = self._translate(node.left, cache) if node.left else None
+            return CreateTable(node.table_name, node.if_not_exists,
+                               node.column_specs, left)
+        if t is L.DropTableNode:
+            from hyrise_tpu.operators.maintenance import DropTable
+
+            return DropTable(node.table_name, node.if_exists)
+        if t is L.CreateViewNode:
+            from hyrise_tpu.operators.maintenance import CreateView
+
+            return CreateView(node.view_name, node.if_not_exists, node.view)
+        if t is L.DropViewNode:
+            from hyrise_tpu.operators.maintenance import DropView
+
+            return DropView(node.view_name, node.if_exists)
+        if t is L.ImportNode:
+            from hyrise_tpu.operators.import_export import Import
+
+            return Import(node.table_name, node.file_path, node.file_format)
+        if t is L.ExportNode:
+            from hyrise_tpu.operators.import_export import Export
+
+            left = self._translate(node.left, cache)
+            return Export(left, node.file_path, node.file_format)
+        if t is L.ChangeMetaTableNode:
+            from hyrise_tpu.operators.maintenance import ChangeMetaTable
+
+            left = self._translate(node.left, cache) if node.left else None
+            return ChangeMetaTable(node.table_name, node.change_type, left,
+                                   getattr(node, "update_expressions", None))
+        raise LQPTranslationError(f"cannot translate {t.__name__}")
+
+    # ------------------------------------------------------------------
+
+    def _translate_join(self, node: L.JoinNode, cache) -> AbstractOperator:
+        left = self._translate(node.left, cache)
+        right = self._translate(node.right, cache)
+        if node.mode == JoinMode.CROSS or not node.predicates:
+            if node.mode in (JoinMode.CROSS, JoinMode.INNER):
+                return Product(left, right)
+            raise LQPTranslationError(f"predicate-less {node.mode} join")
+        left_cols = {e.key() for e in node.left.output_expressions()}
+        right_cols = {e.key() for e in node.right.output_expressions()}
+        preds: List[JoinPredicate] = []
+        for p in node.predicates:
+            jp = _to_join_predicate(p, left_cols, right_cols)
+            if jp is None:
+                raise LQPTranslationError(
+                    f"join predicate {p.description()} does not separate sides"
+                )
+            preds.append(jp)
+        # equi predicates first (primary), then others
+        preds.sort(key=lambda jp: jp.condition != PredicateCondition.EQUALS)
+        return Join(left, right, node.mode, preds)
+
+    def _wire_subqueries(self, op: AbstractOperator,
+                         expressions: List[ast.Expression], cache) -> None:
+        for e in expressions:
+            for sub in e.walk():
+                if isinstance(sub, ast.Subquery):
+                    if sub.is_correlated():
+                        raise LQPTranslationError(
+                            "correlated subquery was not rewritten to a join"
+                        )
+                    sub_op = self._translate(sub.lqp, cache)
+                    op.uncorrelated_subquery_plans[sub.key()] = sub_op
+
+
+def _to_join_predicate(p: ast.Expression, left_cols, right_cols):
+    if not isinstance(p, ast.Predicate) or len(p.children) != 2:
+        return None
+    a, b = p.children
+    a_side = _side_of(a, left_cols, right_cols)
+    b_side = _side_of(b, left_cols, right_cols)
+    if a_side == "left" and b_side == "right":
+        return JoinPredicate(a, b, p.condition)
+    if a_side == "right" and b_side == "left":
+        cond = FLIPPED_CONDITION.get(p.condition)
+        if cond is None:
+            return None
+        return JoinPredicate(b, a, cond)
+    return None
+
+
+def _side_of(e: ast.Expression, left_cols, right_cols) -> Optional[str]:
+    cols = [c.key() for c in e.referenced_columns()]
+    if not cols:
+        return None
+    if all(c in left_cols for c in cols):
+        return "left"
+    if all(c in right_cols for c in cols):
+        return "right"
+    return None
+
+
+def _literal_int(e: ast.Expression) -> int:
+    if isinstance(e, ast.Literal) and isinstance(e.value, int):
+        return e.value
+    raise LQPTranslationError("LIMIT/OFFSET must be integer literals")

@@ -1,0 +1,192 @@
+"""Table file loaders/writers: .tbl (reference header format and TPC
+dbgen-style), CSV (+ .json meta sidecar), and a binary .npz snapshot format.
+
+Ref: utils/load_table.cpp (.tbl with a name row and a type row, types like
+`int|float_null|string`), import_export/csv/* (meta sidecar), and
+import_export/binary/* (full-table dump; ours is numpy-npz based with the
+dictionary stored alongside the codes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hyrise_tpu.storage.column import Column
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import DataType, padded_size
+
+_TYPE_NAMES = {
+    "int": DataType.INT,
+    "long": DataType.LONG,
+    "float": DataType.FLOAT,
+    "double": DataType.DOUBLE,
+    "string": DataType.STRING,
+    "date": DataType.DATE,
+}
+_TYPE_NAMES_REV = {v: k for k, v in _TYPE_NAMES.items()}
+
+
+def load_table(path: str, types: Optional[Dict[str, DataType]] = None) -> Table:
+    if path.endswith(".csv"):
+        return load_csv(path)
+    if path.endswith(".npz") or path.endswith(".bin"):
+        return load_binary(path)
+    return load_tbl(path, types)
+
+
+def load_tbl(path: str, types: Optional[Dict[str, DataType]] = None) -> Table:
+    """Hyrise-style .tbl: row 1 = names, row 2 = types (suffix _null =
+    nullable); remaining rows pipe-separated values, 'null' = NULL."""
+    with open(path) as fh:
+        lines = [ln.rstrip("\n") for ln in fh]
+    lines = [ln for ln in lines if ln != ""]
+    names = [c.strip() for c in lines[0].split("|")]
+    type_tokens = [c.strip() for c in lines[1].split("|")]
+    col_types: List[DataType] = []
+    nullable: List[bool] = []
+    for tok in type_tokens:
+        is_null = tok.endswith("_null")
+        base = tok[:-5] if is_null else tok
+        col_types.append(_TYPE_NAMES[base])
+        nullable.append(is_null)
+    rows = [ln.split("|") for ln in lines[2:]]
+    data: Dict[str, list] = {n: [] for n in names}
+    for r in rows:
+        for j, n in enumerate(names):
+            v = r[j]
+            if nullable[j] and v.lower() == "null":
+                data[n].append(None)
+            else:
+                data[n].append(_parse_value(v, col_types[j]))
+    return Table.from_dict(data, dict(zip(names, col_types)))
+
+
+def _parse_value(v: str, dt: DataType):
+    if dt in (DataType.INT, DataType.LONG):
+        return int(v)
+    if dt in (DataType.FLOAT, DataType.DOUBLE):
+        return float(v)
+    return v
+
+
+def load_csv(path: str) -> Table:
+    """CSV with optional Hyrise-style .json meta sidecar
+    (ref: import_export/csv/csv_meta.hpp)."""
+    import csv as _csv
+
+    meta_path = path + ".json"
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    with open(path, newline="") as fh:
+        reader = _csv.reader(fh)
+        rows = list(reader)
+    if meta is not None:
+        names = [c["name"] for c in meta["columns"]]
+        types = [
+            _TYPE_NAMES[c["type"].removesuffix("_null")] for c in meta["columns"]
+        ]
+        nullable = [c["type"].endswith("_null") or c.get("nullable", False)
+                    for c in meta["columns"]]
+        body = rows
+    else:
+        names = rows[0]
+        body = rows[1:]
+        types = [_infer_csv_type([r[j] for r in body]) for j in range(len(names))]
+        nullable = [True] * len(names)
+    data: Dict[str, list] = {n: [] for n in names}
+    for r in body:
+        for j, n in enumerate(names):
+            v = r[j] if j < len(r) else ""
+            if nullable[j] and v == "":
+                data[n].append(None)
+            else:
+                data[n].append(_parse_value(v, types[j]))
+    return Table.from_dict(data, dict(zip(names, types)))
+
+
+def _infer_csv_type(values: List[str]) -> DataType:
+    saw_float = False
+    for v in values:
+        if v == "":
+            continue
+        try:
+            int(v)
+        except ValueError:
+            try:
+                float(v)
+                saw_float = True
+            except ValueError:
+                return DataType.STRING
+    return DataType.DOUBLE if saw_float else DataType.INT
+
+
+def write_csv(table: Table, path: str, with_meta: bool = True) -> None:
+    import csv as _csv
+
+    cols = [c.to_pylist(table.num_rows) for c in table.columns]
+    with open(path, "w", newline="") as fh:
+        writer = _csv.writer(fh)
+        for i in range(table.num_rows):
+            writer.writerow([
+                "" if cols[j][i] is None else cols[j][i]
+                for j in range(table.num_columns)
+            ])
+    if with_meta:
+        meta = {
+            "columns": [
+                {
+                    "name": n,
+                    "type": _TYPE_NAMES_REV[c.data_type]
+                    + ("_null" if c.validity is not None else ""),
+                }
+                for n, c in zip(table.column_names, table.columns)
+            ]
+        }
+        with open(path + ".json", "w") as fh:
+            json.dump(meta, fh, indent=2)
+
+
+def save_binary(table: Table, path: str) -> None:
+    """Binary table snapshot: codes/values + dictionaries + validity
+    (ref: import_export/binary/binary_writer.hpp:20)."""
+    payload = {"__names__": np.array(table.column_names, dtype=str),
+               "__nrows__": np.array([table.num_rows])}
+    for i, (n, c) in enumerate(zip(table.column_names, table.columns)):
+        payload[f"data_{i}"] = np.asarray(c.data[: table.num_rows])
+        payload[f"type_{i}"] = np.array([_TYPE_NAMES_REV[c.data_type]])
+        if c.validity is not None:
+            payload[f"valid_{i}"] = np.asarray(c.validity[: table.num_rows])
+        if c.dictionary is not None:
+            payload[f"dict_{i}"] = c.dictionary.astype(str)
+    np.savez_compressed(path, **payload)
+
+
+def load_binary(path: str) -> Table:
+    with np.load(path, allow_pickle=False) as z:
+        names = [str(x) for x in z["__names__"]]
+        n = int(z["__nrows__"][0])
+        cap = padded_size(n)
+        cols = []
+        for i, name in enumerate(names):
+            dt = _TYPE_NAMES[str(z[f"type_{i}"][0])]
+            raw = z[f"data_{i}"]
+            import jax.numpy as jnp
+
+            data = np.zeros(cap, dtype=raw.dtype)
+            data[:n] = raw
+            validity = None
+            if f"valid_{i}" in z:
+                v = np.ones(cap, dtype=bool)
+                v[:n] = z[f"valid_{i}"]
+                validity = jnp.asarray(v)
+            dictionary = z[f"dict_{i}"] if f"dict_{i}" in z else None
+            cols.append(
+                Column(dt, jnp.asarray(data), validity, dictionary, True)
+            )
+        return Table(names, cols, n)

@@ -1,0 +1,116 @@
+"""SQLite differential-testing oracle (ref: test/lib/sql/sqlite_testrunner/
+sqlite_testrunner.hpp:39 + lib/utils/sqlite_wrapper.* — every query runs on
+both engines and row sets must match)."""
+
+from __future__ import annotations
+
+import math
+import sqlite3
+from typing import Dict, List, Optional, Sequence
+
+from hyrise_tpu.database import Database
+from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import DataType
+
+
+class SQLiteOracle:
+    def __init__(self):
+        self.conn = sqlite3.connect(":memory:")
+
+    def load_table(self, name: str, table: Table) -> None:
+        type_map = {
+            DataType.INT: "INTEGER",
+            DataType.LONG: "INTEGER",
+            DataType.FLOAT: "REAL",
+            DataType.DOUBLE: "REAL",
+            DataType.STRING: "TEXT",
+            DataType.DATE: "TEXT",
+        }
+        cols = ", ".join(
+            f'"{n}" {type_map[c.data_type]}'
+            for n, c in zip(table.column_names, table.columns)
+        )
+        self.conn.execute(f'CREATE TABLE "{name}" ({cols})')
+        rows = table.to_pylist()
+        if rows:
+            ph = ", ".join("?" for _ in table.column_names)
+            self.conn.executemany(f'INSERT INTO "{name}" VALUES ({ph})', rows)
+        self.conn.commit()
+
+    def execute(self, sql: str) -> List[tuple]:
+        cur = self.conn.execute(sql)
+        return [tuple(r) for r in cur.fetchall()]
+
+
+def make_env(tables: Dict[str, dict], types: Optional[dict] = None):
+    """Create identical tables in hyrise_tpu and sqlite."""
+    db = Database.get()
+    oracle = SQLiteOracle()
+    for name, data in tables.items():
+        t = Table.from_dict(data, (types or {}).get(name))
+        db.storage_manager.add_table(name, t)
+        oracle.load_table(name, t)
+    return oracle
+
+
+def normalize_row(row: tuple) -> tuple:
+    out = []
+    for v in row:
+        if isinstance(v, float):
+            out.append(round(v, 6))
+        elif isinstance(v, bool):
+            out.append(int(v))
+        else:
+            out.append(v)
+    return tuple(out)
+
+
+def rows_match(ours: List[tuple], theirs: List[tuple], ordered: bool) -> bool:
+    if len(ours) != len(theirs):
+        return False
+    for a, b in zip(
+        (ours if ordered else sorted(map(_sort_key, ours))),
+        (theirs if ordered else sorted(map(_sort_key, theirs))),
+    ):
+        ra = a if ordered else a[1]
+        rb = b if ordered else b[1]
+        if not _row_eq(ra, rb):
+            return False
+    return True
+
+
+def _sort_key(row):
+    return (tuple("\0" if v is None else str(normalize_row((v,))[0]) for v in row), row)
+
+
+def _row_eq(a, b) -> bool:
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            if x is not y and not (x is None and y is None):
+                return False
+            continue
+        if isinstance(x, float) or isinstance(y, float):
+            fx, fy = float(x), float(y)
+            if not math.isclose(fx, fy, rel_tol=1e-6, abs_tol=1e-6):
+                return False
+            continue
+        if str(x) != str(y):
+            return False
+    return True
+
+
+def check_query(oracle: SQLiteOracle, sql: str, ordered: Optional[bool] = None):
+    """Run on both engines, assert row parity.  Returns our rows."""
+    ours_table = SQLPipelineBuilder(sql).create_pipeline().get_result_table()
+    ours = ours_table.to_pylist() if ours_table is not None else []
+    theirs = oracle.execute(sql)
+    if ordered is None:
+        ordered = " order by " in sql.lower()
+    assert rows_match(ours, theirs, ordered), (
+        f"row mismatch for {sql!r}:\n  ours  ({len(ours)}): {ours[:10]}\n"
+        f"  sqlite({len(theirs)}): {theirs[:10]}"
+    )
+    return ours

@@ -1,0 +1,97 @@
+"""Benchmark entry point for the driver: runs TPC-H on the real TPU and
+prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline = sqlite (host CPU) wall time / our wall time on the same
+queries+data (the reference publishes no numbers — README.md:35 — so the
+recorded baseline is a locally-measured host engine on identical data).
+
+Env knobs: HYRISE_TPU_BENCH_SF (default 0.1), HYRISE_TPU_BENCH_QUERIES
+(comma list, default a TPC-H subset), HYRISE_TPU_BENCH_RUNS (default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf = float(os.environ.get("HYRISE_TPU_BENCH_SF", "0.1"))
+    runs = int(os.environ.get("HYRISE_TPU_BENCH_RUNS", "3"))
+    qids_env = os.environ.get("HYRISE_TPU_BENCH_QUERIES", "1,3,5,6,10,12,14,19")
+    qids = [int(x) for x in qids_env.split(",") if x.strip()]
+
+    from hyrise_tpu.benchmark.tpch.generator import TPCHTableGenerator
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+
+    db = Database.get()
+    gen_start = time.perf_counter()
+    tables = TPCHTableGenerator(scale_factor=sf).generate_into(db.storage_manager)
+    gen_s = time.perf_counter() - gen_start
+    total_rows = sum(t.num_rows for t in tables.values())
+    print(f"# generated TPC-H SF{sf}: {total_rows} rows in {gen_s:.1f}s",
+          file=sys.stderr)
+
+    # ---- sqlite baseline on identical data
+    sqlite_times = {}
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.sqlite_oracle import SQLiteOracle
+        from tests.test_tpch import sqlite_compat
+
+        oracle = SQLiteOracle()
+        for name, t in tables.items():
+            oracle.load_table(name, t)
+        for qid in qids:
+            t0 = time.perf_counter()
+            oracle.execute(sqlite_compat(TPCH_QUERIES[qid]))
+            sqlite_times[qid] = time.perf_counter() - t0
+    except Exception as exc:  # baseline is best-effort
+        print(f"# sqlite baseline failed: {exc}", file=sys.stderr)
+
+    # ---- our engine: warmup (compile) + timed runs
+    our_times = {}
+    for qid in qids:
+        sql = TPCH_QUERIES[qid]
+        try:
+            SQLPipelineBuilder(sql).create_pipeline().get_result_table()  # warm
+            best = math.inf
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                SQLPipelineBuilder(sql).create_pipeline().get_result_table()
+                best = min(best, time.perf_counter() - t0)
+            our_times[qid] = best
+            base = sqlite_times.get(qid)
+            ratio = f" ({base / best:.2f}x vs sqlite)" if base else ""
+            print(f"# Q{qid}: {best * 1e3:.1f} ms{ratio}", file=sys.stderr)
+        except Exception as exc:
+            print(f"# Q{qid} FAILED: {exc}", file=sys.stderr)
+
+    if not our_times:
+        print(json.dumps({"metric": "tpch_geomean_ms", "value": -1,
+                          "unit": "ms", "vs_baseline": 0.0}))
+        return
+
+    geo = math.exp(sum(math.log(t) for t in our_times.values()) / len(our_times))
+    vs = 0.0
+    common = [q for q in our_times if q in sqlite_times]
+    if common:
+        vs = math.exp(
+            sum(math.log(sqlite_times[q] / our_times[q]) for q in common)
+            / len(common)
+        )
+    print(json.dumps({
+        "metric": f"tpch_sf{sf}_geomean_query_time",
+        "value": round(geo * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,7 @@ class Optimizer:
             ExpressionReductionRule(),
             InExpressionRewriteRule(),
             SubqueryToJoinRule(),
+            PredicatePlacementRule(),
             JoinOrderingRule(),
             PredicatePlacementRule(),
             JoinToSemiJoinRule(),

@@ -1,23 +1,253 @@
-"""Join ordering (ref: optimizer/join_ordering/ — DpCcp below a size
-threshold, GreedyOperatorOrdering above; join_ordering_rule.hpp:20-24).
+"""Join ordering (ref: optimizer/join_ordering/ — JoinGraph/
+JoinGraphBuilder + DpCcp below a size threshold, GreedyOperatorOrdering
+above; join_ordering_rule.hpp:20-24).
 
-The full cardinality-driven DpCcp runs once statistics land
-(statistics/cardinality.py); until then this rule is greedy: for chains of
-inner joins it keeps the parsed order but builds left-deep trees preferring
-smaller base tables first (row counts from the storage manager).
+Collects maximal regions of inner/cross joins + predicates into a join
+graph, then builds a left-deep tree greedily: start from the smallest
+vertex, repeatedly attach the connected vertex with the smallest estimated
+join result.  This also converts comma-style FROM lists (cross joins +
+WHERE equalities) into proper equi joins — essential on TPU where a cross
+product materializes |L|x|R| rows.  Size estimates use base-table row
+counts with crude selectivity factors until the histogram-based
+cardinality estimator supersedes them.
 """
 
 from __future__ import annotations
 
+from typing import Dict, List, Optional, Set, Tuple
+
+from hyrise_tpu.database import Database
+from hyrise_tpu.expression import ast
 from hyrise_tpu.optimizer.optimizer import AbstractRule
 from hyrise_tpu.plan import lqp as L
+from hyrise_tpu.types import JoinMode, PredicateCondition
 
 
 class JoinOrderingRule(AbstractRule):
     name = "JoinOrdering"
 
     def apply(self, root: L.LQPNode) -> L.LQPNode:
-        # Placeholder for the DpCcp/GOO implementation (tracked in
-        # optimizer/join_ordering once the cardinality estimator exists);
-        # the parsed join order is preserved.
-        return root
+        def visit(node: L.LQPNode) -> L.LQPNode:
+            # first, recurse into subquery plans
+            for e in node.node_expressions():
+                for sub in e.walk():
+                    if isinstance(sub, ast.Subquery):
+                        sub.lqp = self.apply(sub.lqp)
+            if _is_region_node(node):
+                rebuilt = self._rebuild_region(node, visit)
+                return rebuilt
+            if node.left is not None:
+                node.left = visit(node.left)
+            if node.right is not None:
+                node.right = visit(node.right)
+            return node
+
+        return visit(root)
+
+    # ------------------------------------------------------------------
+
+    def _rebuild_region(self, region_root: L.LQPNode, visit) -> L.LQPNode:
+        vertices: List[L.LQPNode] = []
+        predicates: List[ast.Expression] = []
+        subquery_predicates: List[ast.Expression] = []
+
+        def collect(node: L.LQPNode):
+            if isinstance(node, L.PredicateNode):
+                # subquery-bearing predicates hoist above the region
+                # (filters commute with inner/cross joins)
+                if _has_subquery(node.predicate):
+                    subquery_predicates.append(node.predicate)
+                else:
+                    predicates.append(node.predicate)
+                collect(node.left)
+            elif isinstance(node, L.JoinNode) and node.mode in (
+                JoinMode.INNER, JoinMode.CROSS
+            ):
+                predicates.extend(node.predicates)
+                collect(node.left)
+                collect(node.right)
+            else:
+                vertices.append(visit(node))  # recurse inside the vertex
+
+        collect(region_root)
+        predicates_tail = subquery_predicates
+
+        if len(vertices) == 1:
+            out = vertices[0]
+            for p in reversed(predicates):
+                out = L.PredicateNode(p, out)
+            for p in predicates_tail:
+                out = L.PredicateNode(p, out)
+            return out
+
+        vert_cols: List[Set[tuple]] = [
+            {e.key() for e in v.output_expressions()} for v in vertices
+        ]
+        sizes = [_estimate_rows(v) for v in vertices]
+
+        # local predicates (single vertex) apply directly to that vertex
+        remaining: List[ast.Expression] = []
+        for p in predicates:
+            refs = {c.key() for c in p.referenced_columns()}
+            placed = False
+            if refs:
+                for i, cols in enumerate(vert_cols):
+                    if refs <= cols:
+                        vertices[i] = L.PredicateNode(p, vertices[i])
+                        sizes[i] = max(1, int(sizes[i] * _selectivity(p)))
+                        placed = True
+                        break
+            if not placed:
+                remaining.append(p)
+
+        # greedy left-deep build
+        unused = set(range(len(vertices)))
+        start = min(unused, key=lambda i: sizes[i])
+        unused.discard(start)
+        current = vertices[start]
+        current_cols = set(vert_cols[start])
+        current_size = sizes[start]
+
+        while unused:
+            best = None
+            best_cost = None
+            for i in unused:
+                join_preds = [
+                    p for p in remaining
+                    if _joins(p, current_cols, vert_cols[i])
+                    and _separates(p, current_cols, vert_cols[i])
+                ]
+                has_equi = any(_is_equi(p) for p in join_preds)
+                if join_preds:
+                    est = (
+                        max(current_size, sizes[i]) if has_equi
+                        else current_size * sizes[i] // 3 + 1
+                    )
+                else:
+                    est = current_size * sizes[i]
+                if best_cost is None or est < best_cost:
+                    best_cost = est
+                    best = i
+            i = best
+            unused.discard(i)
+            join_preds = [
+                p for p in remaining
+                if _joins(p, current_cols, vert_cols[i])
+                and _separates(p, current_cols, vert_cols[i])
+            ]
+            for p in join_preds:
+                remaining.remove(p)
+            new_cols = current_cols | vert_cols[i]
+            if join_preds:
+                current = L.JoinNode(JoinMode.INNER, join_preds, current,
+                                     vertices[i])
+            else:
+                current = L.JoinNode(JoinMode.CROSS, [], current, vertices[i])
+            current_cols = new_cols
+            current_size = best_cost or current_size
+            # predicates that became evaluable only with the merged set
+            for p in list(remaining):
+                refs = {c.key() for c in p.referenced_columns()}
+                if refs and refs <= current_cols:
+                    current = L.PredicateNode(p, current)
+                    remaining.remove(p)
+
+        for p in remaining:
+            current = L.PredicateNode(p, current)
+        for p in predicates_tail:  # subquery-bearing predicates on top
+            current = L.PredicateNode(p, current)
+        return current
+
+
+def _is_region_node(node: L.LQPNode) -> bool:
+    """A region is rooted at an inner/cross JoinNode, or a PredicateNode
+    chain leading to one."""
+    cursor = node
+    while isinstance(cursor, L.PredicateNode):
+        cursor = cursor.left
+    return isinstance(cursor, L.JoinNode) and cursor.mode in (
+        JoinMode.INNER, JoinMode.CROSS
+    )
+
+
+def _joins(p: ast.Expression, left_cols: Set[tuple], right_cols: Set[tuple]) -> bool:
+    refs = {c.key() for c in p.referenced_columns()}
+    if not refs or not refs <= (left_cols | right_cols):
+        return False
+    return bool(refs & left_cols) and bool(refs & right_cols)
+
+
+def _separates(p: ast.Expression, left_cols: Set[tuple],
+               right_cols: Set[tuple]) -> bool:
+    """True if p is a binary comparison with one operand per side — the
+    only shape the Join operator takes as a join predicate; anything else
+    (e.g. OR-of-conjunctions spanning both sides) becomes a post-join
+    PredicateNode."""
+    if not isinstance(p, ast.Predicate) or len(p.children) != 2:
+        return False
+    a, b = p.children
+    ar = {c.key() for c in a.referenced_columns()}
+    br = {c.key() for c in b.referenced_columns()}
+    if not ar or not br:
+        return False
+    return (ar <= left_cols and br <= right_cols) or (
+        ar <= right_cols and br <= left_cols
+    )
+
+
+def _is_equi(p: ast.Expression) -> bool:
+    return (
+        isinstance(p, ast.Predicate)
+        and p.condition == PredicateCondition.EQUALS
+        and len(p.children) == 2
+    )
+
+
+def _has_subquery(e: ast.Expression) -> bool:
+    return any(isinstance(s, ast.Subquery) for s in e.walk())
+
+
+def _selectivity(p: ast.Expression) -> float:
+    if isinstance(p, ast.Predicate):
+        if p.condition == PredicateCondition.EQUALS:
+            return 0.05
+        if p.condition in (PredicateCondition.LIKE, PredicateCondition.NOT_LIKE):
+            return 0.2
+        return 0.3
+    return 0.5
+
+
+def _estimate_rows(node: L.LQPNode) -> int:
+    """Crude bottom-up row estimate (superseded by statistics/)."""
+    if isinstance(node, L.StoredTableNode):
+        try:
+            return max(
+                Database.get().storage_manager.get_table(node.table_name).num_rows,
+                1,
+            )
+        except KeyError:
+            return 1000
+    if isinstance(node, L.StaticTableNode):
+        return max(node.table.num_rows, 1)
+    if isinstance(node, L.PredicateNode):
+        return max(1, int(_estimate_rows(node.left) * _selectivity(node.predicate)))
+    if isinstance(node, L.AggregateNode):
+        base = _estimate_rows(node.left)
+        return max(1, base // 10) if node.group_by else 1
+    if isinstance(node, L.JoinNode):
+        l = _estimate_rows(node.left)
+        if node.mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
+                         JoinMode.ANTI_NULL_AS_FALSE):
+            return max(1, l // 2)
+        r = _estimate_rows(node.right) if node.right else 1
+        if node.mode == JoinMode.CROSS:
+            return l * r
+        return max(l, r)
+    if isinstance(node, L.LimitNode):
+        try:
+            return min(_estimate_rows(node.left), node.row_count.value)
+        except Exception:
+            return _estimate_rows(node.left)
+    if node.left is not None:
+        return _estimate_rows(node.left)
+    return 1

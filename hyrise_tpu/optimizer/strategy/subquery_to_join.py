@@ -96,9 +96,19 @@ class SubqueryToJoinRule(AbstractRule):
                                    sub: ast.Subquery):
         """x cmp (SELECT agg(...) FROM ... WHERE inner = outer) — group the
         inner aggregate by its correlation columns and join."""
+        sub_out = sub.lqp.output_expressions()
+        if len(sub_out) != 1:
+            return None
+        scalar_col = sub_out[0]
         inner, hoisted = self._hoist_correlation(sub)
         if hoisted is None or not hoisted:
             return None
+        if not all(
+            isinstance(jp, ast.Predicate)
+            and jp.condition == PredicateCondition.EQUALS
+            for jp in hoisted
+        ):
+            return None  # grouping by the correlation key needs equalities
         # the subquery must produce a single aggregate column; find the
         # AggregateNode and add the correlation columns as group keys
         agg_node = self._find_sole_aggregate(inner)
@@ -114,12 +124,9 @@ class SubqueryToJoinRule(AbstractRule):
             return None
         agg_node.group_by = corr_cols
         self._extend_projections(inner, corr_cols, stop_at=agg_node)
-        sub_out = sub.lqp.output_expressions()
-        if len(sub_out) != 1:
-            return None
         join = L.JoinNode(JoinMode.INNER, hoisted, node.left, inner)
         return L.PredicateNode(
-            ast.Predicate(pred.condition, [outer_operand, sub_out[0]]), join
+            ast.Predicate(pred.condition, [outer_operand, scalar_col]), join
         )
 
     # ------------------------------------------------------------------
@@ -187,18 +194,26 @@ class SubqueryToJoinRule(AbstractRule):
 
     def _as_hoistable(self, p: ast.Expression,
                       param_map: Dict[int, ast.Expression]):
-        """col/expr = Parameter  ->  Predicate(outer_expr = inner_expr)."""
+        """inner_expr <cmp> Parameter -> Predicate(outer_expr <cmp'> inner)
+        with the outer side leftmost (any comparison condition qualifies —
+        the Join operator takes non-equi secondaries)."""
+        from hyrise_tpu.types import FLIPPED_CONDITION
+
         if not isinstance(p, ast.Predicate) or len(p.children) != 2:
             return None
-        if p.condition != PredicateCondition.EQUALS:
+        if p.condition not in FLIPPED_CONDITION:
             return None
         a, b = p.children
         if isinstance(a, ast.Parameter) and a.parameter_id in param_map and \
                 not _uses_params(b, param_map):
-            return ast.eq(param_map[a.parameter_id], b)
+            return ast.Predicate(
+                p.condition, [param_map[a.parameter_id], b]
+            )
         if isinstance(b, ast.Parameter) and b.parameter_id in param_map and \
                 not _uses_params(a, param_map):
-            return ast.eq(param_map[b.parameter_id], a)
+            return ast.Predicate(
+                FLIPPED_CONDITION[p.condition], [param_map[b.parameter_id], a]
+            )
         return None
 
     def _find_sole_aggregate(self, root: L.LQPNode) -> Optional[L.AggregateNode]:

@@ -195,6 +195,15 @@ class LQPTranslator:
         for p in node.predicates:
             jp = _to_join_predicate(p, left_cols, right_cols)
             if jp is None:
+                # one-sided ON predicates filter that input before the join
+                # (LEFT JOIN ... ON right_only_condition semantics)
+                side = _side_of(p, left_cols, right_cols)
+                if side == "left":
+                    left = TableScan(left, p)
+                    continue
+                if side == "right":
+                    right = TableScan(right, p)
+                    continue
                 raise LQPTranslationError(
                     f"join predicate {p.description()} does not separate sides"
                 )

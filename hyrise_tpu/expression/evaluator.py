@@ -697,8 +697,12 @@ class ExpressionEvaluator:
         member = joink.contains(sk, nv, keys, kvalid)
         # SQL null semantics for IN: if no match but the set has NULLs or
         # the operand is NULL -> result is NULL (matters for NOT IN).
-        has_null_in_set = bool(col.validity is not None and
-                               bool(jnp.any(padding_mask(n, bkeys.shape[0]) & ~col.validity)))
+        # (numpy-side check: the subquery result is concrete even inside
+        # an active jit trace)
+        has_null_in_set = bool(
+            col.validity is not None
+            and bool((~np.asarray(col.validity)[:n]).any())
+        )
         validity = None
         if has_null_in_set or operand.validity is not None:
             opv = (

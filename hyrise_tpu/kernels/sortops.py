@@ -58,14 +58,28 @@ def sort_permutation(
     modes: Sequence[SortMode],
     n: int,
 ) -> jax.Array:
-    """Return the permutation (capacity-sized, int32/int64) that sorts rows
-    [0, n) by the given (data, validity) keys; padding rows sort last.
+    """Sort rows [0, n); padding rows sort last (see masked variant)."""
+    capacity = keys[0][0].shape[0]
+    return sort_permutation_masked(
+        keys, modes, jnp.arange(capacity, dtype=jnp.int64) < n
+    )
+
+
+def sort_permutation_masked(
+    keys: Sequence[Tuple[jax.Array, Optional[jax.Array]]],
+    modes: Sequence[SortMode],
+    row_mask: jax.Array,
+) -> jax.Array:
+    """Return the permutation (capacity-sized) that sorts the rows where
+    row_mask is True by the given (data, validity) keys; masked-out rows
+    sort last, so the first sum(row_mask) output slots are exactly the
+    sorted real rows.
 
     keys: list of (data array, validity or None); modes align with keys.
     """
     capacity = keys[0][0].shape[0]
     operands: List[jax.Array] = []
-    pad = (jnp.arange(capacity, dtype=jnp.int32) >= n).astype(jnp.int8)
+    pad = (~row_mask).astype(jnp.int8)
     operands.append(pad)
     for (data, validity), mode in zip(keys, modes):
         if validity is not None:

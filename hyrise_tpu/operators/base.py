@@ -84,6 +84,12 @@ class AbstractOperator:
             op.execute()
         for op in self.uncorrelated_subquery_plans.values():
             op.execute()
+        # materialize subquery results BEFORE _on_execute so evaluator
+        # access inside jit-traced stages sees concrete arrays
+        self._sub_results = {
+            key: plan.get_output().materialize()
+            for key, plan in self.uncorrelated_subquery_plans.items()
+        }
         start = time.perf_counter_ns()
         self._output = self._on_execute()
         self.performance_data.walltime_ns = time.perf_counter_ns() - start
@@ -118,10 +124,12 @@ class AbstractOperator:
 
     def make_evaluator(self, table: Table, column_map: Dict[tuple, int],
                        parameters=None) -> ExpressionEvaluator:
-        sub_results = {
-            key: plan.get_output()
-            for key, plan in self.uncorrelated_subquery_plans.items()
-        }
+        sub_results = getattr(self, "_sub_results", None)
+        if sub_results is None:
+            sub_results = {
+                key: plan.get_output().materialize()
+                for key, plan in self.uncorrelated_subquery_plans.items()
+            }
         return ExpressionEvaluator(
             table, column_map, sub_results,
             parameters if parameters is not None else self.parameters,

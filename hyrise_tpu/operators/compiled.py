@@ -1,0 +1,223 @@
+"""Compiled operator stages: trace an operator's device computation once
+per (plan-node, table-shape) signature and reuse the XLA executable.
+
+This is the "static dataflow of kernels" execution model from the north
+star: instead of eagerly dispatching每 jnp op (host overhead per op —
+ruinous through a remote TPU tunnel), each operator's whole device stage
+becomes ONE fused jitted computation.  Shape decisions (join expansion
+size, group counts) remain the only host sync points, and row counts are
+passed as traced scalars so changing data does NOT retrace.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hyrise_tpu.storage.column import Column
+from hyrise_tpu.storage.table import Table
+
+_CACHE: Dict[tuple, Callable] = {}
+
+
+def table_signature(table: Table) -> tuple:
+    return (
+        table.capacity,
+        table.selection is not None,
+        tuple(
+            (
+                c.data_type,
+                str(c.data.dtype),
+                c.validity is not None,
+                id(c.dictionary) if c.dictionary is not None else None,
+                c.dict_sorted,
+            )
+            for c in table.columns
+        ),
+    )
+
+
+def _flatten(table: Table):
+    datas = [c.data for c in table.columns]
+    valids = [c.validity for c in table.columns]
+    sel = table.selection
+    nr = jnp.asarray(table.num_rows, dtype=jnp.int64)
+    return datas, valids, sel, nr
+
+
+def _rebuild(table: Table, datas, valids, sel, nr) -> Table:
+    cols = [
+        Column(c.data_type, d, v, c.dictionary, c.dict_sorted)
+        for c, d, v in zip(table.columns, datas, valids)
+    ]
+    t = Table(table.column_names, cols, 0, sel)
+    t.num_rows = nr  # traced scalar; only used in vectorized row_mask math
+    return t
+
+
+def run_stage(
+    tag: str,
+    table: Table,
+    builder: Callable[[Table], object],
+    extra_key: tuple = (),
+    cacheable: bool = True,
+):
+    """Run `builder(traced_table) -> (arrays_pytree, static_meta)` as one
+    jitted stage; returns (arrays, meta).
+
+    `tag` + `extra_key` identify the computation (expression keys etc.);
+    the table's shape/dtype/dictionary signature completes the cache key.
+    `static_meta` is host metadata produced during tracing (result dtypes,
+    dictionaries); it is cached alongside the executable.  Set
+    cacheable=False when the builder closes over per-execution values
+    (e.g. uncorrelated subquery results) — it still runs jitted/fused, just
+    without cross-execution reuse.
+    """
+    datas, valids, sel, nr = _flatten(table)
+    key: Optional[tuple] = None
+    if cacheable:
+        key = (tag, extra_key, table_signature(table))
+        hit = _CACHE.get(key)
+        if hit is not None:
+            fn, meta = hit
+            return fn(datas, valids, sel, nr), meta
+
+    meta_cell = {}
+
+    @jax.jit
+    def fn(datas, valids, sel, nr):
+        arrays, meta = builder(_rebuild(table, datas, valids, sel, nr))
+        meta_cell["meta"] = meta
+        return arrays
+
+    out = fn(datas, valids, sel, nr)
+    meta = meta_cell.get("meta")
+    if key is not None:
+        _CACHE[key] = (fn, meta)
+    return out, meta
+
+
+def run_stage2(
+    tag: str,
+    table_a: Table,
+    table_b: Table,
+    builder: Callable[[Table, Table], object],
+    extra_key: tuple = (),
+    cacheable: bool = True,
+):
+    """Two-table variant (joins); builder returns (arrays, meta)."""
+    da, va, sa, na = _flatten(table_a)
+    db_, vb, sb, nb = _flatten(table_b)
+    key: Optional[tuple] = None
+    if cacheable:
+        key = (
+            tag, extra_key, table_signature(table_a), table_signature(table_b)
+        )
+        hit = _CACHE.get(key)
+        if hit is not None:
+            fn, meta = hit
+            return fn(da, va, sa, na, db_, vb, sb, nb), meta
+
+    meta_cell = {}
+
+    @jax.jit
+    def fn(da, va, sa, na, db_, vb, sb, nb):
+        arrays, meta = builder(
+            _rebuild(table_a, da, va, sa, na), _rebuild(table_b, db_, vb, sb, nb)
+        )
+        meta_cell["meta"] = meta
+        return arrays
+
+    out = fn(da, va, sa, na, db_, vb, sb, nb)
+    meta = meta_cell.get("meta")
+    if key is not None:
+        _CACHE[key] = (fn, meta)
+    return out, meta
+
+
+def run_stage2_extra(
+    tag: str,
+    table_a: Table,
+    table_b: Table,
+    extra_arrays: tuple,
+    builder: Callable,
+    extra_key: tuple = (),
+    cacheable: bool = True,
+):
+    """Two tables + extra per-execution arrays (join expansion stages).
+    builder(ta, tb, *extra) -> (arrays, meta)."""
+    da, va, sa, na = _flatten(table_a)
+    db_, vb, sb, nb = _flatten(table_b)
+    key: Optional[tuple] = None
+    if cacheable:
+        leaves, treedef = jax.tree_util.tree_flatten(extra_arrays)
+        key = (
+            tag, extra_key, table_signature(table_a), table_signature(table_b),
+            str(treedef), tuple((str(x.dtype), x.shape) for x in leaves),
+        )
+        hit = _CACHE.get(key)
+        if hit is not None:
+            fn, meta = hit
+            return fn(da, va, sa, na, db_, vb, sb, nb, extra_arrays), meta
+
+    meta_cell = {}
+
+    @jax.jit
+    def fn(da, va, sa, na, db_, vb, sb, nb, extra):
+        arrays, meta = builder(
+            _rebuild(table_a, da, va, sa, na),
+            _rebuild(table_b, db_, vb, sb, nb),
+            *extra,
+        )
+        meta_cell["meta"] = meta
+        return arrays
+
+    out = fn(da, va, sa, na, db_, vb, sb, nb, extra_arrays)
+    meta = meta_cell.get("meta")
+    if key is not None:
+        _CACHE[key] = (fn, meta)
+    return out, meta
+
+
+def run_arrays(
+    tag: str,
+    builder: Callable,
+    arrays: tuple,
+    extra_key: tuple = (),
+    cacheable: bool = True,
+):
+    """Array-input variant (post-sync stages like join expansion or
+    aggregate reductions).  builder(*arrays) -> (arrays_out, meta).
+    jit handles shape specialization; the cache key keeps distinct plans
+    apart."""
+    key: Optional[tuple] = None
+    if cacheable:
+        leaves, treedef = jax.tree_util.tree_flatten(arrays)
+        key = (
+            tag, extra_key, str(treedef),
+            tuple((str(a.dtype), a.shape) for a in leaves),
+        )
+        hit = _CACHE.get(key)
+        if hit is not None:
+            fn, meta = hit
+            return fn(*arrays), meta
+
+    meta_cell = {}
+
+    @jax.jit
+    def fn(*args):
+        out, meta = builder(*args)
+        meta_cell["meta"] = meta
+        return out
+
+    out = fn(*arrays)
+    meta = meta_cell.get("meta")
+    if key is not None:
+        _CACHE[key] = (fn, meta)
+    return out, meta
+
+
+def clear_cache() -> None:
+    _CACHE.clear()

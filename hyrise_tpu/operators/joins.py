@@ -75,20 +75,25 @@ class Join(AbstractReadOnlyOperator):
     # ------------------------------------------------------------------
 
     def _on_execute(self) -> Table:
+        from hyrise_tpu.operators.compiled import (
+            run_stage2,
+            run_stage2_extra,
+        )
+
         self._set_output_expressions()
         L = self.input_table_left()
         R = self.input_table_right()
         mode = self.mode
 
         if mode == JoinMode.CROSS:
-            return _cross_product(self, L, R)
+            return _cross_product(self, L.materialize(), R.materialize())
 
         equi = [p for p in self.predicates
                 if p.condition == PredicateCondition.EQUALS]
         non_equi = [p for p in self.predicates
                     if p.condition != PredicateCondition.EQUALS]
         if not equi:
-            return self._nested_loop(L, R)
+            return self._nested_loop(L.materialize(), R.materialize())
 
         # probe side is the "outer"-preserved side; build side gets sorted
         swap = mode == JoinMode.RIGHT
@@ -97,195 +102,207 @@ class Join(AbstractReadOnlyOperator):
         probe_op, build_op = (self._right, self._left) if swap else (self._left, self._right)
         probe_t, build_t = (R, L) if swap else (L, R)
         eff_mode = JoinMode.LEFT if mode == JoinMode.RIGHT else mode
-
-        # --- keys for (up to two) primary equi predicates
-        probe_keys, build_keys, used = self._make_keys(
-            equi, probe_op, build_op, probe_t, build_t, swap
-        )
-        secondary = equi[used:] + non_equi
-
-        pv = probe_keys[1] & probe_t.row_mask()
-        bv = build_keys[1] & build_t.row_mask()
-        sorted_keys, build_perm, n_build_valid = joink.build_sorted(build_keys[0], bv)
-        left_pos, counts = joink.probe_counts(sorted_keys, n_build_valid,
-                                              probe_keys[0], pv)
-
-        if eff_mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
-                        JoinMode.ANTI_NULL_AS_FALSE) and not secondary:
-            return self._semi_anti_fast(probe_t, counts, pv, bv, build_t, eff_mode)
-
-        # --- expand matching pairs
-        total = int(joink.total_matches(counts))
-        out_cap = size_bucket(total)
-        probe_idx, build_idx, pair_valid = joink.expand_matches(
-            left_pos, counts, build_perm, out_cap
-        )
-        if secondary:
-            pair_valid = pair_valid & self._secondary_mask(
-                secondary, probe_op, build_op, probe_t, build_t,
-                probe_idx, build_idx, swap,
-            )
-
-        if eff_mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
-                        JoinMode.ANTI_NULL_AS_FALSE):
-            matched = _scatter_any(probe_idx, pair_valid, probe_t.capacity)
-            if eff_mode == JoinMode.SEMI:
-                mask = matched
-            elif eff_mode == JoinMode.ANTI_NULL_AS_FALSE:
-                mask = ~matched & probe_t.row_mask()
-            else:
-                mask = self._anti_null_as_true_mask(matched, pv, bv, build_t, probe_t)
-            return self.compact(probe_t, mask & probe_t.row_mask())
-
-        # --- assemble (left_idx, right_idx) pair lists
-        if swap:
-            l_idx, r_idx = build_idx, probe_idx
-        else:
-            l_idx, r_idx = probe_idx, build_idx
-
-        pieces_l = [l_idx]
-        pieces_r = [r_idx]
-        pieces_valid = [pair_valid]
-        if eff_mode in (JoinMode.LEFT, JoinMode.FULL):
-            matched = _scatter_any(probe_idx, pair_valid, probe_t.capacity)
-            unmatched = ~matched & probe_t.row_mask()
-            n_un = int(masks.mask_count(unmatched))
-            cap_un = size_bucket(n_un)
-            un_idx = masks.mask_to_indices(unmatched, cap_un)
-            minus = jnp.full(cap_un, -1, dtype=jnp.int64)
-            if swap:
-                pieces_l.append(minus)
-                pieces_r.append(un_idx.astype(jnp.int64))
-            else:
-                pieces_l.append(un_idx.astype(jnp.int64))
-                pieces_r.append(minus)
-            pieces_valid.append(jnp.arange(cap_un) < n_un)
-        if eff_mode == JoinMode.FULL:
-            matched_b = _scatter_any(build_idx, pair_valid, build_t.capacity)
-            unmatched_b = ~matched_b & build_t.row_mask()
-            n_ub = int(masks.mask_count(unmatched_b))
-            cap_ub = size_bucket(n_ub)
-            ub_idx = masks.mask_to_indices(unmatched_b, cap_ub)
-            minus = jnp.full(cap_ub, -1, dtype=jnp.int64)
-            if swap:
-                pieces_l.append(ub_idx.astype(jnp.int64))
-                pieces_r.append(minus)
-            else:
-                pieces_l.append(minus)
-                pieces_r.append(ub_idx.astype(jnp.int64))
-            pieces_valid.append(jnp.arange(cap_ub) < n_ub)
-
-        all_l = jnp.concatenate(pieces_l)
-        all_r = jnp.concatenate(pieces_r)
-        all_valid = jnp.concatenate(pieces_valid)
-        n_out = int(masks.mask_count(all_valid))
-        cap_out = size_bucket(n_out)
-        sel = masks.mask_to_indices(all_valid, cap_out)
-        final_l = jnp.take(all_l, sel)
-        final_r = jnp.take(all_r, sel)
-
-        right_nullable = eff_mode in (JoinMode.LEFT, JoinMode.FULL)
-        lt = L.take(final_l, n_out,
-                    null_where_negative=(eff_mode == JoinMode.FULL) or (swap and right_nullable))
-        rt = R.take(final_r, n_out,
-                    null_where_negative=(eff_mode == JoinMode.FULL) or (not swap and right_nullable))
-        return Table(
-            L.column_names + R.column_names, lt.columns + rt.columns, n_out
-        )
-
-    # ------------------------------------------------------------------
-
-    def _make_keys(self, equi, probe_op, build_op, probe_t, build_t, swap):
-        """Build int64 primary keys for the probe/build sides, packing two
-        32-bit-typed equi predicates into one key when possible.  Returns
-        ((probe_key, probe_valid), (build_key, build_valid), n_used)."""
-        pev = self.make_evaluator(probe_t, self._column_map(probe_op))
-        bev = self.make_evaluator(build_t, self._column_map(build_op))
+        cacheable = not self.uncorrelated_subquery_plans
 
         def side_exprs(p: JoinPredicate):
             return (p.right, p.left) if swap else (p.left, p.right)
 
-        def one_key(p: JoinPredicate):
+        # static key-packing decision from declared dtypes
+        def narrow(p: JoinPredicate) -> bool:
             pe, be = side_exprs(p)
-            pr = pev.evaluate(pe)
-            br = bev.evaluate(be)
-            if pr.dtype == DataType.STRING or br.dtype == DataType.STRING:
-                assert pr.dtype == br.dtype == DataType.STRING
-                merged = merge_dictionaries(pr.dictionary, br.dictionary)
-                pc = Column(DataType.STRING, pr.data, pr.validity,
-                            pr.dictionary, pr.dict_sorted)
-                bc = Column(DataType.STRING, br.data, br.validity,
-                            br.dictionary, br.dict_sorted)
-                pk = recode_to_dictionary(pc, merged).astype(jnp.int64)
-                bk = recode_to_dictionary(bc, merged).astype(jnp.int64)
-                narrow = True
-            else:
-                pk = joink.normalize_key(pr.data)
-                bk = joink.normalize_key(br.data)
-                narrow = pr.dtype in (DataType.INT, DataType.DATE) and \
-                    br.dtype in (DataType.INT, DataType.DATE)
-            pvv = pr.validity if pr.validity is not None else jnp.ones(probe_t.capacity, bool)
-            bvv = br.validity if br.validity is not None else jnp.ones(build_t.capacity, bool)
-            return pk, bk, pvv, bvv, narrow
+            td = (DataType.INT, DataType.DATE, DataType.STRING)
+            return pe.data_type() in td and be.data_type() in td
 
-        pk1, bk1, pv1, bv1, n1 = one_key(equi[0])
-        used = 1
-        if len(equi) > 1:
-            pk2, bk2, pv2, bv2, n2 = one_key(equi[1])
-            if n1 and n2:
+        used = 2 if len(equi) > 1 and narrow(equi[0]) and narrow(equi[1]) else 1
+        secondary = equi[used:] + non_equi
+        pred_key = tuple(
+            (p.condition, p.left.key(), p.right.key()) for p in self.predicates
+        ) + (swap, used, eff_mode)
+
+        def make_keys(pt: Table, bt: Table):
+            pev = self.make_evaluator(pt, self._column_map(probe_op))
+            bev = self.make_evaluator(bt, self._column_map(build_op))
+
+            def one_key(p: JoinPredicate):
+                pe, be = side_exprs(p)
+                pr = pev.evaluate(pe)
+                br = bev.evaluate(be)
+                if pr.dtype == DataType.STRING or br.dtype == DataType.STRING:
+                    assert pr.dtype == br.dtype == DataType.STRING
+                    merged = merge_dictionaries(pr.dictionary, br.dictionary)
+                    pc = Column(DataType.STRING, pr.data, pr.validity,
+                                pr.dictionary, pr.dict_sorted)
+                    bc = Column(DataType.STRING, br.data, br.validity,
+                                br.dictionary, br.dict_sorted)
+                    pk = recode_to_dictionary(pc, merged).astype(jnp.int64)
+                    bk = recode_to_dictionary(bc, merged).astype(jnp.int64)
+                else:
+                    pk = joink.normalize_key(pr.data)
+                    bk = joink.normalize_key(br.data)
+                pvv = (pr.validity if pr.validity is not None
+                       else jnp.ones(pt.capacity, bool))
+                bvv = (br.validity if br.validity is not None
+                       else jnp.ones(bt.capacity, bool))
+                return pk, bk, pvv, bvv
+
+            pk1, bk1, pv1, bv1 = one_key(equi[0])
+            if used == 2:
+                pk2, bk2, pv2, bv2 = one_key(equi[1])
                 pk1 = joink.pack_keys(pk1.astype(jnp.int32), pk2.astype(jnp.int32))
                 bk1 = joink.pack_keys(bk1.astype(jnp.int32), bk2.astype(jnp.int32))
                 pv1 = pv1 & pv2
                 bv1 = bv1 & bv2
-                used = 2
-        return (pk1, pv1), (bk1, bv1), used
+            return (pk1, pv1), (bk1, bv1)
 
-    def _secondary_mask(self, secondary, probe_op, build_op, probe_t, build_t,
-                        probe_idx, build_idx, swap) -> jax.Array:
-        """Evaluate remaining predicates on the expanded pair table."""
-        pt = probe_t.take(probe_idx, probe_idx.shape[0])
-        bt = build_t.take(build_idx, build_idx.shape[0])
-        pair_table = Table(
-            pt.column_names + bt.column_names,
-            pt.columns + bt.columns,
-            probe_idx.shape[0],
+        # ------------- fast path: semi/anti without secondary predicates —
+        # a pure selection mask on the probe side, zero host syncs
+        if eff_mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
+                        JoinMode.ANTI_NULL_AS_FALSE) and not secondary:
+            def build_fast(pt: Table, bt: Table):
+                (pk, pkv), (bk, bkv) = make_keys(pt, bt)
+                pv = pkv & pt.row_mask()
+                bv = bkv & bt.row_mask()
+                sk, perm, nv = joink.build_sorted(bk, bv)
+                member = joink.contains(sk, nv, pk, pv)
+                if eff_mode == JoinMode.SEMI:
+                    mask = member
+                elif eff_mode == JoinMode.ANTI_NULL_AS_FALSE:
+                    mask = ~member & pt.row_mask()
+                else:
+                    mask = _anti_nat_mask(member, pv, bkv, bt)
+                return mask & pt.row_mask(), None
+
+            mask, _ = run_stage2(
+                "join_semi", probe_t, build_t, build_fast,
+                extra_key=pred_key, cacheable=cacheable,
+            )
+            out = Table(probe_t.column_names, probe_t.columns,
+                        probe_t.num_rows, selection=mask)
+            return out
+
+        # ------------- stage 1: keys + sorted build + probe counts --------
+        def build1(pt: Table, bt: Table):
+            (pk, pkv), (bk, bkv) = make_keys(pt, bt)
+            pv = pkv & pt.row_mask()
+            bv = bkv & bt.row_mask()
+            sorted_keys, build_perm, n_build_valid = joink.build_sorted(bk, bv)
+            left_pos, counts = joink.probe_counts(
+                sorted_keys, n_build_valid, pk, pv
+            )
+            total = jnp.sum(counts, dtype=jnp.int64)
+            return (left_pos, counts, build_perm, pv, bkv, total), None
+
+        (left_pos, counts, build_perm, pv, bkv_raw, total_dev), _ = run_stage2(
+            "join1", probe_t, build_t, build1,
+            extra_key=pred_key, cacheable=cacheable,
         )
-        cmap = {}
-        for i, e in enumerate(probe_op.output_expressions):
-            cmap[e.key()] = i
-        off = len(pt.columns)
-        for i, e in enumerate(build_op.output_expressions):
-            cmap[e.key()] = off + i
-        ev = self.make_evaluator(pair_table, cmap)
-        mask = None
-        for p in secondary:
-            pred = ast.Predicate(p.condition, [p.left, p.right])
-            m = ev.selection_mask(pred)
-            mask = m if mask is None else (mask & m)
-        return mask
+        total = int(total_dev)
+        out_cap = size_bucket(total)
 
-    def _semi_anti_fast(self, probe_t, counts, pv, bv, build_t, eff_mode):
-        if eff_mode == JoinMode.SEMI:
-            mask = counts > 0
-        elif eff_mode == JoinMode.ANTI_NULL_AS_FALSE:
-            mask = counts == 0
-        else:
-            mask = self._anti_null_as_true_mask(counts > 0, pv, bv, build_t, probe_t)
-        return self.compact(probe_t, mask & probe_t.row_mask())
+        # ------------- stage 2: expansion + secondary + assembly ----------
+        # (orientation does not matter: the pair table holds both sides)
+        sec_preds = [
+            ast.Predicate(p.condition, [p.left, p.right]) for p in secondary
+        ]
 
-    def _anti_null_as_true_mask(self, matched, pv, bv, build_t, probe_t):
-        """NOT IN semantics (ref: JoinMode::AntiNullAsTrue): any NULL on the
-        build side, or a NULL probe key, makes non-matching rows unknown
-        (filtered); an empty build side keeps everything."""
-        n_build_real = build_t.num_rows
-        build_has_null = bool(
-            jnp.any(build_t.row_mask() & ~bv)
-        ) if n_build_real else False
-        if n_build_real == 0:
-            return probe_t.row_mask()
-        if build_has_null:
-            return jnp.zeros(probe_t.capacity, dtype=bool)
-        return ~matched & pv
+        def build2(pt: Table, bt: Table, left_pos, counts, build_perm, pv, bkv):
+            probe_idx, build_idx, pair_valid = joink.expand_matches(
+                left_pos, counts, build_perm, out_cap
+            )
+            if sec_preds:
+                ptbl = pt.take(probe_idx, out_cap)
+                btbl = bt.take(build_idx, out_cap)
+                pair_table = Table(
+                    ptbl.column_names + btbl.column_names,
+                    ptbl.columns + btbl.columns,
+                    out_cap,
+                )
+                cmap2 = {}
+                for i, e in enumerate(probe_op.output_expressions):
+                    cmap2[e.key()] = i
+                off = len(ptbl.columns)
+                for i, e in enumerate(build_op.output_expressions):
+                    cmap2[e.key()] = off + i
+                ev2 = self.make_evaluator(pair_table, cmap2)
+                for pr in sec_preds:
+                    # secondary predicate operands are (probe, build) pairs
+                    m = ev2.selection_mask(
+                        ast.Predicate(pr.condition, pr.children)
+                    )
+                    pair_valid = pair_valid & m
+
+            if eff_mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
+                            JoinMode.ANTI_NULL_AS_FALSE):
+                matched = _scatter_any(probe_idx, pair_valid, pt.capacity)
+                if eff_mode == JoinMode.SEMI:
+                    mask = matched
+                elif eff_mode == JoinMode.ANTI_NULL_AS_FALSE:
+                    mask = ~matched & pt.row_mask()
+                else:
+                    mask = _anti_nat_mask(matched, pv, bkv, bt)
+                return (mask & pt.row_mask(),), "mask"
+
+            # assemble (probe_idx, build_idx, valid) pieces incl. outer rows
+            pieces_p = [probe_idx]
+            pieces_b = [build_idx]
+            pieces_v = [pair_valid]
+            if eff_mode in (JoinMode.LEFT, JoinMode.FULL):
+                matched = _scatter_any(probe_idx, pair_valid, pt.capacity)
+                unmatched = ~matched & pt.row_mask()
+                pieces_p.append(jnp.arange(pt.capacity, dtype=jnp.int64))
+                pieces_b.append(jnp.full(pt.capacity, -1, dtype=jnp.int64))
+                pieces_v.append(unmatched)
+            if eff_mode == JoinMode.FULL:
+                matched_b = _scatter_any(build_idx, pair_valid, bt.capacity)
+                unmatched_b = ~matched_b & bt.row_mask()
+                pieces_p.append(jnp.full(bt.capacity, -1, dtype=jnp.int64))
+                pieces_b.append(jnp.arange(bt.capacity, dtype=jnp.int64))
+                pieces_v.append(unmatched_b)
+            all_p = jnp.concatenate(pieces_p)
+            all_b = jnp.concatenate(pieces_b)
+            all_v = jnp.concatenate(pieces_v)
+            null_p = eff_mode == JoinMode.FULL
+            null_b = eff_mode in (JoinMode.LEFT, JoinMode.FULL)
+            ptab = pt.take(all_p, all_p.shape[0], null_where_negative=null_p)
+            btab = bt.take(all_b, all_b.shape[0], null_where_negative=null_b)
+            datas = [c.data for c in ptab.columns] + [c.data for c in btab.columns]
+            valids = [c.validity for c in ptab.columns] + [
+                c.validity for c in btab.columns
+            ]
+            return (datas, valids, all_v), "rows"
+
+        out_arrays, kind = run_stage2_extra(
+            "join2", probe_t, build_t,
+            (left_pos, counts, build_perm, pv, bkv_raw),
+            build2,
+            extra_key=pred_key + (out_cap,), cacheable=cacheable,
+        )
+
+        if kind == "mask":
+            (mask,) = out_arrays
+            return Table(probe_t.column_names, probe_t.columns,
+                         probe_t.num_rows, selection=mask)
+
+        datas, valids, sel = out_arrays
+        p_cols = probe_t.columns
+        b_cols = build_t.columns
+        src_cols = list(p_cols) + list(b_cols)
+        out_cols = [
+            Column(c.data_type, d, v, c.dictionary, c.dict_sorted)
+            for c, d, v in zip(src_cols, datas, valids)
+        ]
+        names = probe_t.column_names + build_t.column_names
+        out = Table(names, out_cols, int(sel.shape[0]), selection=sel)
+        if swap:
+            # restore left-right column order (probe side was the right)
+            n_p = len(p_cols)
+            reorder = list(range(n_p, len(out_cols))) + list(range(n_p))
+            out = Table(
+                [names[i] for i in reorder],
+                [out_cols[i] for i in reorder],
+                out.num_rows, selection=sel,
+            )
+        return out
 
     def _nested_loop(self, L: Table, R: Table) -> Table:
         """Pure non-equi join: cross product + predicate filter
@@ -361,7 +378,11 @@ class Product(AbstractReadOnlyOperator):
         self.output_expressions = (
             list(self._left.output_expressions) + list(self._right.output_expressions)
         )
-        return _cross_product(self, self.input_table_left(), self.input_table_right())
+        return _cross_product(
+            self,
+            self.input_table_left().materialize(),
+            self.input_table_right().materialize(),
+        )
 
     def _describe_self(self) -> str:
         return "Product"
@@ -379,6 +400,21 @@ def _cross_product(op, L: Table, R: Table, materialize: bool = True):
     lt = L.take(l_idx, n)
     rt = R.take(r_idx, n)
     return Table(L.column_names + R.column_names, lt.columns + rt.columns, n)
+
+
+def _anti_nat_mask(matched, probe_key_valid_masked, build_key_valid_raw, bt):
+    """Device-side NOT IN semantics (ref: JoinMode::AntiNullAsTrue): any
+    NULL build key, or a NULL probe key, makes non-matching rows unknown
+    (filtered); an empty build side keeps everything."""
+    build_rows = bt.row_mask()
+    n_build_real = jnp.sum(build_rows, dtype=jnp.int64)
+    build_has_null = jnp.any(build_rows & ~build_key_valid_raw)
+    base = ~matched & probe_key_valid_masked
+    empty = jnp.ones_like(base)
+    return jnp.where(
+        n_build_real == 0, empty,
+        jnp.where(build_has_null, jnp.zeros_like(base), base),
+    )
 
 
 def _scatter_any(idx: jax.Array, flags: jax.Array, capacity: int) -> jax.Array:

@@ -19,11 +19,13 @@ class Limit(AbstractReadOnlyOperator):
     def _on_execute(self) -> Table:
         table = self.input_table_left()
         self.output_expressions = list(self._left.output_expressions)
-        start = min(self.offset, table.num_rows)
-        n = max(0, min(self.row_count, table.num_rows - start))
-        idx = jnp.arange(table.capacity) + start
-        idx = jnp.clip(idx, 0, table.capacity - 1)
-        out = table.take(idx, n)
+        # selection-based: keep valid rows [offset, offset+row_count) by
+        # position among valid rows — no host sync, order preserved
+        mask = table.row_mask()
+        pos = jnp.cumsum(mask.astype(jnp.int64)) - 1
+        sel = mask & (pos >= self.offset) & (pos < self.offset + self.row_count)
+        out = Table(table.column_names, table.columns, table.num_rows,
+                    selection=sel)
         out.sorted_by = table.sorted_by
         return out
 

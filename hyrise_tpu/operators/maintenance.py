@@ -28,7 +28,7 @@ class CreateTable(AbstractReadOnlyOperator):
                 return None
             raise ValueError(f"table {self.table_name!r} already exists")
         if self._left is not None:  # CREATE TABLE AS SELECT
-            src = self.input_table_left()
+            src = self.input_table_left().materialize()
             table = Table(src.column_names, src.columns, src.num_rows)
         else:
             defs = [

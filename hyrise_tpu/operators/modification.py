@@ -47,7 +47,7 @@ class Insert(AbstractReadWriteOperator):
         self._target: Optional[Table] = None
 
     def _on_execute(self) -> Optional[Table]:
-        src = self.input_table_left()
+        src = self.input_table_left().materialize()
         target = Database.get().storage_manager.get_table(self.table_name)
         self._target = target
         mvcc = ensure_mvcc(target)
@@ -140,7 +140,7 @@ class Update(AbstractReadWriteOperator):
         from hyrise_tpu.operators.projection import Projection
         from hyrise_tpu.operators.table_wrapper import TableWrapper
 
-        rows_table = self.input_table_left()
+        rows_table = self.input_table_left().materialize()
         target = Database.get().storage_manager.get_table(self.table_name)
 
         # 1. delete the matched rows
@@ -179,6 +179,7 @@ class Update(AbstractReadWriteOperator):
 
 
 def _extract_rowids(table: Table) -> List[int]:
+    table = table.materialize()
     try:
         idx = table.column_names.index(ROWID_COLUMN)
     except ValueError:

@@ -5,8 +5,12 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import jax.numpy as jnp
+
 from hyrise_tpu.expression import ast
 from hyrise_tpu.operators.base import AbstractReadOnlyOperator
+from hyrise_tpu.operators.table_scan import _param_key
+from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
 
 
@@ -19,21 +23,53 @@ class Projection(AbstractReadOnlyOperator):
         self.output_expressions = list(expressions)
 
     def _on_execute(self) -> Table:
+        from hyrise_tpu.operators.compiled import run_stage
+
         table = self.input_table_left()
         cmap = self._column_map(self._left)
-        ev = self.make_evaluator(table, cmap)
-        columns = []
-        names = []
-        for i, expr in enumerate(self.expressions):
-            if expr.key() in cmap:
-                col = table.columns[cmap[expr.key()]]
-            else:
-                col = ev.evaluate(expr).to_column()
-            columns.append(col)
-            names.append(
-                self.names[i] if self.names is not None else expr.name()
+        names = [
+            self.names[i] if self.names is not None else e.name()
+            for i, e in enumerate(self.expressions)
+        ]
+        computed = [e for e in self.expressions if e.key() not in cmap]
+
+        if computed:
+            def build(t: Table):
+                ev = self.make_evaluator(t, cmap)
+                arrays = []
+                meta = []
+                for e in computed:
+                    r = ev.evaluate(e)
+                    data = r.data
+                    if data.dtype == jnp.bool_:
+                        data = data.astype(jnp.int32)
+                    arrays.append((data, r.validity))
+                    meta.append((r.dtype, r.dictionary, r.dict_sorted))
+                return arrays, meta
+
+            arrays, meta = run_stage(
+                "project", table, build,
+                extra_key=tuple(e.key() for e in computed)
+                + (_param_key(self.parameters),),
+                cacheable=not self.uncorrelated_subquery_plans,
             )
-        return Table(names, columns, table.num_rows)
+            computed_cols = {
+                e.key(): Column(dtype, data, validity, dictionary, ds)
+                for e, (data, validity), (dtype, dictionary, ds) in zip(
+                    computed, arrays, meta
+                )
+            }
+        else:
+            computed_cols = {}
+
+        columns = []
+        for e in self.expressions:
+            if e.key() in cmap:
+                columns.append(table.columns[cmap[e.key()]])
+            else:
+                columns.append(computed_cols[e.key()])
+        out = Table(names, columns, table.num_rows, selection=table.selection)
+        return out
 
     def _describe_self(self) -> str:
         return "Projection(" + ", ".join(e.description() for e in self.expressions) + ")"

@@ -29,7 +29,10 @@ class UnionAll(AbstractReadOnlyOperator):
 
     def _on_execute(self) -> Table:
         self.output_expressions = list(self._left.output_expressions)
-        return concat_tables([self.input_table_left(), self.input_table_right()])
+        return concat_tables([
+            self.input_table_left().materialize(),
+            self.input_table_right().materialize(),
+        ])
 
     def _describe_self(self):
         return "UnionAll"
@@ -48,7 +51,8 @@ class _SetOpBase(AbstractReadOnlyOperator):
 
     def _on_execute(self) -> Table:
         self.output_expressions = list(self._left.output_expressions)
-        L, R = self.input_table_left(), self.input_table_right()
+        L = self.input_table_left().materialize()
+        R = self.input_table_right().materialize()
         combined = concat_tables([L, R])
         cap = combined.capacity
         n_mask = combined.row_mask()
@@ -124,7 +128,7 @@ class Distinct(_SetOpBase):
 
     def _on_execute(self) -> Table:
         self.output_expressions = list(self._left.output_expressions)
-        L = self.input_table_left()
+        L = self.input_table_left().materialize()
         cap = L.capacity
         n_mask = L.row_mask()
         key_data = tuple(joink.normalize_key(c.data) for c in L.columns)

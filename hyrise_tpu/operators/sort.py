@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from hyrise_tpu.expression import ast
 from hyrise_tpu.kernels import sortops
 from hyrise_tpu.operators.base import AbstractReadOnlyOperator
+from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import DataType, SortMode
 
@@ -21,25 +22,47 @@ class Sort(AbstractReadOnlyOperator):
         self.output_expressions = list(in_op.output_expressions)
 
     def _on_execute(self) -> Table:
+        from hyrise_tpu.operators.compiled import run_stage
+
         table = self.input_table_left()
         self.output_expressions = list(self._left.output_expressions)
-        ev = self.make_evaluator(table, self._column_map(self._left))
-        keys = []
-        modes = []
-        for expr, mode in self.sort_definitions:
-            r = ev.evaluate(expr)
-            data = r.data
-            if r.dtype == DataType.STRING and not r.dict_sorted:
-                raise NotImplementedError("sort on unsorted dictionary")
-            if data.dtype == jnp.bool_:
-                data = data.astype(jnp.int32)
-            keys.append((data, r.validity))
-            modes.append(mode)
-        perm = sortops.sort_permutation(keys, modes, table.num_rows)
-        out = table.take(perm, table.num_rows)
-        out.sorted_by = [
-            (e.name(), m) for e, m in self.sort_definitions
+        cmap = self._column_map(self._left)
+        modes = [m for _, m in self.sort_definitions]
+
+        def build(t: Table):
+            ev = self.make_evaluator(t, cmap)
+            keys = []
+            for expr, mode in self.sort_definitions:
+                r = ev.evaluate(expr)
+                data = r.data
+                if r.dtype == DataType.STRING and not r.dict_sorted:
+                    raise NotImplementedError("sort on unsorted dictionary")
+                if data.dtype == jnp.bool_:
+                    data = data.astype(jnp.int32)
+                keys.append((data, r.validity))
+            mask = t.row_mask()
+            perm = sortops.sort_permutation_masked(keys, modes, mask)
+            count = jnp.sum(mask, dtype=jnp.int64)
+            # gather every column through the permutation in-stage (fused)
+            datas = [jnp.take(c.data, perm) for c in t.columns]
+            valids = [
+                jnp.take(c.validity, perm) if c.validity is not None else None
+                for c in t.columns
+            ]
+            sel = jnp.arange(perm.shape[0], dtype=jnp.int64) < count
+            return (datas, valids, sel), None
+
+        (datas, valids, sel), _ = run_stage(
+            "sort", table, build,
+            extra_key=tuple((e.key(), m) for e, m in self.sort_definitions),
+            cacheable=not self.uncorrelated_subquery_plans,
+        )
+        cols = [
+            Column(c.data_type, d, v, c.dictionary, c.dict_sorted)
+            for c, d, v in zip(table.columns, datas, valids)
         ]
+        out = Table(table.column_names, cols, table.num_rows, selection=sel)
+        out.sorted_by = [(e.name(), m) for e, m in self.sort_definitions]
         return out
 
     def _describe_self(self) -> str:

@@ -21,11 +21,29 @@ class TableScan(AbstractReadOnlyOperator):
         self.output_expressions = list(in_op.output_expressions)
 
     def _on_execute(self) -> Table:
+        from hyrise_tpu.operators.compiled import run_stage
+
         table = self.input_table_left()
         self.output_expressions = list(self._left.output_expressions)
-        ev = self.make_evaluator(table, self._column_map(self._left))
-        mask = ev.selection_mask(self.predicate) & table.row_mask()
-        return self.compact(table, mask)
+        cmap = self._column_map(self._left)
+
+        def build(t: Table):
+            ev = self.make_evaluator(t, cmap)
+            return ev.selection_mask(self.predicate) & t.row_mask(), None
+
+        mask, _ = run_stage(
+            "scan", table, build,
+            extra_key=(self.predicate.key(), _param_key(self.parameters)),
+            cacheable=not self.uncorrelated_subquery_plans,
+        )
+        out = Table(table.column_names, table.columns, table.num_rows,
+                    selection=mask)
+        out.sorted_by = table.sorted_by
+        return out
 
     def _describe_self(self) -> str:
         return f"TableScan({self.predicate.description()})"
+
+
+def _param_key(parameters) -> tuple:
+    return tuple(sorted(parameters.items())) if parameters else ()

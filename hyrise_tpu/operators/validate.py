@@ -46,7 +46,9 @@ class Validate(AbstractReadOnlyOperator):
         visible = (snapshot < end) & (
             (snapshot >= begin) != (tids == our_tid)
         )
-        return self.compact(table, visible & table.row_mask())
+        out = Table(table.column_names, table.columns, table.num_rows,
+                    selection=visible & table.row_mask())
+        return out
 
     def _describe_self(self) -> str:
         return "Validate"

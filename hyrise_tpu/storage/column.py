@@ -151,10 +151,12 @@ class Column:
 
     def to_numpy(self, n: int):
         """Return (values, valid) host arrays for the first n rows; STRING
-        columns are decoded through the dictionary."""
-        data = np.asarray(self.data[:n])
+        columns are decoded through the dictionary.  Conversion happens
+        numpy-first so it stays legal on concrete arrays even while an
+        outer jit trace is active."""
+        data = np.asarray(self.data)[:n]
         valid = (
-            np.asarray(self.validity[:n])
+            np.asarray(self.validity)[:n]
             if self.validity is not None
             else np.ones(n, dtype=bool)
         )

@@ -57,11 +57,20 @@ class Table:
         column_names: Sequence[str],
         columns: Sequence[Column],
         num_rows: int,
+        selection: Optional[object] = None,
     ):
         assert len(column_names) == len(columns)
         self.column_names: List[str] = list(column_names)
         self.columns: List[Column] = list(columns)
+        # num_rows is an UPPER BOUND when `selection` is set: the table's
+        # real rows are those with index < num_rows AND selection True.
+        # Deferred selection is the TPU analogue of the reference's
+        # ReferenceSegment pos lists (late materialization) — filters stay
+        # as device masks with no host sync until a shape decision needs
+        # the exact count.
         self.num_rows = num_rows
+        self.selection = selection
+        self._valid_count: Optional[int] = None
         # Soft constraints consumed by the optimizer (data dependencies).
         self.key_constraints: List[TableKeyConstraint] = []
         self.foreign_key_constraints: List[ForeignKeyConstraint] = []
@@ -141,7 +150,9 @@ class Table:
     # ------------------------------------------------------------------- ops
 
     def take(self, indices, n: int, null_where_negative: bool = False) -> "Table":
-        """Row gather: new table of the first n gathered rows."""
+        """Row gather: new table of the first n gathered rows.  Callers
+        must only gather real rows (materialize first when a selection is
+        pending)."""
         out = Table(
             self.column_names,
             [c.take(indices, null_where_negative) for c in self.columns],
@@ -150,28 +161,61 @@ class Table:
         return out
 
     def row_mask(self):
-        """Mask of real (non-padding) rows over capacity."""
-        return jnp.arange(self.capacity) < self.num_rows
+        """Mask of real (non-padding, selected) rows over capacity."""
+        mask = jnp.arange(self.capacity) < self.num_rows
+        if self.selection is not None:
+            mask = mask & self.selection
+        return mask
+
+    @property
+    def valid_count(self) -> int:
+        """Exact row count (host sync when a selection is pending)."""
+        if self.selection is None:
+            return self.num_rows
+        if self._valid_count is None:
+            self._valid_count = int(jnp.sum(self.row_mask(), dtype=jnp.int64))
+        return self._valid_count
+
+    def materialize(self) -> "Table":
+        """Compact pending selections into a dense table (one host sync)."""
+        if self.selection is None:
+            return self
+        from hyrise_tpu.kernels import masks as maskk
+        from hyrise_tpu.types import size_bucket
+
+        n = self.valid_count
+        cap = min(size_bucket(n), self.capacity)
+        idx = maskk.mask_to_indices(self.row_mask(), cap)
+        out = self.take(idx, n)
+        out.sorted_by = self.sorted_by
+        out.mvcc = None
+        return out
 
     def rename(self, names: Sequence[str]) -> "Table":
-        t = Table(list(names), self.columns, self.num_rows)
+        t = Table(list(names), self.columns, self.num_rows, self.selection)
+        t.sorted_by = self.sorted_by
         return t
 
     def select(self, names: Sequence[str]) -> "Table":
-        return Table(list(names), [self.column(n) for n in names], self.num_rows)
+        return Table(
+            list(names), [self.column(n) for n in names], self.num_rows,
+            self.selection,
+        )
 
     # ------------------------------------------------------------------ host
 
     def to_pylist(self) -> List[tuple]:
         """All rows as python tuples (None for NULL) — test oracle surface
         (ref: utils/check_table_equal.cpp)."""
-        cols = [c.to_pylist(self.num_rows) for c in self.columns]
-        return [tuple(col[i] for col in cols) for i in range(self.num_rows)]
+        t = self.materialize()
+        cols = [c.to_pylist(t.num_rows) for c in t.columns]
+        return [tuple(col[i] for col in cols) for i in range(t.num_rows)]
 
     def to_dict(self) -> Dict[str, list]:
+        t = self.materialize()
         return {
-            n: c.to_pylist(self.num_rows)
-            for n, c in zip(self.column_names, self.columns)
+            n: c.to_pylist(t.num_rows)
+            for n, c in zip(t.column_names, t.columns)
         }
 
     def __repr__(self) -> str:

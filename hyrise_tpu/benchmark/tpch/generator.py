@@ -308,7 +308,9 @@ class TPCHTableGenerator:
         n_cust = self.n_customer
         # spec: orderkeys are sparse (8 of each 32); custkeys never %3==0
         ok_base = np.arange(n_orders, dtype=np.int64)
-        orderkeys = ((ok_base // 8) * 32 + ok_base % 8 + 1).astype(np.int64)
+        # int32 up to SF ~350 — keeps orderkey joins 2-key-packable
+        ok_dtype = np.int32 if n_orders * 4 + 32 < 2**31 else np.int64
+        orderkeys = ((ok_base // 8) * 32 + ok_base % 8 + 1).astype(ok_dtype)
         cust = rng.integers(1, n_cust + 1, size=n_orders).astype(np.int64)
         cust = np.where(cust % 3 == 0, (cust % (n_cust - 1)) + 1, cust)
         cust = np.where(cust % 3 == 0, cust + 1, cust)
@@ -395,7 +397,8 @@ class TPCHTableGenerator:
                 "o_comment": o_comments,
             },
             {
-                "o_orderkey": DataType.LONG, "o_custkey": DataType.INT,
+                "o_orderkey": DataType.INT if ok_dtype == np.int32 else DataType.LONG,
+                "o_custkey": DataType.INT,
                 "o_orderstatus": DataType.STRING,
                 "o_totalprice": DataType.DOUBLE, "o_orderdate": DataType.DATE,
                 "o_orderpriority": DataType.STRING, "o_clerk": DataType.STRING,
@@ -424,7 +427,8 @@ class TPCHTableGenerator:
                 "l_comment": li_comments,
             },
             {
-                "l_orderkey": DataType.LONG, "l_partkey": DataType.INT,
+                "l_orderkey": DataType.INT if ok_dtype == np.int32 else DataType.LONG,
+                "l_partkey": DataType.INT,
                 "l_suppkey": DataType.INT, "l_linenumber": DataType.INT,
                 "l_quantity": DataType.DOUBLE,
                 "l_extendedprice": DataType.DOUBLE,

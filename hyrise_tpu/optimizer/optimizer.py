@@ -44,6 +44,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.in_expression_rewrite import (
             InExpressionRewriteRule,
         )
+        from hyrise_tpu.optimizer.strategy.join_predicate_ordering import (
+            JoinPredicateOrderingRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -56,6 +59,7 @@ class Optimizer:
             JoinOrderingRule(),
             PredicatePlacementRule(),
             JoinToSemiJoinRule(),
+            JoinPredicateOrderingRule(),
             PredicateReorderingRule(),
             ColumnPruningRule(),
         ])

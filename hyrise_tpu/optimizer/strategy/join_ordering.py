@@ -80,10 +80,12 @@ class JoinOrderingRule(AbstractRule):
                 out = L.PredicateNode(p, out)
             return out
 
+        from hyrise_tpu.statistics.cardinality import CardinalityEstimator
+
+        est = CardinalityEstimator()
         vert_cols: List[Set[tuple]] = [
             {e.key() for e in v.output_expressions()} for v in vertices
         ]
-        sizes = [_estimate_rows(v) for v in vertices]
 
         # local predicates (single vertex) apply directly to that vertex
         remaining: List[ast.Expression] = []
@@ -94,11 +96,11 @@ class JoinOrderingRule(AbstractRule):
                 for i, cols in enumerate(vert_cols):
                     if refs <= cols:
                         vertices[i] = L.PredicateNode(p, vertices[i])
-                        sizes[i] = max(1, int(sizes[i] * _selectivity(p)))
                         placed = True
                         break
             if not placed:
                 remaining.append(p)
+        sizes = [est.estimate(v) for v in vertices]
 
         # greedy left-deep build
         unused = set(range(len(vertices)))
@@ -117,16 +119,12 @@ class JoinOrderingRule(AbstractRule):
                     if _joins(p, current_cols, vert_cols[i])
                     and _separates(p, current_cols, vert_cols[i])
                 ]
-                has_equi = any(_is_equi(p) for p in join_preds)
                 if join_preds:
-                    est = (
-                        max(current_size, sizes[i]) if has_equi
-                        else current_size * sizes[i] // 3 + 1
-                    )
+                    cost = est.join_output_rows(current_size, sizes[i], join_preds)
                 else:
-                    est = current_size * sizes[i]
-                if best_cost is None or est < best_cost:
-                    best_cost = est
+                    cost = current_size * sizes[i]
+                if best_cost is None or cost < best_cost:
+                    best_cost = cost
                     best = i
             i = best
             unused.discard(i)
@@ -144,12 +142,16 @@ class JoinOrderingRule(AbstractRule):
             else:
                 current = L.JoinNode(JoinMode.CROSS, [], current, vertices[i])
             current_cols = new_cols
-            current_size = best_cost or current_size
+            current_size = max(best_cost or current_size, 1.0)
             # predicates that became evaluable only with the merged set
             for p in list(remaining):
                 refs = {c.key() for c in p.referenced_columns()}
                 if refs and refs <= current_cols:
                     current = L.PredicateNode(p, current)
+                    current_size = max(
+                        current_size * est.predicate_selectivity(p, current_size),
+                        1.0,
+                    )
                     remaining.remove(p)
 
         for p in remaining:

@@ -19,14 +19,15 @@ class ColumnPruningRule(AbstractRule):
         self._collect(root, used, is_root=True)
         for node in self._all_nodes(root):
             if isinstance(node, L.StoredTableNode):
-                keep_rowid = node.include_row_ids
-                pruned = []
-                for c in node.all_columns():
-                    if c.key() not in used:
-                        pruned.append(c.display_name)
+                all_cols = node.all_columns()
+                pruned = [
+                    c.display_name for c in all_cols if c.key() not in used
+                ]
+                if len(pruned) == len(all_cols) and all_cols:
+                    # bare COUNT(*): keep one column so the scan retains its
+                    # row extent (a zero-column table has no capacity)
+                    pruned = pruned[1:]
                 node.pruned_column_names = pruned
-                if keep_rowid:
-                    node.include_row_ids = True
         return root
 
     def _all_nodes(self, root):

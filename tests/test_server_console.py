@@ -1,0 +1,152 @@
+"""Server + console end-to-end tests (ref model:
+test/lib/server/server_test_runner.cpp boots a real server and connects;
+scripts/test/hyriseConsole_test.py drives the REPL)."""
+
+import asyncio
+import io
+import struct
+
+import pytest
+
+from hyrise_tpu.console import Console, format_table
+from hyrise_tpu.database import Database
+from hyrise_tpu.storage import Table
+
+
+class MiniPGClient:
+    """Tiny pg-wire v3 client for tests (the reference uses libpqxx)."""
+
+    def __init__(self, reader, writer):
+        self.reader = reader
+        self.writer = writer
+
+    @classmethod
+    async def connect(cls, host, port):
+        reader, writer = await asyncio.open_connection(host, port)
+        self = cls(reader, writer)
+        # startup: protocol 3.0, user=test
+        params = b"user\x00test\x00\x00"
+        body = struct.pack("!I", 196608) + params
+        writer.write(struct.pack("!I", len(body) + 4) + body)
+        await writer.drain()
+        await self._until(b"Z")
+        return self
+
+    async def _until(self, stop_type):
+        messages = []
+        while True:
+            header = await self.reader.readexactly(5)
+            (length,) = struct.unpack("!I", header[1:5])
+            body = await self.reader.readexactly(length - 4)
+            messages.append((header[0:1], body))
+            if header[0:1] == stop_type or header[0:1] == b"E" and stop_type != b"Z":
+                if header[0:1] == stop_type:
+                    return messages
+
+    async def query(self, sql):
+        body = sql.encode() + b"\x00"
+        self.writer.write(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        await self.writer.drain()
+        messages = await self._until(b"Z")
+        rows = []
+        columns = []
+        error = None
+        for t, b in messages:
+            if t == b"T":
+                (n,) = struct.unpack("!H", b[:2])
+                off = 2
+                for _ in range(n):
+                    end = b.index(b"\x00", off)
+                    columns.append(b[off:end].decode())
+                    off = end + 1 + 18
+            elif t == b"D":
+                (n,) = struct.unpack("!H", b[:2])
+                off = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack("!i", b[off:off + 4])
+                    off += 4
+                    if ln == -1:
+                        row.append(None)
+                    else:
+                        row.append(b[off:off + ln].decode())
+                        off += ln
+                rows.append(tuple(row))
+            elif t == b"E":
+                error = b.decode(errors="replace")
+        return columns, rows, error
+
+    def close(self):
+        self.writer.write(b"X" + struct.pack("!I", 4))
+        self.writer.close()
+
+
+def test_pg_server_end_to_end():
+    from hyrise_tpu.server.pg_server import Server
+
+    db = Database.get()
+    db.storage_manager.add_table(
+        "fruits", Table.from_dict({"name": ["apple", "fig"], "qty": [3, 7]})
+    )
+
+    async def scenario():
+        server = Server(port=0)
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        client = await MiniPGClient.connect("127.0.0.1", port)
+        cols, rows, err = await client.query("SELECT name, qty FROM fruits ORDER BY qty")
+        assert err is None
+        assert cols == ["name", "qty"]
+        assert rows == [("apple", "3"), ("fig", "7")]
+        # errors come back as wire errors, session stays usable
+        cols, rows, err = await client.query("SELECT nope FROM fruits")
+        assert err is not None
+        cols, rows, err = await client.query("SELECT COUNT(*) FROM fruits")
+        assert err is None and rows == [("2",)]
+        # DDL + DML through the wire
+        _, _, err = await client.query("CREATE TABLE t2 (a INT)")
+        assert err is None
+        _, _, err = await client.query("INSERT INTO t2 VALUES (41), (42)")
+        assert err is None
+        _, rows, err = await client.query("SELECT a FROM t2 ORDER BY a")
+        assert err is None and rows == [("41",), ("42",)]
+        client.close()
+        server._server.close()
+
+    asyncio.run(scenario())
+
+
+def test_console_sql_and_commands():
+    out = io.StringIO()
+    console = Console(out=out)
+    console.eval("CREATE TABLE c (x INT, s TEXT)")
+    console.eval("INSERT INTO c VALUES (1, 'one'), (2, 'two')")
+    console.eval("SELECT * FROM c ORDER BY x")
+    text = out.getvalue()
+    assert "one" in text and "two" in text
+    assert "2 row(s)" in text
+    out.truncate(0)
+    console.eval("visualize SELECT x FROM c WHERE x > 1")
+    assert "Predicate" in out.getvalue()
+    out.truncate(0)
+    console.eval("help")
+    assert "generate_tpch" in out.getvalue()
+
+
+def test_console_transactions():
+    out = io.StringIO()
+    console = Console(out=out)
+    console.eval("CREATE TABLE acc (v INT)")
+    console.eval("INSERT INTO acc VALUES (10)")
+    console.eval("BEGIN")
+    console.eval("INSERT INTO acc VALUES (20)")
+    console.eval("ROLLBACK")
+    out.truncate(0)
+    console.eval("SELECT COUNT(*) FROM acc")
+    assert "1" in out.getvalue()
+
+
+def test_format_table_nulls():
+    t = Table.from_dict({"a": [1, None]})
+    text = format_table(t)
+    assert "NULL" in text

@@ -29,12 +29,19 @@ _I64_MAX = jnp.iinfo(jnp.int64).max
 
 
 def normalize_key(data: jax.Array) -> jax.Array:
-    """Map any column dtype to an order-preserving int64 join key."""
+    """Map a column to an order-preserving sort/join key: integers widen to
+    int64; floats stay in their native dtype (compared by value — no
+    64-bit bitcasts, which XLA:TPU cannot lower)."""
     if jnp.issubdtype(data.dtype, jnp.floating):
-        from hyrise_tpu.kernels.sortops import float_order_key
-
-        return float_order_key(data).astype(jnp.int64)
+        return data
     return data.astype(jnp.int64)
+
+
+def key_sentinel_max(dtype):
+    """Sorts-after-everything sentinel for a key dtype."""
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(jnp.inf, dtype=dtype)
+    return jnp.array(jnp.iinfo(dtype).max, dtype=dtype)
 
 
 def pack_keys(hi: jax.Array, lo: jax.Array) -> jax.Array:
@@ -44,9 +51,9 @@ def pack_keys(hi: jax.Array, lo: jax.Array) -> jax.Array:
 
 @jax.jit
 def build_sorted(keys: jax.Array, valid: jax.Array):
-    """Sort the build side: invalid (null-key or padding) rows get the +inf
-    sentinel and sort last.  Returns (sorted_keys, perm, n_valid)."""
-    skeys = jnp.where(valid, keys, _I64_MAX)
+    """Sort the build side: invalid (null-key or padding) rows get the
+    max sentinel and sort last.  Returns (sorted_keys, perm, n_valid)."""
+    skeys = jnp.where(valid, keys, key_sentinel_max(keys.dtype))
     iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
     sorted_keys, perm = jax.lax.sort((skeys, iota), num_keys=1, is_stable=True)
     n_valid = jnp.sum(valid, dtype=jnp.int64)

@@ -27,30 +27,15 @@ from hyrise_tpu.types import SortMode
 
 
 def _order_key(data: jax.Array, ascending: bool) -> jax.Array:
-    """Transform values so ascending integer sort == requested order.
+    """Transform values so an ascending sort gives the requested order.
 
-    Floats are mapped to their total-order integer representation first
-    (sign-magnitude -> two's complement trick) so a single integer sort
-    key handles every dtype; this also gives -0.0 == 0.0 stable ordering
-    and keeps DESC exact."""
+    Floats stay floats (lax.sort compares them natively — exact, and
+    negation flips the order exactly); integers use bitwise complement for
+    DESC.  No 64-bit bitcasts: XLA:TPU's X64 rewriter cannot lower
+    bitcast-convert on emulated 64-bit element types."""
     if jnp.issubdtype(data.dtype, jnp.floating):
-        key = float_order_key(data)
-    else:
-        key = data
-    return key if ascending else ~key
-
-
-def float_order_key(data: jax.Array) -> jax.Array:
-    """Total-order integer key for floats: negative values have all bits
-    flipped then the sign bit restored, so signed integer comparison of the
-    keys matches float ordering (with -0.0 < 0.0, no NaNs expected)."""
-    if data.dtype == jnp.float64:
-        bits = jax.lax.bitcast_convert_type(data, jnp.int64)
-        sign = jnp.int64(1) << jnp.int64(63)
-    else:
-        bits = jax.lax.bitcast_convert_type(data.astype(jnp.float32), jnp.int32)
-        sign = jnp.int32(1) << jnp.int32(31)
-    return jnp.where(bits < 0, (~bits) ^ sign, bits)
+        return data if ascending else -data
+    return data if ascending else ~data
 
 
 def sort_permutation(

@@ -136,6 +136,12 @@ class Join(AbstractReadOnlyOperator):
                                 br.dictionary, br.dict_sorted)
                     pk = recode_to_dictionary(pc, merged).astype(jnp.int64)
                     bk = recode_to_dictionary(bc, merged).astype(jnp.int64)
+                elif jnp.issubdtype(pr.data.dtype, jnp.floating) or \
+                        jnp.issubdtype(br.data.dtype, jnp.floating):
+                    # numeric cross-type equality: compare as floats
+                    common = jnp.promote_types(pr.data.dtype, br.data.dtype)
+                    pk = pr.data.astype(common)
+                    bk = br.data.astype(common)
                 else:
                     pk = joink.normalize_key(pr.data)
                     bk = joink.normalize_key(br.data)

@@ -204,9 +204,19 @@ def _append_column(tcol: Column, scol: Column, old_n: int, n_new: int,
         np_dt = physical_dtype(tcol.data_type)
         data = jnp.zeros(new_cap, dtype=np_dt)
         data = data.at[: tcol.data.shape[0]].set(tcol.data.astype(np_dt))
-        src_data = scol.data.astype(np_dt)
         if scol.data_type == DataType.STRING:
-            raise RuntimeError("cannot insert string into non-string column")
+            if tcol.data_type == DataType.DATE:
+                # coerce date-string values through the dictionary
+                from hyrise_tpu.utils.dates import date_str_to_days
+
+                lut = jnp.asarray(date_str_to_days(scol.dictionary))
+                src_data = jnp.take(
+                    lut, jnp.clip(scol.data, 0, len(scol.dictionary) - 1)
+                ).astype(np_dt)
+            else:
+                raise RuntimeError("cannot insert string into non-string column")
+        else:
+            src_data = scol.data.astype(np_dt)
         data = data.at[old_n:old_n + n_new].set(src_data[:n_new])
         new_col = Column(tcol.data_type, data)
     validity = _merge_append_validity(tcol, scol, old_n, n_new, new_cap)

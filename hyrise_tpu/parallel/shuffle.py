@@ -29,6 +29,8 @@ I64_MAX = jnp.iinfo(jnp.int64).max
 def dest_of_key(keys: jax.Array, n_shards: int) -> jax.Array:
     """Destination shard for a join/group key (multiplicative hashing so
     skewed low bits still spread; ref: join_hash hash-partitioning)."""
+    if jnp.issubdtype(keys.dtype, jnp.floating):
+        keys = keys.astype(jnp.int64)  # equal values -> equal shard
     h = keys.astype(jnp.uint64) * jnp.uint64(0x9E3779B97F4A7C15)
     return ((h >> jnp.uint64(33)) % jnp.uint64(n_shards)).astype(jnp.int32)
 

@@ -352,6 +352,9 @@ class UpdateNode(LQPNode):
     def output_expressions(self):
         return []
 
+    def node_expressions(self):
+        return list(self.update_expressions)
+
     def _self_key(self):
         return (self.table_name, tuple(e.key() for e in self.update_expressions))
 
@@ -441,6 +444,10 @@ class ExportNode(LQPNode):
     def output_expressions(self):
         return []
 
+    def node_expressions(self):
+        # exports write every input column — none may be pruned
+        return self.left.output_expressions() if self.left else []
+
 
 class ChangeMetaTableNode(LQPNode):
     """INSERT/UPDATE/DELETE on meta_* tables (ref: change_meta_table.hpp:26)."""
@@ -453,6 +460,12 @@ class ChangeMetaTableNode(LQPNode):
 
     def output_expressions(self):
         return []
+
+    def node_expressions(self):
+        out = list(getattr(self, "update_expressions", []) or [])
+        if self.left is not None:
+            out.extend(self.left.output_expressions())
+        return out
 
 
 # ------------------------------------------------------------------ utils

@@ -89,7 +89,8 @@ class PluginManager:
 
     def _plugin_name(self, path_or_module: str) -> str:
         base = path_or_module.rsplit("/", 1)[-1]
-        return base[:-3] if base.endswith(".py") else base
+        base = base[:-3] if base.endswith(".py") else base
+        return base.rsplit(".", 1)[-1]  # module path -> leaf name
 
     def _import(self, path_or_module: str):
         if path_or_module.endswith(".py"):

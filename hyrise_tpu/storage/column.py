@@ -97,8 +97,11 @@ class Column:
             col = Column(data_type, jnp.asarray(data), None, dictionary, True)
         else:
             np_dtype = physical_dtype(data_type)
+            values = np.asarray(arr)
+            if data_type == DataType.DATE and values.dtype.kind in ("U", "S", "O"):
+                values = date_str_to_days(values.astype(str))
             data = np.zeros(cap, dtype=np_dtype)
-            data[:n] = np.asarray(arr, dtype=np_dtype)
+            data[:n] = values.astype(np_dtype)
             col = Column(data_type, jnp.asarray(data))
         if validity is not None and not validity.all():
             valid = np.ones(cap, dtype=bool)

@@ -1,0 +1,159 @@
+"""Operator micro-benchmarks against a speed-of-light HBM roofline
+(ref: benchmark/operators/ google-benchmark microbenches — ours additionally
+reports the fraction of the memory-bandwidth roofline each kernel reaches,
+per the project's performance gate).
+
+Run: python -m hyrise_tpu.benchmark.micro_benchmarks [--rows 16777216]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Peak HBM bandwidth per chip (GB/s); v5e ~819, v4 ~1228, CPU fallback ~50
+HBM_GBPS = {
+    "tpu v5 lite": 819.0,
+    "tpu v5": 819.0,
+    "tpu v4": 1228.0,
+    "cpu": 50.0,
+}
+
+
+def _device_bw() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in HBM_GBPS.items():
+        if k in kind:
+            return v
+    return HBM_GBPS["cpu"] if jax.default_backend() == "cpu" else 819.0
+
+
+def _time(fn, *args, iters=5):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from hyrise_tpu.kernels import aggregates as aggk
+    from hyrise_tpu.kernels import joins as joink
+    from hyrise_tpu.kernels import sortops
+
+    bw = _device_bw() * 1e9
+    rng = np.random.default_rng(0)
+    results = []
+
+    def record(name, seconds, bytes_touched, rows):
+        achieved = bytes_touched / seconds
+        results.append({
+            "name": name,
+            "ms": round(seconds * 1e3, 3),
+            "rows_per_s": round(rows / seconds / 1e6, 1),
+            "gb_per_s": round(achieved / 1e9, 1),
+            "roofline_fraction": round(achieved / bw, 3),
+        })
+
+    # ---- scan/filter: 3-predicate fused mask over f32+i32 columns (Q6 shape)
+    shipdate = jnp.asarray(rng.integers(8000, 11000, n_rows), dtype=jnp.int32)
+    disc = jnp.asarray(rng.random(n_rows), dtype=jnp.float32)
+    qty = jnp.asarray(rng.random(n_rows) * 50, dtype=jnp.float32)
+    price = jnp.asarray(rng.random(n_rows) * 1000, dtype=jnp.float32)
+
+    @jax.jit
+    def scan_agg(shipdate, disc, qty, price):
+        m = (shipdate >= 8766) & (shipdate < 9131) & (disc >= 0.05) & \
+            (disc <= 0.07) & (qty < 24)
+        return jnp.sum(jnp.where(m, price * disc, 0.0), dtype=jnp.float32)
+
+    t = _time(scan_agg, shipdate, disc, qty, price, iters=iters)
+    record("scan_filter_agg(q6)", t, n_rows * 16, n_rows)
+
+    # ---- grouped aggregation: dense small-domain groups (Q1 shape)
+    slots = jnp.asarray(rng.integers(0, 8, n_rows), dtype=jnp.int32)
+
+    @jax.jit
+    def dense_group(slots, price):
+        return jax.ops.segment_sum(price, slots, num_segments=8)
+
+    t = _time(dense_group, slots, price, iters=iters)
+    record("dense_group_sum(8 groups)", t, n_rows * 8, n_rows)
+
+    # ---- sort: single int32 key + permutation
+    keys32 = jnp.asarray(rng.integers(0, 1 << 30, n_rows), dtype=jnp.int32)
+
+    @jax.jit
+    def sort_perm(keys):
+        iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+        return jax.lax.sort((keys, iota), num_keys=1)[1]
+
+    t = _time(sort_perm, keys32, iters=iters)
+    # sort reads/writes log passes; count 2x as the roofline floor
+    record("sort_i32+perm", t, n_rows * 8 * 2, n_rows)
+
+    # ---- join: sorted-build binary-search probe (counts only)
+    n_build = n_rows // 8
+    bkeys = jnp.asarray(
+        np.sort(rng.integers(0, 1 << 30, n_build)), dtype=jnp.int64
+    )
+    pkeys = jnp.asarray(rng.integers(0, 1 << 30, n_rows), dtype=jnp.int64)
+
+    @jax.jit
+    def probe(bkeys, pkeys):
+        left = jnp.searchsorted(bkeys, pkeys, side="left")
+        right = jnp.searchsorted(bkeys, pkeys, side="right")
+        return jnp.sum(right - left)
+
+    t = _time(probe, bkeys, pkeys, iters=iters)
+    record("join_probe_binsearch", t, n_rows * 8 + n_build * 8, n_rows)
+
+    # ---- gather (late materialization)
+    idx = jnp.asarray(rng.integers(0, n_rows, n_rows), dtype=jnp.int32)
+
+    @jax.jit
+    def gather(price, idx):
+        return jnp.take(price, idx)
+
+    t = _time(gather, price, idx, iters=iters)
+    record("gather_f32", t, n_rows * 12, n_rows)
+
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 24)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args(argv)
+    import jax
+
+    results = run_micro_benchmarks(args.rows, args.iters)
+    print(f"# device: {jax.devices()[0].device_kind}, "
+          f"roofline {_device_bw()} GB/s, rows={args.rows}", file=sys.stderr)
+    for r in results:
+        print(
+            f"{r['name']:<28} {r['ms']:>9.3f} ms  {r['gb_per_s']:>7.1f} GB/s  "
+            f"{r['roofline_fraction']*100:>5.1f}% of roofline",
+            file=sys.stderr,
+        )
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

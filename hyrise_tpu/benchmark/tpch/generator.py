@@ -101,9 +101,23 @@ class TPCHTableGenerator:
     """Generate all 8 TPC-H tables at a scale factor (ref entry point:
     tpch_table_generator.cpp:generate)."""
 
-    def __init__(self, scale_factor: float = 1.0, seed: int = 19920101):
+    def __init__(self, scale_factor: float = 1.0, seed: int = 19920101,
+                 skewed: bool = False):
+        """skewed=True generates the JCC-H-style skew variant (ref:
+        benchmarklib/tpch `-j` flag wrapping third_party/jcch-dbgen): hot
+        customers/parts/suppliers receive zipf-distributed traffic, the
+        stress case for distributed shuffles."""
         self.sf = scale_factor
+        self.skewed = skewed
         self.rng = np.random.default_rng(seed)
+
+    def _skewed_keys(self, n_keys: int, size: int) -> np.ndarray:
+        """Zipf-skewed foreign keys over [1, n_keys]."""
+        ranks = self.rng.zipf(1.5, size=size)
+        ranks = np.minimum(ranks, n_keys)
+        # map rank r -> a stable pseudo-random key so hot keys spread
+        keys = (ranks * 2654435761) % n_keys + 1
+        return keys.astype(np.int64)
 
     # ----------------------------------------------------------------- sizes
 
@@ -311,7 +325,10 @@ class TPCHTableGenerator:
         # int32 up to SF ~350 — keeps orderkey joins 2-key-packable
         ok_dtype = np.int32 if n_orders * 4 + 32 < 2**31 else np.int64
         orderkeys = ((ok_base // 8) * 32 + ok_base % 8 + 1).astype(ok_dtype)
-        cust = rng.integers(1, n_cust + 1, size=n_orders).astype(np.int64)
+        if self.skewed:
+            cust = self._skewed_keys(n_cust, n_orders)
+        else:
+            cust = rng.integers(1, n_cust + 1, size=n_orders).astype(np.int64)
         cust = np.where(cust % 3 == 0, (cust % (n_cust - 1)) + 1, cust)
         cust = np.where(cust % 3 == 0, cust + 1, cust)
         cust = np.where(cust > n_cust, 1, cust).astype(np.int32)
@@ -331,7 +348,10 @@ class TPCHTableGenerator:
         li_orderkey = orderkeys[li_order_idx]
         li_odate = odate[li_order_idx]
         n_li = total_items
-        partkey = rng.integers(1, self.n_part + 1, size=n_li).astype(np.int32)
+        if self.skewed:
+            partkey = self._skewed_keys(self.n_part, n_li).astype(np.int32)
+        else:
+            partkey = rng.integers(1, self.n_part + 1, size=n_li).astype(np.int32)
         # supplier chosen among the part's 4 suppliers (spec formula, i in 0..3)
         i4 = rng.integers(0, 4, size=n_li)
         p64 = partkey.astype(np.int64)

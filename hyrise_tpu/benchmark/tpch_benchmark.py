@@ -22,6 +22,8 @@ def main(argv=None) -> None:
     ap.add_argument("--shuffled", action="store_true")
     ap.add_argument("--verify", action="store_true",
                     help="differential-check rows against sqlite")
+    ap.add_argument("-j", "--jcch", action="store_true",
+                    help="JCC-H skewed data variant")
     ap.add_argument("-o", "--output", type=str, default=None,
                     help="write the JSON report to this file")
     args = ap.parse_args(argv)
@@ -37,9 +39,9 @@ def main(argv=None) -> None:
     )
     db = Database.get()
     print(f"- generating TPC-H SF{args.scale} ...", file=sys.stderr)
-    tables = TPCHTableGenerator(scale_factor=args.scale).generate_into(
-        db.storage_manager
-    )
+    tables = TPCHTableGenerator(
+        scale_factor=args.scale, skewed=args.jcch
+    ).generate_into(db.storage_manager)
     print(
         f"- {sum(t.num_rows for t in tables.values())} rows", file=sys.stderr
     )

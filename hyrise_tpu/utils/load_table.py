@@ -38,6 +38,65 @@ def load_table(path: str, types: Optional[Dict[str, DataType]] = None) -> Table:
     return load_tbl(path, types)
 
 
+_NATIVE_TYPE_CHAR = {
+    DataType.INT: "i",
+    DataType.LONG: "i",
+    DataType.FLOAT: "f",
+    DataType.DOUBLE: "f",
+    DataType.STRING: "s",
+    DataType.DATE: "d",
+}
+
+
+def load_dbgen_tbl(path: str, names, types: Dict[str, DataType],
+                   separator: str = "|") -> Table:
+    """Load a headerless dbgen-style delimited file (trailing separators
+    tolerated).  Uses the native C++ parser when available (in-parser
+    dictionary encoding) and falls back to Python."""
+    from hyrise_tpu.native import parse_file_native
+    from hyrise_tpu.storage.column import Column as Col
+
+    type_chars = "".join(_NATIVE_TYPE_CHAR[types[n]] for n in names)
+    parsed = parse_file_native(path, type_chars, separator)
+    if parsed is not None:
+        payloads, n = parsed
+        cap = padded_size(n)
+        import jax.numpy as jnp
+
+        cols = []
+        for name, payload in zip(names, payloads):
+            dt = types[name]
+            if dt == DataType.STRING:
+                codes, dictionary = payload
+                data = np.zeros(cap, dtype=np.int32)
+                data[:n] = codes
+                cols.append(Col(dt, jnp.asarray(data), None, dictionary, True))
+            else:
+                npdt = {
+                    DataType.INT: np.int32, DataType.LONG: np.int64,
+                    DataType.FLOAT: np.float32, DataType.DOUBLE: np.float64,
+                    DataType.DATE: np.int32,
+                }[dt]
+                data = np.zeros(cap, dtype=npdt)
+                data[:n] = payload.astype(npdt)
+                cols.append(Col(dt, jnp.asarray(data)))
+        return Table(list(names), cols, n)
+    # Python fallback
+    rows = []
+    with open(path) as fh:
+        for ln in fh:
+            ln = ln.rstrip("\n")
+            if not ln:
+                continue
+            parts = ln.split(separator)
+            rows.append(parts)
+    data = {n: [] for n in names}
+    for r in rows:
+        for j, n in enumerate(names):
+            data[n].append(_parse_value(r[j], types[n]))
+    return Table.from_dict(data, types)
+
+
 def load_tbl(path: str, types: Optional[Dict[str, DataType]] = None) -> Table:
     """Hyrise-style .tbl: row 1 = names, row 2 = types (suffix _null =
     nullable); remaining rows pipe-separated values, 'null' = NULL."""

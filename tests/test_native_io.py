@@ -1,0 +1,79 @@
+"""Native C++ parser tests + IO round trips."""
+
+import os
+
+import pytest
+
+from hyrise_tpu.types import DataType
+from hyrise_tpu.utils.load_table import (
+    load_dbgen_tbl,
+    load_table,
+    save_binary,
+    write_csv,
+)
+from hyrise_tpu.storage import Table
+
+
+def test_native_lib_builds():
+    from hyrise_tpu.native import get_native_lib
+
+    lib = get_native_lib()
+    assert lib is not None, "g++ build of the native parser failed"
+
+
+def test_load_dbgen_tbl_native(tmp_path):
+    p = tmp_path / "x.tbl"
+    p.write_text(
+        "1|apple|3.5|1994-01-01|\n"
+        "2|fig|4.25|1995-06-17|\n"
+        "3|apple|0.5|1998-12-31|\n"
+    )
+    t = load_dbgen_tbl(
+        str(p),
+        ["id", "fruit", "price", "day"],
+        {
+            "id": DataType.INT,
+            "fruit": DataType.STRING,
+            "price": DataType.DOUBLE,
+            "day": DataType.DATE,
+        },
+    )
+    assert t.num_rows == 3
+    assert t.to_pylist() == [
+        (1, "apple", 3.5, "1994-01-01"),
+        (2, "fig", 4.25, "1995-06-17"),
+        (3, "apple", 0.5, "1998-12-31"),
+    ]
+    # sorted dictionary invariant holds from the native encoder
+    fruit = t.column("fruit")
+    assert list(fruit.dictionary) == ["apple", "fig"]
+
+
+def test_hyrise_format_tbl(tmp_path):
+    p = tmp_path / "h.tbl"
+    p.write_text(
+        "a|b|s\n"
+        "int|float_null|string\n"
+        "1|1.5|x\n"
+        "2|null|y\n"
+    )
+    t = load_table(str(p))
+    assert t.to_pylist() == [(1, 1.5, "x"), (2, None, "y")]
+
+
+def test_csv_roundtrip(tmp_path):
+    t = Table.from_dict({"a": [1, 2, None], "s": ["x", "y", "z"]})
+    path = str(tmp_path / "out.csv")
+    write_csv(t, path)
+    t2 = load_table(path)
+    assert t2.to_pylist() == t.to_pylist()
+
+
+def test_binary_roundtrip(tmp_path):
+    t = Table.from_dict(
+        {"a": [1, None, 3], "s": ["p", "q", "p"], "f": [1.5, 2.5, 3.5]}
+    )
+    path = str(tmp_path / "snap.npz")
+    save_binary(t, path)
+    t2 = load_table(path)
+    assert t2.to_pylist() == t.to_pylist()

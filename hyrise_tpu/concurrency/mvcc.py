@@ -75,13 +75,16 @@ class MvccData:
             self._device_cache = None
 
     def try_lock_rows(self, rows: Sequence[int], tid: int):
-        """CAS tid 0 -> tid per row (ref: mvcc_data.hpp:40-41).  Returns
-        (success, locked_rows); on conflict nothing is kept locked."""
+        """CAS tid 0 -> tid per row (ref: mvcc_data.hpp:40-41).  Also
+        refuses rows already deleted by a committed transaction
+        (first-committer-wins: our snapshot saw the old version, but a
+        newer commit invalidated it).  Returns (success, locked_rows)."""
         with self._lock:
             rows = list(rows)
             current = self.tids[rows]
             conflict = (current != 0) & (current != tid)
-            if conflict.any():
+            already_deleted = self.end_cids[rows] != MAX_COMMIT_ID
+            if conflict.any() or already_deleted.any():
                 return False, []
             self.tids[rows] = tid
             self._device_cache = None

@@ -828,6 +828,9 @@ class Parser:
     _AGG_NAMES = {
         "min", "max", "sum", "avg", "count", "stddev_samp", "stddev", "any",
     }
+    _RANKING_NAMES = {
+        "rank", "dense_rank", "row_number", "cume_dist", "percent_rank",
+    }
 
     def _parse_identifier_primary(self) -> ast.Expression:
         name = self.advance().value
@@ -836,6 +839,19 @@ class Parser:
             low = name.lower()
             if low in self._AGG_NAMES:
                 return self._parse_aggregate_call(low)
+            if low in self._RANKING_NAMES:
+                from hyrise_tpu.types import AggregateFunction as AF
+
+                self.expect_op(")")
+                fn = {
+                    "rank": AF.RANK, "dense_rank": AF.DENSE_RANK,
+                    "row_number": AF.ROW_NUMBER, "cume_dist": AF.CUME_DIST,
+                    "percent_rank": AF.PERCENT_RANK,
+                }[low]
+                win = self._maybe_window(None, fn, None, [], [])
+                if win is None or not isinstance(win, ast.WindowExpression):
+                    raise ParserError(f"{low}() requires an OVER clause")
+                return win
             args = []
             if not self.at_op(")"):
                 args.append(self.parse_expression())

@@ -37,8 +37,9 @@ def main() -> None:
     print(f"# generated TPC-H SF{sf}: {total_rows} rows in {gen_s:.1f}s",
           file=sys.stderr)
 
-    # ---- sqlite baseline on identical data
-    sqlite_times = {}
+    # ---- sqlite oracle on identical data (per-query, capped wall time)
+    baseline_cap_s = float(os.environ.get("HYRISE_TPU_BENCH_BASELINE_CAP", "30"))
+    oracle = None
     try:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tests.sqlite_oracle import SQLiteOracle
@@ -47,14 +48,27 @@ def main() -> None:
         oracle = SQLiteOracle()
         for name, t in tables.items():
             oracle.load_table(name, t)
-        for qid in qids:
-            t0 = time.perf_counter()
-            oracle.execute(sqlite_compat(TPCH_QUERIES[qid]))
-            sqlite_times[qid] = time.perf_counter() - t0
     except Exception as exc:  # baseline is best-effort
-        print(f"# sqlite baseline failed: {exc}", file=sys.stderr)
+        print(f"# sqlite baseline unavailable: {exc}", file=sys.stderr)
 
-    # ---- our engine: warmup (compile) + timed runs
+    def sqlite_time(qid):
+        if oracle is None:
+            return None
+        deadline = time.perf_counter() + baseline_cap_s
+        oracle.conn.set_progress_handler(
+            lambda: 1 if time.perf_counter() > deadline else 0, 200_000
+        )
+        t0 = time.perf_counter()
+        try:
+            oracle.execute(sqlite_compat(TPCH_QUERIES[qid]))
+            return time.perf_counter() - t0
+        except Exception:
+            return None  # interrupted past the cap or unsupported
+        finally:
+            oracle.conn.set_progress_handler(None, 0)
+
+    # ---- interleaved: our engine (warmup + timed), then capped baseline
+    sqlite_times = {}
     our_times = {}
     for qid in qids:
         sql = TPCH_QUERIES[qid]
@@ -66,11 +80,14 @@ def main() -> None:
                 SQLPipelineBuilder(sql).create_pipeline().get_result_table()
                 best = min(best, time.perf_counter() - t0)
             our_times[qid] = best
-            base = sqlite_times.get(qid)
+            base = sqlite_time(qid)
+            if base is not None:
+                sqlite_times[qid] = base
             ratio = f" ({base / best:.2f}x vs sqlite)" if base else ""
-            print(f"# Q{qid}: {best * 1e3:.1f} ms{ratio}", file=sys.stderr)
+            print(f"# Q{qid}: {best * 1e3:.1f} ms{ratio}", file=sys.stderr,
+                  flush=True)
         except Exception as exc:
-            print(f"# Q{qid} FAILED: {exc}", file=sys.stderr)
+            print(f"# Q{qid} FAILED: {exc}", file=sys.stderr, flush=True)
 
     if not our_times:
         print(json.dumps({"metric": "tpch_geomean_ms", "value": -1,

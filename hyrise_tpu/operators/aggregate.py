@@ -46,8 +46,52 @@ class Aggregate(AbstractReadOnlyOperator):
         self.aggregates = list(aggregates)
         self.output_expressions = self.group_by + self.aggregates
 
+    DENSE_DOMAIN_LIMIT = 1 << 21
+
+    def _dense_domains(self, table, cmap):
+        """Static per-key domains when every group key maps onto a small
+        dense integer range: dictionary codes, or int/date base columns
+        with known min/max statistics.  Grouping then becomes direct slot
+        arithmetic — no sort, no host sync (the dense-hash fast path of the
+        reference's AggregateHash, aggregate_hash.cpp:406-417, taken
+        further).  Returns a list of ('dict'|'int', offset, size) specs."""
+        if not self.group_by:
+            return None
+        from hyrise_tpu.statistics.cardinality import CardinalityEstimator
+
+        est = None
+        specs = []
+        for e in self.group_by:
+            idx = cmap.get(e.key())
+            if idx is None:
+                return None
+            col = table.columns[idx]
+            nullable = col.validity is not None
+            if col.data_type == DataType.STRING and col.dictionary is not None:
+                specs.append(("dict", 0, len(col.dictionary) + (1 if nullable else 0)))
+                continue
+            if col.data_type in (DataType.INT, DataType.DATE, DataType.LONG):
+                if est is None:
+                    est = CardinalityEstimator()
+                cs = est.column_stats(e)
+                if cs is None or cs.min_value is None:
+                    return None
+                lo = int(cs.min_value)
+                size = int(cs.max_value) - lo + 1 + (1 if nullable else 0)
+                if size <= 0 or size > self.DENSE_DOMAIN_LIMIT:
+                    return None
+                specs.append(("int", lo, size))
+                continue
+            return None
+        prod = 1
+        for _, _, size in specs:
+            prod *= max(size, 1)
+        if not (0 < prod <= self.DENSE_DOMAIN_LIMIT):
+            return None
+        return specs
+
     def _on_execute(self) -> Table:
-        table = self.input_table_left()
+        table = self.maybe_compact(self.input_table_left())
         cmap = self._column_map(self._left)
         cacheable = not self.uncorrelated_subquery_plans
 
@@ -58,6 +102,8 @@ class Aggregate(AbstractReadOnlyOperator):
             seen.setdefault(e.key(), e)
         arg_list = list(seen.values())
         arg_pos = {k: i for i, k in enumerate(seen.keys())}
+
+        dense_domains = self._dense_domains(table, cmap)
 
         # ---------------- stage 1: keys, args, sort, segment ids ----------
         def build1(t: Table):
@@ -70,7 +116,19 @@ class Aggregate(AbstractReadOnlyOperator):
                 else jnp.ones(t.capacity, bool)
                 for r in key_results
             )
-            if self.group_by:
+            if dense_domains is not None:
+                # dense slot = mixed-radix code over the key domains;
+                # NULLs take the extra top slot per key — no sort, and the
+                # output capacity is known statically (no host sync)
+                perm = jnp.arange(t.capacity, dtype=jnp.int32)
+                seg_ids = jnp.zeros(t.capacity, dtype=jnp.int64)
+                for r, (kind, offset, domain) in zip(key_results, dense_domains):
+                    code = r.data.astype(jnp.int64) - offset
+                    if r.validity is not None:
+                        code = jnp.where(r.validity, code, domain - 1)
+                    seg_ids = seg_ids * domain + jnp.clip(code, 0, domain - 1)
+                num_groups = jnp.int64(0)  # unused on the dense path
+            elif self.group_by:
                 perm, seg_ids, num_groups = aggk.group_rows(
                     key_data, key_valid, n_mask
                 )
@@ -102,11 +160,17 @@ class Aggregate(AbstractReadOnlyOperator):
                     tuple(e.key() for e in self.group_by),
                     tuple(k for k in seen.keys()),
                     _pk(self.parameters),
+                    tuple(dense_domains) if dense_domains else None,
                 ),
                 cacheable=cacheable,
             )
         key_meta, arg_meta = meta
-        num_groups = int(num_groups_dev) if self.group_by else 1
+        if dense_domains is not None:
+            num_groups = 1
+            for _, _, size in dense_domains:
+                num_groups *= size
+        else:
+            num_groups = int(num_groups_dev) if self.group_by else 1
         out_cap = size_bucket(num_groups)
 
         # ---------------- stage 2: reductions at static out_cap -----------
@@ -120,7 +184,11 @@ class Aggregate(AbstractReadOnlyOperator):
             cap = perm.shape[0]
             sorted_real = jnp.take(n_mask, perm)
             seg_c = jnp.where(sorted_real, seg_ids, out_cap)
+            # per-original-row group id (for distinct passes + dense path)
+            seg_orig = jnp.full(cap, out_cap, dtype=jnp.int64).at[perm].set(seg_c)
             out_arrays = []
+            occupied = aggk.segment_count(seg_c, sorted_real, num_segments=out_cap)
+            out_arrays.append((occupied, None))
             rep_rows = None
             if self.group_by:
                 pos = jnp.arange(cap, dtype=jnp.int64)
@@ -144,7 +212,7 @@ class Aggregate(AbstractReadOnlyOperator):
                 valid = valid if valid is not None else jnp.ones(cap, bool)
                 if distinct or fn == AggregateFunction.COUNT_DISTINCT:
                     out_arrays.append(
-                        _distinct_agg(fn, data, valid, key_arrays, n_mask,
+                        _distinct_agg(fn, data, valid, seg_orig, n_mask,
                                       out_cap)
                     )
                     continue
@@ -198,6 +266,8 @@ class Aggregate(AbstractReadOnlyOperator):
         # ---------------- assemble output table ---------------------------
         names: List[str] = []
         columns: List[Column] = []
+        occupied, _ = out_arrays[0]
+        out_arrays = out_arrays[1:]
         i = 0
         if self.group_by:
             for expr, (dtype, dictionary, ds) in zip(self.group_by, key_meta):
@@ -220,7 +290,11 @@ class Aggregate(AbstractReadOnlyOperator):
             columns.append(
                 Column(dt, data.astype(physical_dtype(dt)), valid, dictionary, ds)
             )
-        return Table(names, columns, num_groups)
+        out = Table(names, columns, num_groups)
+        if dense_domains is not None:
+            # dense slots include empty groups — hide them via selection
+            out.selection = occupied[: out.capacity] > 0
+        return out
 
     def _describe_self(self) -> str:
         g = ", ".join(e.description() for e in self.group_by)
@@ -232,32 +306,18 @@ def _pk(parameters) -> tuple:
     return tuple(sorted(parameters.items())) if parameters else ()
 
 
-def _distinct_agg(fn, data, valid, key_arrays, n_mask, out_cap):
-    """COUNT/SUM/AVG(DISTINCT x): fine grouping over (group keys, x), then
-    reduce one representative per fine group into the coarse groups."""
+def _distinct_agg(fn, data, valid, seg_orig, n_mask, out_cap):
+    """COUNT/SUM/AVG(DISTINCT x): fine grouping over (group id, x), then
+    reduce one representative per fine group into the coarse groups.
+    `seg_orig` carries each original row's coarse group id (works for both
+    sorted and dense grouping paths)."""
     cap = data.shape[0]
     fine_key = joink.normalize_key(data)
-    key_data = tuple(joink.normalize_key(d) for d, _ in key_arrays)
-    key_valid = tuple(
-        v if v is not None else jnp.ones(cap, bool) for _, v in key_arrays
-    )
-    fkd = key_data + (fine_key,)
-    fkv = key_valid + (valid,)
+    fkd = (seg_orig, fine_key)
+    fkv = (jnp.ones(cap, bool), valid)
     perm2, fine_seg, _ = aggk.group_rows(fkd, fkv, n_mask)
     sorted_real = jnp.take(n_mask, perm2)
-    # coarse boundary: any coarse key differs from previous sorted row
-    diff_c = jnp.zeros(cap, dtype=bool).at[0].set(True)
-    for d, v in zip(key_data, key_valid):
-        colv = jnp.take(jnp.where(v, d, jnp.int64(0)), perm2)
-        coln = jnp.take(~v, perm2)
-        diff_c = diff_c | jnp.concatenate(
-            [jnp.ones(1, dtype=bool), colv[1:] != colv[:-1]]
-        )
-        diff_c = diff_c | jnp.concatenate(
-            [jnp.ones(1, dtype=bool), coln[1:] != coln[:-1]]
-        )
-    coarse_seg = jnp.cumsum(diff_c.astype(jnp.int64)) - 1
-    coarse_seg = jnp.where(sorted_real, coarse_seg, out_cap)
+    coarse_seg = jnp.where(sorted_real, jnp.take(seg_orig, perm2), out_cap)
     diff_f = jnp.concatenate(
         [jnp.ones(1, dtype=bool), fine_seg[1:] != fine_seg[:-1]]
     )

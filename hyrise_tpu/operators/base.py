@@ -148,6 +148,21 @@ class AbstractOperator:
     # ------------------------------------------------------------ compaction
 
     @staticmethod
+    def maybe_compact(table: Table, shrink_factor: int = 4) -> Table:
+        """Materialize a deferred selection when the real row count is far
+        below capacity (cost: one count sync + one gather) — sorting or
+        re-scanning a nearly-empty padded table costs much more than the
+        sync.  Tables without a pending selection pass through untouched."""
+        if table.selection is None or table.capacity <= 256:
+            return table
+        from hyrise_tpu.types import size_bucket
+
+        n = table.valid_count
+        if size_bucket(max(n, 1)) * shrink_factor <= table.capacity:
+            return table.materialize()
+        return table
+
+    @staticmethod
     def compact(table: Table, mask: jnp.ndarray, count: Optional[int] = None) -> Table:
         """Gather rows where mask is True into a fresh compacted table.
         One host sync for the row count (bucketed to limit recompiles)."""

@@ -81,8 +81,8 @@ class Join(AbstractReadOnlyOperator):
         )
 
         self._set_output_expressions()
-        L = self.input_table_left()
-        R = self.input_table_right()
+        L = self.maybe_compact(self.input_table_left())
+        R = self.maybe_compact(self.input_table_right())
         mode = self.mode
 
         if mode == JoinMode.CROSS:

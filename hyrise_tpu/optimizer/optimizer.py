@@ -47,6 +47,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.join_predicate_ordering import (
             JoinPredicateOrderingRule,
         )
+        from hyrise_tpu.optimizer.strategy.semi_join_reduction import (
+            SemiJoinReductionRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -55,6 +58,7 @@ class Optimizer:
             ExpressionReductionRule(),
             InExpressionRewriteRule(),
             SubqueryToJoinRule(),
+            SemiJoinReductionRule(),
             PredicatePlacementRule(),
             JoinOrderingRule(),
             PredicatePlacementRule(),

@@ -102,6 +102,20 @@ class JoinOrderingRule(AbstractRule):
                 remaining.append(p)
         sizes = [est.estimate(v) for v in vertices]
 
+        # exact DP below the threshold (ref: join_ordering_rule.hpp:20-24 —
+        # DpCcp under a size limit, greedy above)
+        if 2 <= len(vertices) <= DP_MAX_VERTICES:
+            dp_result = _dp_join_order(
+                vertices, vert_cols, sizes, remaining, est
+            )
+            if dp_result is not None:
+                current, leftover = dp_result
+                for p in leftover:
+                    current = L.PredicateNode(p, current)
+                for p in predicates_tail:
+                    current = L.PredicateNode(p, current)
+                return current
+
         # greedy left-deep build
         unused = set(range(len(vertices)))
         start = min(unused, key=lambda i: sizes[i])
@@ -159,6 +173,98 @@ class JoinOrderingRule(AbstractRule):
         for p in predicates_tail:  # subquery-bearing predicates on top
             current = L.PredicateNode(p, current)
         return current
+
+
+DP_MAX_VERTICES = 10
+
+
+def _dp_join_order(vertices, vert_cols, sizes, preds, est):
+    """Optimal bushy join order via DP over vertex subsets (the DpCcp
+    equivalent; ref: optimizer/join_ordering/dp_ccp.hpp:26).  Cost = sum of
+    estimated intermediate cardinalities.  Returns (plan, leftover_preds)
+    or None when the graph is disconnected (greedy handles cross joins)."""
+    n = len(vertices)
+    full = (1 << n) - 1
+
+    def subset_cols(mask):
+        cols = set()
+        for i in range(n):
+            if mask & (1 << i):
+                cols |= vert_cols[i]
+        return cols
+
+    cols_of = {1 << i: set(vert_cols[i]) for i in range(n)}
+
+    def get_cols(mask):
+        if mask not in cols_of:
+            low = mask & -mask
+            cols_of[mask] = get_cols(low) | get_cols(mask ^ low)
+        return cols_of[mask]
+
+    # (rows, cost, plan, applied_pred_ids)
+    best = {}
+    for i in range(n):
+        best[1 << i] = (sizes[i], 0.0, vertices[i], frozenset())
+
+    pred_refs = []
+    for p in preds:
+        pred_refs.append({c.key() for c in p.referenced_columns()})
+
+    for mask in range(3, full + 1):
+        if bin(mask).count("1") < 2:
+            continue
+        entry = None
+        # enumerate proper subset splits (s, mask^s); s < mask^s to halve
+        s = (mask - 1) & mask
+        while s:
+            c = mask ^ s
+            if s < c:
+                pair = (s, c)
+            else:
+                pair = (c, s)
+            s = (s - 1) & mask
+            a, b = pair
+            if a not in best or b not in best:
+                continue
+            ra, ca, pa, applied_a = best[a]
+            rb, cb, pb, applied_b = best[b]
+            cols_a = get_cols(a)
+            cols_b = get_cols(b)
+            join_pred_ids = [
+                i for i, p in enumerate(preds)
+                if i not in applied_a and i not in applied_b
+                and pred_refs[i]
+                and pred_refs[i] <= (cols_a | cols_b)
+                and (pred_refs[i] & cols_a) and (pred_refs[i] & cols_b)
+                and _separates(p, cols_a, cols_b)
+            ]
+            if not join_pred_ids:
+                continue  # no cross products inside DP
+            join_preds = [preds[i] for i in join_pred_ids]
+            rows = est.join_output_rows(ra, rb, join_preds)
+            applied = applied_a | applied_b | set(join_pred_ids)
+            plan = L.JoinNode(JoinMode.INNER, join_preds, pa, pb)
+            # apply newly-covered non-separable predicates
+            extra = [
+                i for i, p in enumerate(preds)
+                if i not in applied and pred_refs[i]
+                and pred_refs[i] <= (cols_a | cols_b)
+            ]
+            for i in extra:
+                plan = L.PredicateNode(preds[i], plan)
+                rows = max(rows * est.predicate_selectivity(preds[i], rows), 1.0)
+                applied = applied | {i}
+            cost = ca + cb + rows
+            if entry is None or cost < entry[1]:
+                entry = (rows, cost, plan, frozenset(applied))
+        if entry is not None:
+            best[mask] = entry
+
+    if full not in best:
+        return None  # disconnected join graph
+    rows, cost, plan, applied = best[full]
+    leftover = [p for i, p in enumerate(preds) if i not in applied]
+    return plan, leftover
 
 
 def _is_region_node(node: L.LQPNode) -> bool:

@@ -37,6 +37,9 @@ class Database:
         self.default_pqp_cache = GDFSCache(capacity=1024)
         self.meta_table_manager = MetaTableManager(self)
         self.plugin_manager = PluginManager(self)
+        from hyrise_tpu.storage.index import IndexRegistry
+
+        self.index_registry = IndexRegistry()
 
     # ------------------------------------------------------------- singleton
 

@@ -79,6 +79,7 @@ class Insert(AbstractReadWriteOperator):
             self._inserted_rows = list(range(old_n, new_n))
             mvcc.register_insert(self._inserted_rows,
                                  self.transaction_context.transaction_id)
+            Database.get().index_registry.invalidate(self.table_name)
         return None
 
     def commit_records(self, commit_id: int) -> None:

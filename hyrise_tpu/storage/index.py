@@ -1,0 +1,121 @@
+"""Secondary indexes (ref: storage/index/ — AdaptiveRadixTreeIndex,
+GroupKeyIndex, CompositeGroupKeyIndex per chunk; PartialHashIndex across
+chunks, partial_hash_index.hpp:19).
+
+TPU-native redesign: pointer-chasing trees don't map to the hardware, so
+the ordered index is a device-resident sorted projection (sorted keys +
+row permutation — the GroupKey idea applied whole-column); lookups are
+binary searches that return row-id ranges.  The hash index is a host-side
+exact-match dictionary for point lookups (the TPC-C path) — the analogue
+of PartialHashIndex for the host control plane.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.kernels import joins as joink
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import DataType
+
+
+class OrderedIndex:
+    """Sorted-projection index over one column (ref: group_key_index.hpp:53
+    — offsets into a sorted dictionary; generalized to any column)."""
+
+    def __init__(self, table: Table, column_name: str):
+        self.column_name = column_name
+        col = table.column(column_name)
+        n = table.num_rows
+        keys = joink.normalize_key(col.data)
+        valid = table.row_mask()
+        if col.validity is not None:
+            valid = valid & col.validity
+        self.sorted_keys, self.perm, self.n_valid = joink.build_sorted(keys, valid)
+        self._row_count_at_build = n
+
+    def range_for(self, lo_key, hi_key) -> Tuple[jax.Array, jax.Array]:
+        """Positions [left, right) of rows with lo_key <= key <= hi_key in
+        the sorted projection; map through `perm` for row ids."""
+        left = jnp.minimum(
+            jnp.searchsorted(self.sorted_keys, lo_key, side="left"), self.n_valid
+        )
+        right = jnp.minimum(
+            jnp.searchsorted(self.sorted_keys, hi_key, side="right"), self.n_valid
+        )
+        return left, right
+
+    def row_mask_for_range(self, lo_key, hi_key, capacity: int) -> jax.Array:
+        left, right = self.range_for(lo_key, hi_key)
+        pos = jnp.arange(self.perm.shape[0])
+        in_range = (pos >= left) & (pos < right)
+        mask = jnp.zeros(capacity, dtype=bool)
+        rows = jnp.clip(self.perm, 0, capacity - 1)
+        return mask.at[rows].max(in_range[: self.perm.shape[0]])
+
+    @property
+    def stale(self) -> bool:
+        return False  # rebuilt on DML via Table.invalidate_indexes
+
+
+class HashIndex:
+    """Host-side exact-match index (ref: partial_hash_index.hpp:19) — used
+    by the control plane for point lookups (primary-key probes)."""
+
+    def __init__(self, table: Table, column_names: Sequence[str]):
+        self.column_names = tuple(column_names)
+        n = table.num_rows
+        cols = [np.asarray(table.column(c).data)[:n] for c in column_names]
+        self._map: Dict[tuple, List[int]] = {}
+        for i in range(n):
+            key = tuple(int(c[i]) for c in cols)
+            self._map.setdefault(key, []).append(i)
+
+    def rows_for(self, key: tuple) -> List[int]:
+        return self._map.get(tuple(int(k) for k in key), [])
+
+    def __contains__(self, key: tuple) -> bool:
+        return tuple(int(k) for k in key) in self._map
+
+
+class IndexRegistry:
+    """Per-table index bookkeeping (ref: Table::create_partial_hash_index,
+    table.hpp:209; chunk index lists chunk.hpp)."""
+
+    def __init__(self):
+        self._ordered: Dict[Tuple[str, str], OrderedIndex] = {}
+        self._hash: Dict[Tuple[str, tuple], HashIndex] = {}
+
+    def create_ordered_index(self, table_name: str, table: Table,
+                             column_name: str) -> OrderedIndex:
+        idx = OrderedIndex(table, column_name)
+        self._ordered[(table_name, column_name)] = idx
+        return idx
+
+    def create_hash_index(self, table_name: str, table: Table,
+                          column_names: Sequence[str]) -> HashIndex:
+        idx = HashIndex(table, column_names)
+        self._hash[(table_name, tuple(column_names))] = idx
+        return idx
+
+    def ordered_index(self, table_name: str, column_name: str):
+        return self._ordered.get((table_name, column_name))
+
+    def hash_index(self, table_name: str, column_names: Sequence[str]):
+        return self._hash.get((table_name, tuple(column_names)))
+
+    def invalidate(self, table_name: str) -> None:
+        self._ordered = {
+            k: v for k, v in self._ordered.items() if k[0] != table_name
+        }
+        self._hash = {k: v for k, v in self._hash.items() if k[0] != table_name}
+
+    def list_indexes(self) -> List[tuple]:
+        return (
+            [("ordered", t, (c,)) for (t, c) in self._ordered]
+            + [("hash", t, cols) for (t, cols) in self._hash]
+        )

@@ -18,11 +18,61 @@ import sys
 import time
 
 
+def _emit(sf, our_times, sqlite_times) -> None:
+    if not our_times:
+        print(json.dumps({"metric": f"tpch_sf{sf}_geomean_query_time",
+                          "value": -1, "unit": "ms", "vs_baseline": 0.0}),
+              flush=True)
+        return
+    geo = math.exp(sum(math.log(t) for t in our_times.values()) / len(our_times))
+    vs = 0.0
+    common = [q for q in our_times if q in sqlite_times]
+    if common:
+        vs = math.exp(
+            sum(math.log(sqlite_times[q] / our_times[q]) for q in common)
+            / len(common)
+        )
+    print(json.dumps({
+        "metric": f"tpch_sf{sf}_geomean_query_time",
+        "value": round(geo * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 3),
+    }), flush=True)
+
+
 def main() -> None:
+    import signal
+
+    # persistent compilation cache: repeat runs skip the (remote) compiles
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "HYRISE_TPU_COMPILE_CACHE", "/tmp/hyrise_tpu_jax_cache"
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     sf = float(os.environ.get("HYRISE_TPU_BENCH_SF", "0.1"))
     runs = int(os.environ.get("HYRISE_TPU_BENCH_RUNS", "3"))
+    budget_s = float(os.environ.get("HYRISE_TPU_BENCH_BUDGET", "480"))
     qids_env = os.environ.get("HYRISE_TPU_BENCH_QUERIES", "1,3,5,6,10,12,14,19")
     qids = [int(x) for x in qids_env.split(",") if x.strip()]
+    start_all = time.perf_counter()
+
+    # emit partial results if the driver kills us mid-compile
+    state = {"our": {}, "sqlite": {}, "emitted": False}
+
+    def on_term(signum, frame):
+        if not state["emitted"]:
+            state["emitted"] = True
+            _emit(sf, state["our"], state["sqlite"])
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
 
     from hyrise_tpu.benchmark.tpch.generator import TPCHTableGenerator
     from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
@@ -68,9 +118,13 @@ def main() -> None:
             oracle.conn.set_progress_handler(None, 0)
 
     # ---- interleaved: our engine (warmup + timed), then capped baseline
-    sqlite_times = {}
-    our_times = {}
+    sqlite_times = state["sqlite"]
+    our_times = state["our"]
     for qid in qids:
+        if time.perf_counter() - start_all > budget_s:
+            print(f"# budget exceeded, stopping before Q{qid}", file=sys.stderr,
+                  flush=True)
+            break
         sql = TPCH_QUERIES[qid]
         try:
             SQLPipelineBuilder(sql).create_pipeline().get_result_table()  # warm
@@ -89,25 +143,8 @@ def main() -> None:
         except Exception as exc:
             print(f"# Q{qid} FAILED: {exc}", file=sys.stderr, flush=True)
 
-    if not our_times:
-        print(json.dumps({"metric": "tpch_geomean_ms", "value": -1,
-                          "unit": "ms", "vs_baseline": 0.0}))
-        return
-
-    geo = math.exp(sum(math.log(t) for t in our_times.values()) / len(our_times))
-    vs = 0.0
-    common = [q for q in our_times if q in sqlite_times]
-    if common:
-        vs = math.exp(
-            sum(math.log(sqlite_times[q] / our_times[q]) for q in common)
-            / len(common)
-        )
-    print(json.dumps({
-        "metric": f"tpch_sf{sf}_geomean_query_time",
-        "value": round(geo * 1e3, 3),
-        "unit": "ms",
-        "vs_baseline": round(vs, 3),
-    }))
+    state["emitted"] = True
+    _emit(sf, our_times, sqlite_times)
 
 
 if __name__ == "__main__":

@@ -37,6 +37,18 @@ import jax
 if os.environ.get("HYRISE_TPU_X64", "1") == "1":
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: query-stage executables survive across
+# processes (critical on remote-compile TPU backends where each stage
+# compile costs seconds).
+_cache_dir = os.environ.get("HYRISE_TPU_COMPILE_CACHE",
+                            "/tmp/hyrise_tpu_jax_cache")
+if _cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 from hyrise_tpu.database import Database  # noqa: E402
 from hyrise_tpu.version import __version__  # noqa: E402
 

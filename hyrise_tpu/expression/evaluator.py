@@ -684,6 +684,9 @@ class ExpressionEvaluator:
         else:
             keys = joink.normalize_key(operand.data)
             bkeys = joink.normalize_key(col.data)
+            dt = joink.common_key_dtype(keys, bkeys)
+            keys = keys.astype(dt)
+            bkeys = bkeys.astype(dt)
         from hyrise_tpu.kernels.masks import padding_mask
 
         bvalid = padding_mask(n, bkeys.shape[0])

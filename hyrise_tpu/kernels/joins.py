@@ -29,12 +29,20 @@ _I64_MAX = jnp.iinfo(jnp.int64).max
 
 
 def normalize_key(data: jax.Array) -> jax.Array:
-    """Map a column to an order-preserving sort/join key: integers widen to
-    int64; floats stay in their native dtype (compared by value — no
-    64-bit bitcasts, which XLA:TPU cannot lower)."""
+    """Map a column to an order-preserving sort/join key in its NATIVE
+    width: int32 keys stay int32 (TPU emulates 64-bit integers as pairs —
+    a 2x sort/search tax worth avoiding), floats stay floats (no 64-bit
+    bitcasts, which XLA:TPU cannot lower).  Callers comparing keys from
+    two sides promote to a common dtype via `common_key_dtype`."""
     if jnp.issubdtype(data.dtype, jnp.floating):
         return data
-    return data.astype(jnp.int64)
+    if data.dtype == jnp.bool_:
+        return data.astype(jnp.int32)
+    return data
+
+
+def common_key_dtype(a: jax.Array, b: jax.Array):
+    return jnp.promote_types(a.dtype, b.dtype)
 
 
 def key_sentinel_max(dtype):

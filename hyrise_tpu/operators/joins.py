@@ -145,6 +145,9 @@ class Join(AbstractReadOnlyOperator):
                 else:
                     pk = joink.normalize_key(pr.data)
                     bk = joink.normalize_key(br.data)
+                    dt = joink.common_key_dtype(pk, bk)
+                    pk = pk.astype(dt)
+                    bk = bk.astype(dt)
                 pvv = (pr.validity if pr.validity is not None
                        else jnp.ones(pt.capacity, bool))
                 bvv = (br.validity if br.validity is not None

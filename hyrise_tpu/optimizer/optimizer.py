@@ -50,6 +50,12 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.semi_join_reduction import (
             SemiJoinReductionRule,
         )
+        from hyrise_tpu.optimizer.strategy.predicate_merge import (
+            PredicateMergeRule,
+        )
+        from hyrise_tpu.optimizer.strategy.null_scan_removal import (
+            NullScanRemovalRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -64,7 +70,9 @@ class Optimizer:
             PredicatePlacementRule(),
             JoinToSemiJoinRule(),
             JoinPredicateOrderingRule(),
+            NullScanRemovalRule(),
             PredicateReorderingRule(),
+            PredicateMergeRule(),
             ColumnPruningRule(),
         ])
 

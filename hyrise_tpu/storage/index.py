@@ -41,6 +41,13 @@ class OrderedIndex:
     def range_for(self, lo_key, hi_key) -> Tuple[jax.Array, jax.Array]:
         """Positions [left, right) of rows with lo_key <= key <= hi_key in
         the sorted projection; map through `perm` for row ids."""
+        # clamp host bounds into the key dtype (a too-wide python int would
+        # silently wrap during conversion)
+        dt = self.sorted_keys.dtype
+        if jnp.issubdtype(dt, jnp.integer):
+            info = jnp.iinfo(dt)
+            lo_key = int(np.clip(lo_key, info.min, info.max))
+            hi_key = int(np.clip(hi_key, info.min, info.max))
         left = jnp.minimum(
             jnp.searchsorted(self.sorted_keys, lo_key, side="left"), self.n_valid
         )

@@ -35,6 +35,7 @@ class MetaTableManager:
             "system_utilization": self._meta_system_utilization,
             "transactions": self._meta_transactions,
             "plan_cache": self._meta_plan_cache,
+            "indexes": self._meta_indexes,
         }
 
     def table_names(self) -> List[str]:
@@ -304,6 +305,21 @@ class MetaTableManager:
             types={
                 "transaction_id": DataType.LONG,
                 "snapshot_commit_id": DataType.LONG,
+            },
+        )
+
+    def _meta_indexes(self) -> Table:
+        entries = self._db.index_registry.list_indexes()
+        return Table.from_dict(
+            {
+                "index_type": [k for k, _, _ in entries],
+                "table_name": [t for _, t, _ in entries],
+                "column_names": [",".join(c) for _, _, c in entries],
+            },
+            types={
+                "index_type": DataType.STRING,
+                "table_name": DataType.STRING,
+                "column_names": DataType.STRING,
             },
         )
 

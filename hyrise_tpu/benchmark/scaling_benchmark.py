@@ -1,0 +1,101 @@
+"""Scaling-efficiency benchmark: rows/s of the distributed
+scan+aggregate and shuffle-join steps at 1..N shards (BASELINE target:
+>=80% rows/s efficiency 1 chip -> N).
+
+On a virtual CPU mesh the numbers measure simulation overhead, not real
+scaling — run on multi-chip hardware for the real curve.
+
+Run: python -m hyrise_tpu.benchmark.scaling_benchmark [--rows 1048576]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1 << 20)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from hyrise_tpu.parallel.distributed import (
+        make_distributed_join_agg_step,
+        make_distributed_scan_agg_step,
+    )
+    from hyrise_tpu.parallel.mesh import QueryMesh
+
+    devices = jax.devices()
+    rng = np.random.default_rng(0)
+    results = []
+    shard_counts = [n for n in (1, 2, 4, 8, 16) if n <= len(devices)]
+    base_rps = {}
+    for n in shard_counts:
+        qmesh = QueryMesh(devices[:n])
+        rows = args.rows
+        rps = max(rows // n, 128)
+        total = n * rps
+        mask = jnp.asarray(rng.random(total) < 0.5).reshape(n, rps)
+        slot = jnp.asarray(rng.integers(0, 16, total)).reshape(n, rps)
+        val = jnp.asarray(rng.random(total)).reshape(n, rps)
+        step = make_distributed_scan_agg_step(qmesh, num_groups=16)
+        out = step(mask, slot, val)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = step(mask, slot, val)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        rows_per_s = total / best
+        base = base_rps.setdefault("scan", rows_per_s / n)
+        results.append({
+            "step": "scan_aggregate", "shards": n,
+            "rows_per_s_m": round(rows_per_s / 1e6, 1),
+            "efficiency": round(rows_per_s / (base * n), 3),
+        })
+    for n in shard_counts:
+        qmesh = QueryMesh(devices[:n])
+        rps = max(args.rows // (4 * n), 128)
+        total = n * rps
+        keys = jnp.asarray(rng.integers(0, total, total)).reshape(n, rps)
+        valid = jnp.ones((n, rps), dtype=bool)
+        slot = jnp.asarray(rng.integers(0, 16, total)).reshape(n, rps)
+        val = jnp.asarray(rng.random(total)).reshape(n, rps)
+        bkeys = jnp.asarray(rng.integers(0, total, total)).reshape(n, rps)
+        step = make_distributed_join_agg_step(
+            qmesh, bucket_cap=max(2 * rps // n, 128),
+            join_out_cap=4 * rps, num_groups=16,
+        )
+        out = step(keys, valid, slot, val, bkeys, valid)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            out = step(keys, valid, slot, val, bkeys, valid)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        rows_per_s = total / best
+        base = base_rps.setdefault("join", rows_per_s / n)
+        results.append({
+            "step": "shuffle_join_aggregate", "shards": n,
+            "rows_per_s_m": round(rows_per_s / 1e6, 1),
+            "efficiency": round(rows_per_s / (base * n), 3),
+        })
+    for r in results:
+        print(f"{r['step']:<24} shards={r['shards']:<3} "
+              f"{r['rows_per_s_m']:>8.1f} M rows/s  eff={r['efficiency']}",
+              file=sys.stderr)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,11 +80,29 @@ def _money(cents: np.ndarray) -> np.ndarray:
     return np.round(cents.astype(np.float64)) / 100.0
 
 
+_TEXT_POOL = 1 << 16
+
+
 def _texts(rng: np.random.Generator, n: int, n_words: int) -> np.ndarray:
-    """Cheap filler comments: n_words random words each."""
-    idx = rng.integers(0, len(_WORDS), size=(n, n_words))
+    """Cheap filler comments: n_words random words each.  Above the pool
+    size, rows sample from a pool of distinct comments — sorted-dictionary
+    encoding of millions of UNIQUE free-text values is pathological (and
+    the TPC-H queries never distinguish individual comments; pattern
+    frequencies are injected per-row afterwards)."""
     w = np.array(_WORDS)
-    return np.array([" ".join(row) for row in w[idx]], dtype=object)
+
+    def gen(k: int) -> np.ndarray:
+        out = w[rng.integers(0, len(_WORDS), size=k)]
+        for _ in range(n_words - 1):
+            out = np.char.add(
+                np.char.add(out, " "), w[rng.integers(0, len(_WORDS), size=k)]
+            )
+        return out
+
+    if n <= _TEXT_POOL:
+        return gen(n)
+    pool = gen(_TEXT_POOL)
+    return pool[rng.integers(0, _TEXT_POOL, size=n)]
 
 
 def _inject(rng, comments: np.ndarray, count: int, pattern_words) -> None:
@@ -203,7 +221,7 @@ class TPCHTableGenerator:
         return Table.from_numpy(
             {
                 "s_suppkey": keys,
-                "s_name": np.array([f"Supplier#{k:09d}" for k in keys], dtype=object),
+                "s_name": np.char.add("Supplier#", np.char.zfill(keys.astype(str), 9)),
                 "s_address": _texts(rng, n, 3),
                 "s_nationkey": nat,
                 "s_phone": _phones(nat),
@@ -223,24 +241,22 @@ class TPCHTableGenerator:
         n = self.n_part
         keys = np.arange(1, n + 1, dtype=np.int32)
         colors = np.array(COLORS)
-        name_idx = rng.integers(0, len(COLORS), size=(n, 5))
-        names = np.array(
-            [" ".join(colors[row]) for row in name_idx], dtype=object
-        )
+        names = colors[rng.integers(0, len(COLORS), size=n)]
+        for _ in range(4):
+            names = np.char.add(
+                np.char.add(names, " "),
+                colors[rng.integers(0, len(COLORS), size=n)],
+            )
         mfgr = rng.integers(1, 6, size=n)
         brand = mfgr * 10 + rng.integers(1, 6, size=n)
-        types = np.array([
-            f"{TYPE_SYL1[a]} {TYPE_SYL2[b]} {TYPE_SYL3[c]}"
-            for a, b, c in zip(
-                rng.integers(0, 6, size=n),
-                rng.integers(0, 5, size=n),
-                rng.integers(0, 5, size=n),
-            )
-        ], dtype=object)
-        containers = np.array([
-            f"{CONTAINER_SYL1[a]} {CONTAINER_SYL2[b]}"
-            for a, b in zip(rng.integers(0, 5, size=n), rng.integers(0, 8, size=n))
-        ], dtype=object)
+        s1 = np.array(TYPE_SYL1)[rng.integers(0, 6, size=n)]
+        s2 = np.array(TYPE_SYL2)[rng.integers(0, 5, size=n)]
+        s3 = np.array(TYPE_SYL3)[rng.integers(0, 5, size=n)]
+        types = np.char.add(np.char.add(np.char.add(np.char.add(s1, " "), s2), " "), s3)
+        containers = np.char.add(
+            np.char.add(np.array(CONTAINER_SYL1)[rng.integers(0, 5, size=n)], " "),
+            np.array(CONTAINER_SYL2)[rng.integers(0, 8, size=n)],
+        )
         retail = (
             90000 + (keys.astype(np.int64) // 10) % 20001 + 100 * (keys % 1000)
         )
@@ -300,7 +316,7 @@ class TPCHTableGenerator:
         return Table.from_numpy(
             {
                 "c_custkey": keys,
-                "c_name": np.array([f"Customer#{k:09d}" for k in keys], dtype=object),
+                "c_name": np.char.add("Customer#", np.char.zfill(keys.astype(str), 9)),
                 "c_address": _texts(rng, n, 3),
                 "c_nationkey": nat,
                 "c_phone": _phones(nat),
@@ -396,10 +412,12 @@ class TPCHTableGenerator:
         # Q13 pattern: 'special ... requests' — spec text grammar yields
         # roughly 1% of orders containing the pattern
         _inject(rng, o_comments, int(0.01 * n_orders), ("special", "requests"))
-        clerks = np.array(
-            [f"Clerk#{c:09d}" for c in rng.integers(1, max(int(1000 * self.sf), 2),
-                                                    size=n_orders)],
-            dtype=object,
+        clerks = np.char.add(
+            "Clerk#",
+            np.char.zfill(
+                rng.integers(1, max(int(1000 * self.sf), 2),
+                             size=n_orders).astype(str), 9
+            ),
         )
 
         orders = Table.from_numpy(
@@ -468,13 +486,14 @@ def _phones(nationkeys: np.ndarray) -> np.ndarray:
     """spec: country code = nationkey + 10, then 3 random 3-4 digit groups."""
     rng = np.random.default_rng(421)
     n = len(nationkeys)
-    a = rng.integers(100, 1000, size=n)
-    b = rng.integers(100, 1000, size=n)
-    c = rng.integers(1000, 10000, size=n)
-    return np.array(
-        [f"{nk + 10}-{x}-{y}-{z}" for nk, x, y, z in zip(nationkeys, a, b, c)],
-        dtype=object,
-    )
+    a = rng.integers(100, 1000, size=n).astype(str)
+    b = rng.integers(100, 1000, size=n).astype(str)
+    c = rng.integers(1000, 10000, size=n).astype(str)
+    cc = (nationkeys + 10).astype(str)
+    out = np.char.add(cc, "-")
+    out = np.char.add(np.char.add(out, a), "-")
+    out = np.char.add(np.char.add(out, b), "-")
+    return np.char.add(out, c)
 
 
 def _add_constraints(tables: Dict[str, Table]) -> None:

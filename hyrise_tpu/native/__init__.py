@@ -39,7 +39,7 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
             return _LIB
         _TRIED = True
         src = os.path.join(_DIR, "tbl_parser.cpp")
-        out = os.path.join(_DIR, "_tbl_parser.so")
+        out = os.path.join(_DIR, "libtbl_parser.so")
         if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
             if not _build(src, out):
                 return None

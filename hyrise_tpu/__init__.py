@@ -44,6 +44,8 @@ _cache_dir = os.environ.get("HYRISE_TPU_COMPILE_CACHE",
                             "/tmp/hyrise_tpu_jax_cache")
 if _cache_dir:
     try:
+        # (JAX keys cache entries by backend fingerprint; CPU AOT reloads
+        # can warn about target-feature supersets — warning-only)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

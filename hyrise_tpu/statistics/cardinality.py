@@ -139,8 +139,13 @@ class CardinalityEstimator:
 
     def join_output_rows(self, l_rows: float, r_rows: float, predicates) -> float:
         """|L|x|R| / max(ndv) per equi predicate (classic System-R),
-        DEFAULT_SELECTIVITY for non-equi extras."""
+        DEFAULT_SELECTIVITY for non-equi extras.  The combined equi divisor
+        is capped at max(|L|,|R|): a composite key's distinct count cannot
+        exceed either side's row count (the independence assumption would
+        otherwise make multi-key joins look absurdly selective and invert
+        join orders — TPC-H Q9's lineitem x partsupp)."""
         out = l_rows * r_rows
+        divisor = 1.0
         for p in predicates:
             if (
                 isinstance(p, ast.Predicate)
@@ -150,10 +155,11 @@ class CardinalityEstimator:
                 a, b = p.children
                 nda = self.distinct_count(a, l_rows if _first_col_side(a) else r_rows)
                 ndb = self.distinct_count(b, r_rows)
-                out /= max(nda, ndb, 1.0)
+                divisor *= max(nda, ndb, 1.0)
             else:
                 out *= DEFAULT_SELECTIVITY
-        return max(out, 1.0)
+        divisor = min(divisor, max(l_rows, r_rows, 1.0))
+        return max(out / divisor, 1.0)
 
     # ------------------------------------------------------- selectivities
 

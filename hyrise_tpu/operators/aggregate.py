@@ -91,7 +91,8 @@ class Aggregate(AbstractReadOnlyOperator):
         return specs
 
     def _on_execute(self) -> Table:
-        table = self.maybe_compact(self.input_table_left())
+        table = self.maybe_compact(self.input_table_left(),
+                                   est_rows=self.input_estimated_rows())
         cmap = self._column_map(self._left)
         cacheable = not self.uncorrelated_subquery_plans
 

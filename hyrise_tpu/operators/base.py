@@ -148,19 +148,31 @@ class AbstractOperator:
     # ------------------------------------------------------------ compaction
 
     @staticmethod
-    def maybe_compact(table: Table, shrink_factor: int = 4) -> Table:
+    def maybe_compact(table: Table, shrink_factor: int = 4,
+                      est_rows: Optional[float] = None) -> Table:
         """Materialize a deferred selection when the real row count is far
         below capacity (cost: one count sync + one gather) — sorting or
         re-scanning a nearly-empty padded table costs much more than the
-        sync.  Tables without a pending selection pass through untouched."""
+        sync.  Tables without a pending selection pass through untouched.
+
+        `est_rows` (the optimizer's estimate for the producing node) skips
+        the count sync entirely when the selection is likely dense — on
+        remote backends every sync has a ~10-30ms latency floor."""
         if table.selection is None or table.capacity <= 256:
             return table
         from hyrise_tpu.types import size_bucket
 
+        if est_rows is not None and est_rows > 0:
+            if size_bucket(max(int(est_rows), 1)) * shrink_factor > table.capacity:
+                return table  # likely dense: don't pay the sync
         n = table.valid_count
         if size_bucket(max(n, 1)) * shrink_factor <= table.capacity:
             return table.materialize()
         return table
+
+    def input_estimated_rows(self, which: str = "left") -> Optional[float]:
+        op = self._left if which == "left" else self._right
+        return getattr(op, "estimated_rows", None) if op is not None else None
 
     @staticmethod
     def compact(table: Table, mask: jnp.ndarray, count: Optional[int] = None) -> Table:

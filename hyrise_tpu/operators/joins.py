@@ -81,8 +81,10 @@ class Join(AbstractReadOnlyOperator):
         )
 
         self._set_output_expressions()
-        L = self.maybe_compact(self.input_table_left())
-        R = self.maybe_compact(self.input_table_right())
+        L = self.maybe_compact(self.input_table_left(),
+                               est_rows=self.input_estimated_rows("left"))
+        R = self.maybe_compact(self.input_table_right(),
+                               est_rows=self.input_estimated_rows("right"))
         mode = self.mode
 
         if mode == JoinMode.CROSS:
@@ -189,6 +191,14 @@ class Join(AbstractReadOnlyOperator):
                         probe_t.num_rows, selection=mask)
             return out
 
+        # unique build keys (declared PK/UCC) bound the expansion by the
+        # probe side alone — the expansion-size host sync disappears
+        # (soft constraints are assumed valid, as in the reference's
+        # optimizer rules; ref table.hpp:215-218)
+        build_unique = _build_key_unique(
+            [side_exprs(p)[1] for p in equi[:used]]
+        )
+
         # ------------- stage 1: keys + sorted build + probe counts --------
         def build1(pt: Table, bt: Table):
             (pk, pkv), (bk, bkv) = make_keys(pt, bt)
@@ -205,8 +215,18 @@ class Join(AbstractReadOnlyOperator):
             "join1", probe_t, build_t, build1,
             extra_key=pred_key, cacheable=cacheable,
         )
-        total = int(total_dev)
-        out_cap = size_bucket(total)
+        est_out = getattr(self, "estimated_rows", None)
+        if build_unique and (
+            est_out is None
+            or size_bucket(max(int(est_out), 1)) * 4 > probe_t.capacity
+        ):
+            # <=1 match per probe row AND a likely-dense result: skip the
+            # expansion-size sync (sparse results still sync — gathering at
+            # full probe capacity would cost more than the round trip)
+            out_cap = probe_t.capacity
+        else:
+            total = int(total_dev)
+            out_cap = size_bucket(total)
 
         # ------------- stage 2: expansion + secondary + assembly ----------
         # (orientation does not matter: the pair table holds both sides)
@@ -409,6 +429,30 @@ def _cross_product(op, L: Table, R: Table, materialize: bool = True):
     lt = L.take(l_idx, n)
     rt = R.take(r_idx, n)
     return Table(L.column_names + R.column_names, lt.columns + rt.columns, n)
+
+
+def _build_key_unique(build_exprs) -> bool:
+    """True when the build-side equi key(s) form a declared unique key of
+    their base table (all plain columns of one table covered by a
+    TableKeyConstraint)."""
+    from hyrise_tpu.database import Database
+
+    names = []
+    origin = None
+    for e in build_exprs:
+        if not isinstance(e, ast.ColumnRef) or not e.origin:
+            return False
+        if origin is None:
+            origin = e.origin
+        elif e.origin != origin:
+            return False
+        names.append(e.display_name)
+    try:
+        table = Database.get().storage_manager.get_table(origin)
+    except KeyError:
+        return False
+    key_set = set(names)
+    return any(set(kc.columns) == key_set for kc in table.key_constraints)
 
 
 def _anti_nat_mask(matched, probe_key_valid_masked, build_key_valid_raw, bt):

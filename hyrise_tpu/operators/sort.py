@@ -24,7 +24,8 @@ class Sort(AbstractReadOnlyOperator):
     def _on_execute(self) -> Table:
         from hyrise_tpu.operators.compiled import run_stage
 
-        table = self.maybe_compact(self.input_table_left())
+        table = self.maybe_compact(self.input_table_left(),
+                                   est_rows=self.input_estimated_rows())
         self.output_expressions = list(self._left.output_expressions)
         cmap = self._column_map(self._left)
         modes = [m for _, m in self.sort_definitions]

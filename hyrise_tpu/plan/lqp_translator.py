@@ -41,6 +41,11 @@ class LQPTranslationError(ValueError):
 
 
 class LQPTranslator:
+    def __init__(self):
+        from hyrise_tpu.statistics.cardinality import CardinalityEstimator
+
+        self._estimator = CardinalityEstimator()
+
     def translate(self, node: L.LQPNode) -> AbstractOperator:
         cache: Dict[int, AbstractOperator] = {}
         return self._translate(node, cache)
@@ -49,6 +54,12 @@ class LQPTranslator:
         if id(node) in cache:
             return cache[id(node)]
         op = self._translate_node(node, cache)
+        # annotate the optimizer's row estimate: operators use it to decide
+        # whether a deferred selection is worth a count sync + compaction
+        try:
+            op.estimated_rows = self._estimator.estimate(node)
+        except Exception:
+            op.estimated_rows = None
         cache[id(node)] = op
         return op
 

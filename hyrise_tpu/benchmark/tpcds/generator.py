@@ -1,0 +1,434 @@
+"""TPC-DS table generator — the store-sales channel star schema
+(vectorized numpy from the TPC-DS v3 spec's population rules; ref:
+benchmarklib/tpcds/tpcds_table_generator.cpp wrapping
+third_party/tpcds-kit — no dsdgen code used).
+
+Covers the 10 tables the store-channel query set touches: date_dim,
+time_dim, item, store, promotion, customer, customer_address,
+customer_demographics, household_demographics, store_sales.  The catalog
+and web channels are future work (PARITY.md tracks this).
+`demo_density` scales the fixed-size demographics cross products down for
+tests.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from hyrise_tpu.benchmark.tpch.generator import _money, _texts
+from hyrise_tpu.storage.table import Table, TableKeyConstraint
+from hyrise_tpu.types import DataType
+from hyrise_tpu.utils.dates import days_to_ymd, single_date_to_days
+
+D_START = single_date_to_days("1998-01-01")
+D_END = single_date_to_days("2003-12-31")
+
+_CATEGORIES = ["Books", "Home", "Electronics", "Jewelry", "Sports",
+               "Men", "Women", "Music", "Children", "Shoes"]
+_BRAND_BASE = ["amalg", "edu pack", "exporti", "importo", "scholar",
+               "brand", "corp", "maxi", "univ", "nameless"]
+_ED = ["Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
+       "Advanced Degree", "Unknown"]
+_MS = ["M", "S", "D", "W", "U"]
+_GENDER = ["M", "F"]
+_CREDIT = ["Low Risk", "High Risk", "Good", "Unknown"]
+_BUY = [">10000", "5001-10000", "1001-5000", "501-1000", "0-500"]
+
+
+class TPCDSTableGenerator:
+    def __init__(self, scale_factor: float = 1.0, seed: int = 20030101,
+                 demo_density: float = None):
+        self.sf = scale_factor
+        self.rng = np.random.default_rng(seed)
+        self.demo_density = (
+            demo_density if demo_density is not None
+            else min(1.0, max(scale_factor, 0.001))
+        )
+
+    @property
+    def n_item(self):
+        return max(int(18_000 * min(self.sf, 10) ** 0.5), 20)
+
+    @property
+    def n_customer(self):
+        return max(int(100_000 * self.sf), 20)
+
+    @property
+    def n_store(self):
+        return max(int(12 * max(self.sf, 1) ** 0.5), 2)
+
+    @property
+    def n_promo(self):
+        return max(int(300 * max(self.sf, 1) ** 0.5), 5)
+
+    @property
+    def n_store_sales(self):
+        return max(int(2_880_000 * self.sf), 100)
+
+    def generate(self) -> Dict[str, Table]:
+        tables = {
+            "date_dim": self._date_dim(),
+            "time_dim": self._time_dim(),
+            "item": self._item(),
+            "store": self._store(),
+            "promotion": self._promotion(),
+            "customer_address": self._customer_address(),
+            "customer_demographics": self._customer_demographics(),
+            "household_demographics": self._household_demographics(),
+        }
+        tables["customer"] = self._customer(tables)
+        tables["store_sales"] = self._store_sales(tables)
+        pk = {
+            "date_dim": ("d_date_sk",), "time_dim": ("t_time_sk",),
+            "item": ("i_item_sk",), "store": ("s_store_sk",),
+            "promotion": ("p_promo_sk",), "customer": ("c_customer_sk",),
+            "customer_address": ("ca_address_sk",),
+            "customer_demographics": ("cd_demo_sk",),
+            "household_demographics": ("hd_demo_sk",),
+        }
+        for name, cols in pk.items():
+            tables[name].key_constraints.append(TableKeyConstraint(cols, True))
+        return tables
+
+    def generate_into(self, storage_manager) -> Dict[str, Table]:
+        tables = self.generate()
+        for name, t in tables.items():
+            if storage_manager.has_table(name):
+                storage_manager.drop_table(name)
+            storage_manager.add_table(name, t)
+        return tables
+
+    # ------------------------------------------------------------- tables
+
+    def _date_dim(self) -> Table:
+        days = np.arange(D_START, D_END + 1, dtype=np.int64)
+        y, m, d = days_to_ymd(days)
+        sk = (days - D_START + 2450815).astype(np.int32)
+        dow = ((days + 4) % 7).astype(np.int32)
+        return Table.from_numpy(
+            {
+                "d_date_sk": sk,
+                "d_date": days.astype(np.int32),
+                "d_year": y.astype(np.int32),
+                "d_moy": m.astype(np.int32),
+                "d_dom": d.astype(np.int32),
+                "d_qoy": ((m - 1) // 3 + 1).astype(np.int32),
+                "d_day_name": np.array(
+                    ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+                     "Friday", "Saturday"]
+                )[(dow + 1) % 7],
+                "d_dow": dow,
+                "d_month_seq": ((y - 1998) * 12 + m - 1).astype(np.int32),
+            },
+            {
+                "d_date_sk": DataType.INT, "d_date": DataType.DATE,
+                "d_year": DataType.INT, "d_moy": DataType.INT,
+                "d_dom": DataType.INT, "d_qoy": DataType.INT,
+                "d_day_name": DataType.STRING, "d_dow": DataType.INT,
+                "d_month_seq": DataType.INT,
+            },
+        )
+
+    def _time_dim(self) -> Table:
+        secs = np.arange(0, 86400, 60, dtype=np.int32)  # minute granularity
+        return Table.from_numpy(
+            {
+                "t_time_sk": np.arange(len(secs), dtype=np.int32),
+                "t_time": secs,
+                "t_hour": (secs // 3600).astype(np.int32),
+                "t_minute": ((secs % 3600) // 60).astype(np.int32),
+                "t_meal_time": np.where(
+                    (secs >= 6 * 3600) & (secs < 9 * 3600), "breakfast",
+                    np.where((secs >= 11 * 3600) & (secs < 14 * 3600),
+                             "dinner", ""),
+                ),
+            },
+            {
+                "t_time_sk": DataType.INT, "t_time": DataType.INT,
+                "t_hour": DataType.INT, "t_minute": DataType.INT,
+                "t_meal_time": DataType.STRING,
+            },
+        )
+
+    def _item(self) -> Table:
+        rng = self.rng
+        n = self.n_item
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        cat_id = rng.integers(0, len(_CATEGORIES), size=n)
+        brand_id = rng.integers(1, 10, size=n) * 1000 + cat_id * 100 + \
+            rng.integers(1, 10, size=n)
+        manufact_id = rng.integers(1, 1000, size=n).astype(np.int32)
+        return Table.from_numpy(
+            {
+                "i_item_sk": sk,
+                "i_item_id": np.char.add(
+                    "AAAAAAAA", np.char.zfill(sk.astype(str), 8)
+                ),
+                "i_item_desc": _texts(rng, n, 6),
+                "i_current_price": _money(rng.integers(9, 100000, size=n)),
+                "i_brand_id": brand_id.astype(np.int32),
+                "i_brand": np.char.add(
+                    np.array(_BRAND_BASE)[rng.integers(0, 10, size=n)],
+                    np.char.add(" #", brand_id.astype(str)),
+                ),
+                "i_category_id": (cat_id + 1).astype(np.int32),
+                "i_category": np.array(_CATEGORIES)[cat_id],
+                "i_manufact_id": manufact_id,
+                "i_manufact": np.char.add("mfg#", manufact_id.astype(str)),
+                "i_color": _texts(rng, n, 1),
+                "i_manager_id": rng.integers(1, 101, size=n).astype(np.int32),
+            },
+            {
+                "i_item_sk": DataType.INT, "i_item_id": DataType.STRING,
+                "i_item_desc": DataType.STRING,
+                "i_current_price": DataType.DOUBLE,
+                "i_brand_id": DataType.INT, "i_brand": DataType.STRING,
+                "i_category_id": DataType.INT, "i_category": DataType.STRING,
+                "i_manufact_id": DataType.INT, "i_manufact": DataType.STRING,
+                "i_color": DataType.STRING, "i_manager_id": DataType.INT,
+            },
+        )
+
+    def _store(self) -> Table:
+        rng = self.rng
+        n = self.n_store
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "s_store_sk": sk,
+                "s_store_id": np.char.add("store_", sk.astype(str)),
+                "s_store_name": np.array(
+                    ["ought", "able", "pri", "ese", "anti", "cally", "ation",
+                     "eing", "bar", "ought2", "able2", "pri2"][:n]
+                    if n <= 12 else [f"store{i}" for i in sk]
+                ),
+                "s_number_employees": rng.integers(200, 301, size=n).astype(np.int32),
+                "s_city": np.array(["Midway", "Fairview"])[sk % 2],
+                "s_county": np.array(["Williamson County"] * n),
+                "s_state": np.array(["TN"] * n),
+                "s_zip": np.char.zfill(
+                    rng.integers(30000, 40000, size=n).astype(str), 5
+                ),
+                "s_gmt_offset": np.full(n, -5.0),
+            },
+            {
+                "s_store_sk": DataType.INT, "s_store_id": DataType.STRING,
+                "s_store_name": DataType.STRING,
+                "s_number_employees": DataType.INT,
+                "s_city": DataType.STRING, "s_county": DataType.STRING,
+                "s_state": DataType.STRING, "s_zip": DataType.STRING,
+                "s_gmt_offset": DataType.DOUBLE,
+            },
+        )
+
+    def _promotion(self) -> Table:
+        rng = self.rng
+        n = self.n_promo
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "p_promo_sk": sk,
+                "p_promo_id": np.char.add("promo_", sk.astype(str)),
+                "p_channel_dmail": np.array(["Y", "N"])[rng.integers(0, 2, n)],
+                "p_channel_email": np.array(["Y", "N"])[rng.integers(0, 2, n)],
+                "p_channel_tv": np.array(["Y", "N"])[rng.integers(0, 2, n)],
+                "p_channel_event": np.array(["Y", "N"])[rng.integers(0, 2, n)],
+            },
+            {
+                "p_promo_sk": DataType.INT, "p_promo_id": DataType.STRING,
+                "p_channel_dmail": DataType.STRING,
+                "p_channel_email": DataType.STRING,
+                "p_channel_tv": DataType.STRING,
+                "p_channel_event": DataType.STRING,
+            },
+        )
+
+    def _customer_address(self) -> Table:
+        rng = self.rng
+        n = max(int(self.n_customer * 0.5), 10)
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "ca_address_sk": sk,
+                "ca_city": _texts(rng, n, 1),
+                "ca_county": _texts(rng, n, 1),
+                "ca_state": np.array(
+                    ["TN", "CA", "TX", "NY", "OH", "GA", "IL", "WA"]
+                )[rng.integers(0, 8, size=n)],
+                "ca_zip": np.char.zfill(
+                    rng.integers(10000, 99999, size=n).astype(str), 5
+                ),
+                "ca_country": np.array(["United States"] * n),
+                "ca_gmt_offset": np.array([-5.0, -6.0, -7.0, -8.0])[
+                    rng.integers(0, 4, size=n)
+                ],
+            },
+            {
+                "ca_address_sk": DataType.INT, "ca_city": DataType.STRING,
+                "ca_county": DataType.STRING, "ca_state": DataType.STRING,
+                "ca_zip": DataType.STRING, "ca_country": DataType.STRING,
+                "ca_gmt_offset": DataType.DOUBLE,
+            },
+        )
+
+    def _customer_demographics(self) -> Table:
+        # spec: fixed cross product of attribute values; scaled by density
+        full = []
+        for g in _GENDER:
+            for ms in _MS:
+                for ed in _ED:
+                    for pe in range(500, 10001, 500):
+                        full.append((g, ms, ed, pe))
+        step = max(int(1 / self.demo_density), 1)
+        rows = full[::step] if step > 1 else full
+        n = len(rows)
+        return Table.from_numpy(
+            {
+                "cd_demo_sk": np.arange(1, n + 1, dtype=np.int32),
+                "cd_gender": np.array([r[0] for r in rows]),
+                "cd_marital_status": np.array([r[1] for r in rows]),
+                "cd_education_status": np.array([r[2] for r in rows]),
+                "cd_purchase_estimate": np.array([r[3] for r in rows],
+                                                 dtype=np.int32),
+                "cd_credit_rating": np.array(_CREDIT)[
+                    np.arange(n) % len(_CREDIT)
+                ],
+            },
+            {
+                "cd_demo_sk": DataType.INT, "cd_gender": DataType.STRING,
+                "cd_marital_status": DataType.STRING,
+                "cd_education_status": DataType.STRING,
+                "cd_purchase_estimate": DataType.INT,
+                "cd_credit_rating": DataType.STRING,
+            },
+        )
+
+    def _household_demographics(self) -> Table:
+        rows = []
+        for buy in _BUY:
+            for dep in range(0, 10):
+                for veh in range(-1, 5):
+                    rows.append((buy, dep, veh))
+        n = len(rows)
+        return Table.from_numpy(
+            {
+                "hd_demo_sk": np.arange(1, n + 1, dtype=np.int32),
+                "hd_buy_potential": np.array([r[0] for r in rows]),
+                "hd_dep_count": np.array([r[1] for r in rows], dtype=np.int32),
+                "hd_vehicle_count": np.array([r[2] for r in rows],
+                                             dtype=np.int32),
+            },
+            {
+                "hd_demo_sk": DataType.INT,
+                "hd_buy_potential": DataType.STRING,
+                "hd_dep_count": DataType.INT,
+                "hd_vehicle_count": DataType.INT,
+            },
+        )
+
+    def _customer(self, tables) -> Table:
+        rng = self.rng
+        n = self.n_customer
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        n_addr = tables["customer_address"].num_rows
+        n_cd = tables["customer_demographics"].num_rows
+        n_hd = tables["household_demographics"].num_rows
+        return Table.from_numpy(
+            {
+                "c_customer_sk": sk,
+                "c_customer_id": np.char.add(
+                    "AAAAAAAA", np.char.zfill(sk.astype(str), 8)
+                ),
+                "c_current_addr_sk": rng.integers(1, n_addr + 1, size=n).astype(np.int32),
+                "c_current_cdemo_sk": rng.integers(1, n_cd + 1, size=n).astype(np.int32),
+                "c_current_hdemo_sk": rng.integers(1, n_hd + 1, size=n).astype(np.int32),
+                "c_first_name": _texts(rng, n, 1),
+                "c_last_name": _texts(rng, n, 1),
+                "c_birth_year": rng.integers(1930, 1995, size=n).astype(np.int32),
+            },
+            {
+                "c_customer_sk": DataType.INT,
+                "c_customer_id": DataType.STRING,
+                "c_current_addr_sk": DataType.INT,
+                "c_current_cdemo_sk": DataType.INT,
+                "c_current_hdemo_sk": DataType.INT,
+                "c_first_name": DataType.STRING,
+                "c_last_name": DataType.STRING,
+                "c_birth_year": DataType.INT,
+            },
+        )
+
+    def _store_sales(self, tables) -> Table:
+        rng = self.rng
+        n = self.n_store_sales
+        n_dates = tables["date_dim"].num_rows
+        quantity = rng.integers(1, 101, size=n).astype(np.int32)
+        wholesale = _money(rng.integers(100, 10000, size=n))
+        list_price = np.round(wholesale * (1 + rng.random(n)) * 100) / 100
+        discount = rng.random(n) * 0.4
+        sales_price = np.round(list_price * (1 - discount) * 100) / 100
+        ext_sales = np.round(sales_price * quantity * 100) / 100
+        ext_list = np.round(list_price * quantity * 100) / 100
+        ext_wholesale = np.round(wholesale * quantity * 100) / 100
+        return Table.from_numpy(
+            {
+                "ss_sold_date_sk": (
+                    rng.integers(0, n_dates, size=n) + 2450815
+                ).astype(np.int32),
+                "ss_sold_time_sk": rng.integers(
+                    0, tables["time_dim"].num_rows, size=n
+                ).astype(np.int32),
+                "ss_item_sk": rng.integers(1, self.n_item + 1, size=n).astype(np.int32),
+                "ss_customer_sk": rng.integers(1, self.n_customer + 1, size=n).astype(np.int32),
+                "ss_cdemo_sk": rng.integers(
+                    1, tables["customer_demographics"].num_rows + 1, size=n
+                ).astype(np.int32),
+                "ss_hdemo_sk": rng.integers(
+                    1, tables["household_demographics"].num_rows + 1, size=n
+                ).astype(np.int32),
+                "ss_addr_sk": rng.integers(
+                    1, tables["customer_address"].num_rows + 1, size=n
+                ).astype(np.int32),
+                "ss_store_sk": rng.integers(1, self.n_store + 1, size=n).astype(np.int32),
+                "ss_promo_sk": rng.integers(1, self.n_promo + 1, size=n).astype(np.int32),
+                "ss_ticket_number": (np.arange(n) // 8 + 1).astype(np.int32),
+                "ss_quantity": quantity,
+                "ss_wholesale_cost": wholesale,
+                "ss_list_price": list_price,
+                "ss_sales_price": sales_price,
+                "ss_ext_discount_amt": np.round(
+                    (ext_list - ext_sales) * 100
+                ) / 100,
+                "ss_ext_sales_price": ext_sales,
+                "ss_ext_list_price": ext_list,
+                "ss_ext_wholesale_cost": ext_wholesale,
+                "ss_coupon_amt": np.where(
+                    rng.random(n) < 0.1,
+                    np.round(ext_sales * 0.1 * 100) / 100, 0.0
+                ),
+                "ss_net_profit": np.round(
+                    (ext_sales - ext_wholesale) * 100
+                ) / 100,
+            },
+            {
+                "ss_sold_date_sk": DataType.INT,
+                "ss_sold_time_sk": DataType.INT,
+                "ss_item_sk": DataType.INT, "ss_customer_sk": DataType.INT,
+                "ss_cdemo_sk": DataType.INT, "ss_hdemo_sk": DataType.INT,
+                "ss_addr_sk": DataType.INT, "ss_store_sk": DataType.INT,
+                "ss_promo_sk": DataType.INT,
+                "ss_ticket_number": DataType.INT,
+                "ss_quantity": DataType.INT,
+                "ss_wholesale_cost": DataType.DOUBLE,
+                "ss_list_price": DataType.DOUBLE,
+                "ss_sales_price": DataType.DOUBLE,
+                "ss_ext_discount_amt": DataType.DOUBLE,
+                "ss_ext_sales_price": DataType.DOUBLE,
+                "ss_ext_list_price": DataType.DOUBLE,
+                "ss_ext_wholesale_cost": DataType.DOUBLE,
+                "ss_coupon_amt": DataType.DOUBLE,
+                "ss_net_profit": DataType.DOUBLE,
+            },
+        )

@@ -40,11 +40,17 @@ _POS_SENTINEL = np.iinfo(np.int64).max
 
 class Aggregate(AbstractReadOnlyOperator):
     def __init__(self, in_op, group_by: Sequence[ast.Expression],
-                 aggregates: Sequence[ast.AggregateExpression]):
+                 aggregates: Sequence[ast.AggregateExpression],
+                 dependent: Sequence[ast.Expression] = ()):
         super().__init__(in_op)
         self.group_by = list(group_by)
         self.aggregates = list(aggregates)
-        self.output_expressions = self.group_by + self.aggregates
+        # key-determined columns output via representative rows (see
+        # DependentGroupByReduction rule)
+        self.dependent = list(dependent)
+        self.output_expressions = (
+            self.group_by + self.dependent + self.aggregates
+        )
 
     DENSE_DOMAIN_LIMIT = 1 << 21
 
@@ -137,7 +143,13 @@ class Aggregate(AbstractReadOnlyOperator):
                 perm = jnp.arange(t.capacity, dtype=jnp.int32)
                 seg_ids = jnp.where(n_mask, 0, 1).astype(jnp.int64)
                 num_groups = jnp.int64(1)
+            dep_results = [ev.evaluate(e) for e in self.dependent]
             arg_results = [ev.evaluate(e) for e in arg_list]
+            dep_arrays = [
+                (r.data if r.data.dtype != jnp.bool_ else r.data.astype(jnp.int32),
+                 r.validity)
+                for r in dep_results
+            ]
             key_arrays = [
                 (r.data if r.data.dtype != jnp.bool_ else r.data.astype(jnp.int32),
                  r.validity)
@@ -151,21 +163,24 @@ class Aggregate(AbstractReadOnlyOperator):
             meta = (
                 [(r.dtype, r.dictionary, r.dict_sorted) for r in key_results],
                 [(r.dtype, r.dictionary, r.dict_sorted) for r in arg_results],
+                [(r.dtype, r.dictionary, r.dict_sorted) for r in dep_results],
             )
-            return (perm, seg_ids, num_groups, n_mask, key_arrays, arg_arrays), meta
+            return (perm, seg_ids, num_groups, n_mask, key_arrays,
+                    arg_arrays, dep_arrays), meta
 
-        (perm, seg_ids, num_groups_dev, n_mask, key_arrays, arg_arrays), meta = \
-            run_stage(
-                "agg1", table, build1,
-                extra_key=(
-                    tuple(e.key() for e in self.group_by),
-                    tuple(k for k in seen.keys()),
-                    _pk(self.parameters),
-                    tuple(dense_domains) if dense_domains else None,
-                ),
-                cacheable=cacheable,
-            )
-        key_meta, arg_meta = meta
+        (perm, seg_ids, num_groups_dev, n_mask, key_arrays, arg_arrays,
+         dep_arrays), meta = run_stage(
+            "agg1", table, build1,
+            extra_key=(
+                tuple(e.key() for e in self.group_by),
+                tuple(e.key() for e in self.dependent),
+                tuple(k for k in seen.keys()),
+                _pk(self.parameters),
+                tuple(dense_domains) if dense_domains else None,
+            ),
+            cacheable=cacheable,
+        )
+        key_meta, arg_meta, dep_meta = meta
         if dense_domains is not None:
             num_groups = 1
             for _, _, size in dense_domains:
@@ -181,7 +196,7 @@ class Aggregate(AbstractReadOnlyOperator):
             for a in self.aggregates
         )
 
-        def build2(perm, seg_ids, n_mask, key_arrays, arg_arrays):
+        def build2(perm, seg_ids, n_mask, key_arrays, arg_arrays, dep_arrays):
             cap = perm.shape[0]
             sorted_real = jnp.take(n_mask, perm)
             seg_c = jnp.where(sorted_real, seg_ids, out_cap)
@@ -199,7 +214,7 @@ class Aggregate(AbstractReadOnlyOperator):
                 )
                 first_pos = jnp.clip(first_pos, 0, cap - 1)
                 rep_rows = jnp.take(perm, first_pos)
-                for (data, valid) in key_arrays:
+                for (data, valid) in key_arrays + dep_arrays:
                     kd = jnp.take(data, rep_rows)
                     kv = jnp.take(valid, rep_rows) if valid is not None else None
                     out_arrays.append((kd, kv))
@@ -258,9 +273,11 @@ class Aggregate(AbstractReadOnlyOperator):
             return out_arrays, None
 
         out_arrays, _ = run_arrays(
-            "agg2", build2, (perm, seg_ids, n_mask, key_arrays, arg_arrays),
+            "agg2", build2,
+            (perm, seg_ids, n_mask, key_arrays, arg_arrays, dep_arrays),
             extra_key=(agg_spec, out_cap, bool(self.group_by),
-                       tuple(e.key() for e in self.group_by)),
+                       tuple(e.key() for e in self.group_by),
+                       tuple(e.key() for e in self.dependent)),
             cacheable=cacheable,
         )
 
@@ -271,7 +288,9 @@ class Aggregate(AbstractReadOnlyOperator):
         out_arrays = out_arrays[1:]
         i = 0
         if self.group_by:
-            for expr, (dtype, dictionary, ds) in zip(self.group_by, key_meta):
+            for expr, (dtype, dictionary, ds) in zip(
+                self.group_by + self.dependent, key_meta + dep_meta
+            ):
                 data, valid = out_arrays[i]
                 i += 1
                 names.append(expr.name())

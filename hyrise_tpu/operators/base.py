@@ -163,8 +163,11 @@ class AbstractOperator:
         from hyrise_tpu.types import size_bucket
 
         if est_rows is not None and est_rows > 0:
-            if size_bucket(max(int(est_rows), 1)) * shrink_factor > table.capacity:
-                return table  # likely dense: don't pay the sync
+            # skip the sync only when the estimate says ESSENTIALLY FULL:
+            # a wasted sync costs ~1-30ms, a wasted full-capacity sort
+            # costs seconds — bias strongly toward syncing
+            if size_bucket(max(int(est_rows), 1)) >= table.capacity:
+                return table
         n = table.valid_count
         if size_bucket(max(n, 1)) * shrink_factor <= table.capacity:
             return table.materialize()

@@ -56,6 +56,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.null_scan_removal import (
             NullScanRemovalRule,
         )
+        from hyrise_tpu.optimizer.strategy.dependent_group_by import (
+            DependentGroupByReductionRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -64,6 +67,7 @@ class Optimizer:
             ExpressionReductionRule(),
             InExpressionRewriteRule(),
             SubqueryToJoinRule(),
+            DependentGroupByReductionRule(),
             SemiJoinReductionRule(),
             PredicatePlacementRule(),
             JoinOrderingRule(),

@@ -191,12 +191,17 @@ class AggregateNode(LQPNode):
         super().__init__(left)
         self.group_by = list(group_by)
         self.aggregates = list(aggregates)
+        # functionally-dependent columns (determined by a unique key in
+        # group_by): output per-group via representative rows, keeping
+        # their ORIGINAL expression identity (ref: the reference rewrites
+        # these to ANY() — dependent_group_by_reduction_rule.cpp)
+        self.dependent: List[ast.Expression] = []
 
     def output_expressions(self):
-        return self.group_by + self.aggregates
+        return self.group_by + self.dependent + self.aggregates
 
     def node_expressions(self):
-        return self.group_by + self.aggregates
+        return self.group_by + self.dependent + self.aggregates
 
     def description(self):
         return (
@@ -210,6 +215,7 @@ class AggregateNode(LQPNode):
     def _self_key(self):
         return (
             tuple(e.key() for e in self.group_by),
+            tuple(e.key() for e in self.dependent),
             tuple(e.key() for e in self.aggregates),
         )
 

@@ -98,8 +98,11 @@ class LQPTranslator:
             return AliasOperator(left, node.names)
         if t is L.AggregateNode:
             left = self._translate(node.left, cache)
-            op = Aggregate(left, node.group_by, node.aggregates)
-            self._wire_subqueries(op, node.group_by + node.aggregates, cache)
+            op = Aggregate(left, node.group_by, node.aggregates,
+                           dependent=node.dependent)
+            self._wire_subqueries(
+                op, node.group_by + node.dependent + node.aggregates, cache
+            )
             return op
         if t is L.SortNode:
             left = self._translate(node.left, cache)

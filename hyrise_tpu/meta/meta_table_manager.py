@@ -172,6 +172,7 @@ class MetaTableManager:
             "encoding_type": [],
             "distinct_value_count": [],
             "estimated_size_in_bytes": [],
+            "access_count": [],
         }
         for tname in sm.table_names():
             t = sm.get_table(tname)
@@ -188,6 +189,7 @@ class MetaTableManager:
                 rows["estimated_size_in_bytes"].append(
                     int(col.data.size * col.data.dtype.itemsize)
                 )
+                rows["access_count"].append(t.access_counters.get(cname, 0))
         return Table.from_dict(
             rows,
             types={
@@ -197,6 +199,7 @@ class MetaTableManager:
                 "encoding_type": DataType.STRING,
                 "distinct_value_count": DataType.LONG,
                 "estimated_size_in_bytes": DataType.LONG,
+                "access_count": DataType.LONG,
             },
         )
 

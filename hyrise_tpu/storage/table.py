@@ -83,6 +83,10 @@ class Table:
         self.pruning_statistics = None
         # MVCC sidecar (concurrency/mvcc.py attaches for DML tables).
         self.mvcc = None
+        # per-column access counters (ref: segment_access_counter.hpp:20-37
+        # Point/Sequential/... counters; ours counts scan touches, surfaced
+        # via meta_segments)
+        self.access_counters = {}
 
     # ----------------------------------------------------------------- schema
 
@@ -197,6 +201,8 @@ class Table:
         return t
 
     def select(self, names: Sequence[str]) -> "Table":
+        for n in names:
+            self.access_counters[n] = self.access_counters.get(n, 0) + 1
         return Table(
             list(names), [self.column(n) for n in names], self.num_rows,
             self.selection,

@@ -8,6 +8,8 @@ dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip.
 import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# CPU compiles are fast; the persistent cache only adds AOT reload noise
+os.environ.setdefault("HYRISE_TPU_COMPILE_CACHE", "")
 
 import jax
 

@@ -1,0 +1,146 @@
+"""Hand-written Pallas TPU kernels for the hottest operator inner loops.
+
+These complement the XLA-compiled stages: where XLA's fusions are already
+bandwidth-bound (elementwise scans) Pallas adds little, but grouping can
+ride the MXU — a one-hot matmul turns dense-slot aggregation into a
+(block x slots) systolic-array contraction instead of scatter-adds.
+
+All kernels run in interpret mode on CPU (tests) and compiled on TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_ROWS = 2048
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------- group sum
+
+
+def _group_sum_kernel(slots_ref, values_ref, mask_ref, out_ref):
+    """One grid step aggregates BLOCK_ROWS rows into (1, n_slots) sums via
+    a one-hot MXU contraction; the output block revisits every step and
+    accumulates (ref pattern: aggregate partials; guide §Grid)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    slots = slots_ref[:]                       # (1, B) int32
+    vals = jnp.where(mask_ref[:], values_ref[:], 0.0)   # (1, B) f32
+    n_slots = out_ref.shape[1]
+    # one-hot (B, S) on the fly; MXU contracts (1, B) x (B, S) -> (1, S)
+    onehot = (
+        slots.reshape(-1, 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (slots.shape[1], n_slots), 1)
+    ).astype(jnp.float32)
+    out_ref[:] += jnp.dot(vals, onehot, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("n_slots",))
+def pallas_dense_group_sum(slots: jax.Array, values: jax.Array,
+                           mask: jax.Array, n_slots: int) -> jax.Array:
+    """Dense grouped sum: out[s] = sum(values[i] where slots[i]==s & mask).
+
+    slots int32 (N,), values f32 (N,), mask bool (N,); N must be a
+    multiple of BLOCK_ROWS (callers pad; padding rows carry mask=False)."""
+    n = values.shape[0]
+    assert n % BLOCK_ROWS == 0, n
+    grid = (n // BLOCK_ROWS,)
+    out = pl.pallas_call(
+        _group_sum_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_slots), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_slots), jnp.float32),
+        interpret=_interpret(),
+    )(
+        slots.reshape(1, -1).astype(jnp.int32),
+        values.reshape(1, -1).astype(jnp.float32),
+        mask.reshape(1, -1),
+    )
+    return out[0]
+
+
+# ------------------------------------------------------------- scan+reduce
+
+
+def _scan_reduce_kernel(shipdate_ref, disc_ref, qty_ref, price_ref,
+                        bounds_ref, out_ref):
+    """Fused Q6: 3-predicate filter + masked sum + count in one pass."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lo = bounds_ref[0, 0]
+    hi = bounds_ref[0, 1]
+    sd = shipdate_ref[:]
+    dc = disc_ref[:]
+    qt = qty_ref[:]
+    pr = price_ref[:]
+    m = (
+        (sd >= lo) & (sd < hi)
+        & (dc >= 0.05 - 1e-9) & (dc <= 0.07 + 1e-9) & (qt < 24.0)
+    )
+    revenue = jnp.sum(jnp.where(m, pr * dc, 0.0))
+    count = jnp.sum(m.astype(jnp.float32))
+    out_ref[0, 0] += revenue
+    out_ref[0, 1] += count
+
+
+@jax.jit
+def pallas_q6_scan(shipdate: jax.Array, discount: jax.Array,
+                   quantity: jax.Array, price: jax.Array,
+                   lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Returns (revenue, matched_count) for the TPC-H Q6 shape."""
+    n = shipdate.shape[0]
+    assert n % BLOCK_ROWS == 0, n
+    grid = (n // BLOCK_ROWS,)
+    bounds = jnp.stack([lo.astype(jnp.int32), hi.astype(jnp.int32)]).reshape(1, 2)
+    out = pl.pallas_call(
+        _scan_reduce_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        interpret=_interpret(),
+    )(
+        shipdate.reshape(1, -1).astype(jnp.int32),
+        discount.reshape(1, -1).astype(jnp.float32),
+        quantity.reshape(1, -1).astype(jnp.float32),
+        price.reshape(1, -1).astype(jnp.float32),
+        bounds,
+    )
+    return out[0]

@@ -11,6 +11,8 @@ passed as traced scalars so changing data does NOT retrace.
 
 from __future__ import annotations
 
+import os
+import time
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -20,6 +22,18 @@ from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
 
 _CACHE: Dict[tuple, Callable] = {}
+
+# Opt-in per-stage wall timing (forces a device sync per stage — only for
+# profiling; ref: step-level OperatorPerformanceData,
+# operator_performance_data.hpp:29-68)
+PROFILE_STAGES = os.environ.get("HYRISE_TPU_PROFILE_STAGES", "0") == "1"
+STAGE_TIMES: Dict[str, float] = {}
+
+
+def _record(tag: str, out, t0: float) -> None:
+    if PROFILE_STAGES:
+        jax.block_until_ready(out)
+        STAGE_TIMES[tag] = STAGE_TIMES.get(tag, 0.0) + (time.perf_counter() - t0)
 
 
 def table_signature(table: Table) -> tuple:
@@ -82,7 +96,10 @@ def run_stage(
         hit = _CACHE.get(key)
         if hit is not None:
             fn, meta = hit
-            return fn(datas, valids, sel, nr), meta
+            t0 = time.perf_counter()
+            out = fn(datas, valids, sel, nr)
+            _record(tag, out, t0)
+            return out, meta
 
     meta_cell = {}
 
@@ -92,7 +109,9 @@ def run_stage(
         meta_cell["meta"] = meta
         return arrays
 
+    t0 = time.perf_counter()
     out = fn(datas, valids, sel, nr)
+    _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
         _CACHE[key] = (fn, meta)

@@ -101,19 +101,22 @@ def main() -> None:
     except Exception as exc:  # baseline is best-effort
         print(f"# sqlite baseline unavailable: {exc}", file=sys.stderr)
 
-    def sqlite_time(qid):
+    verify = os.environ.get("HYRISE_TPU_BENCH_VERIFY", "1") == "1"
+
+    def sqlite_run(qid):
+        """-> (seconds, rows) or (None, None) past the cap."""
         if oracle is None:
-            return None
+            return None, None
         deadline = time.perf_counter() + baseline_cap_s
         oracle.conn.set_progress_handler(
             lambda: 1 if time.perf_counter() > deadline else 0, 200_000
         )
         t0 = time.perf_counter()
         try:
-            oracle.execute(sqlite_compat(TPCH_QUERIES[qid]))
-            return time.perf_counter() - t0
+            rows = oracle.execute(sqlite_compat(TPCH_QUERIES[qid]))
+            return time.perf_counter() - t0, rows
         except Exception:
-            return None  # interrupted past the cap or unsupported
+            return None, None  # interrupted past the cap or unsupported
         finally:
             oracle.conn.set_progress_handler(None, 0)
 
@@ -127,19 +130,30 @@ def main() -> None:
             break
         sql = TPCH_QUERIES[qid]
         try:
-            SQLPipelineBuilder(sql).create_pipeline().get_result_table()  # warm
+            warm = SQLPipelineBuilder(sql).create_pipeline().get_result_table()
+            our_rows = warm.to_pylist() if warm is not None else []
             best = math.inf
             for _ in range(runs):
                 t0 = time.perf_counter()
                 SQLPipelineBuilder(sql).create_pipeline().get_result_table()
                 best = min(best, time.perf_counter() - t0)
+            base, base_rows = sqlite_run(qid)
+            verified = ""
+            if verify and base_rows is not None:
+                from tests.sqlite_oracle import rows_match
+
+                ok = rows_match(our_rows, base_rows, ordered=False)
+                verified = " rows-OK" if ok else " ROWS-MISMATCH"
+                if not ok:
+                    print(f"# Q{qid} row mismatch: ours={len(our_rows)} "
+                          f"sqlite={len(base_rows)}", file=sys.stderr,
+                          flush=True)
             our_times[qid] = best
-            base = sqlite_time(qid)
             if base is not None:
                 sqlite_times[qid] = base
             ratio = f" ({base / best:.2f}x vs sqlite)" if base else ""
-            print(f"# Q{qid}: {best * 1e3:.1f} ms{ratio}", file=sys.stderr,
-                  flush=True)
+            print(f"# Q{qid}: {best * 1e3:.1f} ms{ratio}{verified}",
+                  file=sys.stderr, flush=True)
         except Exception as exc:
             print(f"# Q{qid} FAILED: {exc}", file=sys.stderr, flush=True)
 

@@ -97,8 +97,7 @@ class Aggregate(AbstractReadOnlyOperator):
         return specs
 
     def _on_execute(self) -> Table:
-        table = self.maybe_compact(self.input_table_left(),
-                                   est_rows=self.input_estimated_rows())
+        table = self.input_table_left()
         cmap = self._column_map(self._left)
         cacheable = not self.uncorrelated_subquery_plans
 
@@ -111,6 +110,17 @@ class Aggregate(AbstractReadOnlyOperator):
         arg_pos = {k: i for i, k in enumerate(seen.keys())}
 
         dense_domains = self._dense_domains(table, cmap)
+        needs_distinct_sort = any(
+            a.distinct or a.function == AggregateFunction.COUNT_DISTINCT
+            for a in self.aggregates
+        )
+        if (self.group_by and dense_domains is None) or needs_distinct_sort:
+            # only the sorted paths benefit from compaction; global and
+            # dense-slot aggregation are sort-free and sync-free
+            table = self.maybe_compact(
+                table, est_rows=self.input_estimated_rows()
+            )
+            dense_domains = self._dense_domains(table, cmap)
 
         # ---------------- stage 1: keys, args, sort, segment ids ----------
         def build1(t: Table):

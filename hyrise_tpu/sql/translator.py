@@ -467,7 +467,9 @@ class SQLTranslator:
         target_root = self._translate_named_table(
             st.NamedTable(stmt.table_name), scope
         )
-        self._enable_rowids(target_root)
+        is_meta = Database.get().meta_table_manager.has_table(stmt.table_name)
+        if not is_meta:
+            self._enable_rowids(target_root)
         if stmt.where is not None:
             pred = self._resolve_expr(stmt.where, scope)
             target_root = self._predicates_from_conjunction(pred, target_root, scope)

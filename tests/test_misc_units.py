@@ -1,0 +1,120 @@
+"""Unit tests for support components: GDFS cache, date kernels, type
+lattice, settings, log manager, cost model."""
+
+import numpy as np
+import pytest
+
+from hyrise_tpu.sql.plan_cache import GDFSCache
+from hyrise_tpu.types import (
+    DataType,
+    common_numeric_type,
+    padded_size,
+    size_bucket,
+)
+from hyrise_tpu.utils.dates import (
+    date_str_to_days,
+    days_to_date_str,
+    days_to_ymd,
+    single_date_to_days,
+)
+
+
+def test_gdfs_cache_eviction_prefers_frequent():
+    cache = GDFSCache(capacity=2)
+    cache.set("a", 1)
+    cache.set("b", 2)
+    for _ in range(5):
+        assert cache.try_get("a") == 1
+    cache.set("c", 3)  # evicts the low-priority 'b'
+    assert cache.try_get("a") == 1
+    assert cache.try_get("b") is None
+    assert cache.try_get("c") == 3
+
+
+def test_gdfs_inflation_lets_new_entries_in():
+    cache = GDFSCache(capacity=2)
+    cache.set("hot", 1)
+    for _ in range(100):
+        cache.try_get("hot")
+    cache.set("x", 2)
+    cache.set("y", 3)  # evicts x or hot; inflation means y still enters
+    assert len(cache) == 2
+    assert cache.try_get("y") == 3
+
+
+def test_date_roundtrip_and_civil():
+    days = date_str_to_days(["1970-01-01", "2000-02-29", "1999-12-31"])
+    assert days.tolist() == [0, 11016, 10956]
+    assert list(days_to_date_str(days)) == [
+        "1970-01-01", "2000-02-29", "1999-12-31"
+    ]
+    y, m, d = days_to_ymd(np.array([11016]))
+    assert (y[0], m[0], d[0]) == (2000, 2, 29)
+    assert single_date_to_days("1992-01-01") == 8035
+
+
+def test_device_civil_kernels_match_numpy():
+    import jax.numpy as jnp
+
+    from hyrise_tpu.kernels.datetime import civil_from_days, days_from_civil
+
+    days = np.arange(-3650, 20000, 37)
+    y, m, d = civil_from_days(jnp.asarray(days))
+    ny, nm, nd = days_to_ymd(days)
+    assert np.array_equal(np.asarray(y), ny)
+    assert np.array_equal(np.asarray(m), nm)
+    assert np.array_equal(np.asarray(d), nd)
+    back = days_from_civil(y, m, d)
+    assert np.array_equal(np.asarray(back), days)
+
+
+def test_type_lattice():
+    assert common_numeric_type(DataType.INT, DataType.LONG) == DataType.LONG
+    assert common_numeric_type(DataType.LONG, DataType.FLOAT) == DataType.DOUBLE
+    assert common_numeric_type(DataType.INT, DataType.DOUBLE) == DataType.DOUBLE
+    assert padded_size(0) == 128
+    assert padded_size(129) == 256
+    assert size_bucket(1000) == 1024
+
+
+def test_settings_manager_and_log():
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.meta.settings_manager import Setting
+    from hyrise_tpu.sql.pipeline import sql
+
+    db = Database.get()
+    seen = []
+    db.settings_manager.register(
+        Setting("worker_count", "4", "number of workers", seen.append)
+    )
+    rows = sql("SELECT name, value FROM meta_settings").to_pylist()
+    assert ("worker_count", "4") in rows
+    sql("UPDATE meta_settings SET value = '8' WHERE name = 'worker_count'")
+    assert db.settings_manager.get_setting("worker_count").get() == "8"
+    assert seen == ["8"]
+    db.log_manager.add_message("test", "hello world")
+    logs = sql("SELECT reporter, message FROM meta_log").to_pylist()
+    assert ("test", "hello world") in logs
+
+
+def test_cost_model_orders_plans_sensibly():
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.optimizer import Optimizer
+    from hyrise_tpu.sql.parser import parse_sql
+    from hyrise_tpu.sql.translator import SQLTranslator
+    from hyrise_tpu.statistics.cost_model import CostEstimator
+    from hyrise_tpu.storage import Table
+
+    db = Database.get()
+    db.storage_manager.add_table(
+        "big", Table.from_dict({"k": list(range(1000)), "v": [1.0] * 1000})
+    )
+    opt = Optimizer.create_default_optimizer()
+
+    def cost(sqltext):
+        lqp = opt.optimize(SQLTranslator().translate(parse_sql(sqltext)[0]))
+        return CostEstimator().estimate_plan_cost(lqp)
+
+    cheap = cost("SELECT k FROM big WHERE k = 5")
+    pricey = cost("SELECT a.k FROM big a JOIN big b ON a.k = b.k ORDER BY a.k")
+    assert pricey > cheap

@@ -81,13 +81,16 @@ def main() -> None:
 
     db = Database.get()
     gen_start = time.perf_counter()
-    tables = TPCHTableGenerator(scale_factor=sf).generate_into(db.storage_manager)
+    gen = TPCHTableGenerator(scale_factor=sf, keep_host=True)
+    tables = gen.generate_into(db.storage_manager)
     gen_s = time.perf_counter() - gen_start
     total_rows = sum(t.num_rows for t in tables.values())
     print(f"# generated TPC-H SF{sf}: {total_rows} rows in {gen_s:.1f}s",
           file=sys.stderr)
 
-    # ---- sqlite oracle on identical data (per-query, capped wall time)
+    # ---- sqlite oracle on identical data (per-query, capped wall time).
+    # Loaded from the generator's HOST numpy (not device tables): the TPU's
+    # f64 emulation perturbs round-tripped values and corrupts the oracle.
     baseline_cap_s = float(os.environ.get("HYRISE_TPU_BENCH_BASELINE_CAP", "30"))
     oracle = None
     try:
@@ -96,8 +99,9 @@ def main() -> None:
         from tests.test_tpch import sqlite_compat
 
         oracle = SQLiteOracle()
-        for name, t in tables.items():
-            oracle.load_table(name, t)
+        for name, (data, typs) in gen.host_tables.items():
+            oracle.load_numpy(name, data, typs)
+        gen.host_tables = {}
     except Exception as exc:  # baseline is best-effort
         print(f"# sqlite baseline unavailable: {exc}", file=sys.stderr)
 

@@ -120,14 +120,30 @@ class TPCHTableGenerator:
     tpch_table_generator.cpp:generate)."""
 
     def __init__(self, scale_factor: float = 1.0, seed: int = 19920101,
-                 skewed: bool = False):
+                 skewed: bool = False, keep_host: bool = False):
         """skewed=True generates the JCC-H-style skew variant (ref:
         benchmarklib/tpch `-j` flag wrapping third_party/jcch-dbgen): hot
         customers/parts/suppliers receive zipf-distributed traffic, the
-        stress case for distributed shuffles."""
+        stress case for distributed shuffles.
+
+        keep_host=True additionally retains the raw numpy column dicts in
+        `self.host_tables[name] = (data, types)`.  Differential baselines
+        (sqlite) must load from THIS, not from device tables: the TPU
+        emulates f64 with ~48-bit mantissas, so a device round-trip
+        perturbs values like 0.07 past their exact-f64 literals and
+        silently shifts predicate boundaries in the oracle."""
         self.sf = scale_factor
         self.skewed = skewed
+        self.keep_host = keep_host
         self.rng = np.random.default_rng(seed)
+        self.host_tables: Dict[str, tuple] = {}
+        self._host_by_id: Dict[int, tuple] = {}
+
+    def _make(self, data, types) -> Table:
+        t = Table.from_numpy(data, types)
+        if self.keep_host:
+            self._host_by_id[id(t)] = (data, types)
+        return t
 
     def _skewed_keys(self, n_keys: int, size: int) -> np.ndarray:
         """Zipf-skewed foreign keys over [1, n_keys]."""
@@ -170,6 +186,11 @@ class TPCHTableGenerator:
         tables["orders"] = orders
         tables["lineitem"] = lineitem
         _add_constraints(tables)
+        if self.keep_host:
+            self.host_tables = {
+                name: self._host_by_id[id(t)] for name, t in tables.items()
+            }
+            self._host_by_id.clear()
         return tables
 
     def generate_into(self, storage_manager) -> Dict[str, Table]:
@@ -184,7 +205,7 @@ class TPCHTableGenerator:
 
     def _region(self) -> Table:
         n = len(REGIONS)
-        return Table.from_numpy(
+        return self._make(
             {
                 "r_regionkey": np.arange(n, dtype=np.int32),
                 "r_name": np.array(REGIONS),
@@ -196,7 +217,7 @@ class TPCHTableGenerator:
 
     def _nation(self) -> Table:
         n = len(NATIONS)
-        return Table.from_numpy(
+        return self._make(
             {
                 "n_nationkey": np.arange(n, dtype=np.int32),
                 "n_name": np.array([x for x, _ in NATIONS]),
@@ -218,7 +239,7 @@ class TPCHTableGenerator:
         _inject(rng, comments, n_pat, ("Customer", "Complaints"))
         _inject(rng, comments, n_pat, ("Customer", "Recommends"))
         nat = rng.integers(0, 25, size=n).astype(np.int32)
-        return Table.from_numpy(
+        return self._make(
             {
                 "s_suppkey": keys,
                 "s_name": np.char.add("Supplier#", np.char.zfill(keys.astype(str), 9)),
@@ -260,7 +281,7 @@ class TPCHTableGenerator:
         retail = (
             90000 + (keys.astype(np.int64) // 10) % 20001 + 100 * (keys % 1000)
         )
-        return Table.from_numpy(
+        return self._make(
             {
                 "p_partkey": keys,
                 "p_name": names,
@@ -293,7 +314,7 @@ class TPCHTableGenerator:
             (p + i * (n_supp // 4 + (p - 1) // n_supp)) % n_supp + 1
         ).astype(np.int32)
         n = len(partkeys)
-        return Table.from_numpy(
+        return self._make(
             {
                 "ps_partkey": partkeys,
                 "ps_suppkey": suppkeys,
@@ -313,7 +334,7 @@ class TPCHTableGenerator:
         n = self.n_customer
         keys = np.arange(1, n + 1, dtype=np.int32)
         nat = rng.integers(0, 25, size=n).astype(np.int32)
-        return Table.from_numpy(
+        return self._make(
             {
                 "c_custkey": keys,
                 "c_name": np.char.add("Customer#", np.char.zfill(keys.astype(str), 9)),
@@ -420,7 +441,7 @@ class TPCHTableGenerator:
             ),
         )
 
-        orders = Table.from_numpy(
+        orders = self._make(
             {
                 "o_orderkey": orderkeys,
                 "o_custkey": cust,
@@ -443,7 +464,7 @@ class TPCHTableGenerator:
                 "o_shippriority": DataType.INT, "o_comment": DataType.STRING,
             },
         )
-        lineitem = Table.from_numpy(
+        lineitem = self._make(
             {
                 "l_orderkey": li_orderkey,
                 "l_partkey": partkey,

@@ -38,6 +38,37 @@ class SQLiteOracle:
             self.conn.executemany(f'INSERT INTO "{name}" VALUES ({ph})', rows)
         self.conn.commit()
 
+    def load_numpy(self, name: str, data: dict, types: dict) -> None:
+        """Load straight from host numpy columns (no device round-trip).
+
+        Benchmarks on real TPUs must use this: the TPU's f64 emulation
+        (~48-bit mantissa) perturbs values pulled back through
+        `to_pylist()`, which silently moves predicate boundaries in the
+        oracle (e.g. BETWEEN ... 0.07 dropping the 0.07 bucket)."""
+        from hyrise_tpu.utils.dates import days_to_date_str
+
+        type_map = {
+            DataType.INT: "INTEGER", DataType.LONG: "INTEGER",
+            DataType.FLOAT: "REAL", DataType.DOUBLE: "REAL",
+            DataType.STRING: "TEXT", DataType.DATE: "TEXT",
+        }
+        cols = ", ".join(f'"{n}" {type_map[types[n]]}' for n in data)
+        self.conn.execute(f'CREATE TABLE "{name}" ({cols})')
+        pycols = []
+        for n, arr in data.items():
+            import numpy as np
+
+            arr = np.asarray(arr)
+            if types[n] == DataType.DATE and arr.dtype.kind not in ("U", "S", "O"):
+                arr = days_to_date_str(arr)
+            pycols.append(arr.tolist())
+        if pycols and pycols[0]:
+            ph = ", ".join("?" for _ in data)
+            self.conn.executemany(
+                f'INSERT INTO "{name}" VALUES ({ph})', zip(*pycols)
+            )
+        self.conn.commit()
+
     def execute(self, sql: str) -> List[tuple]:
         cur = self.conn.execute(sql)
         return [tuple(r) for r in cur.fetchall()]

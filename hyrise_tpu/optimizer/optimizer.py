@@ -59,6 +59,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.dependent_group_by import (
             DependentGroupByReductionRule,
         )
+        from hyrise_tpu.optimizer.strategy.between_composition import (
+            BetweenCompositionRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -75,6 +78,7 @@ class Optimizer:
             JoinToSemiJoinRule(),
             JoinPredicateOrderingRule(),
             NullScanRemovalRule(),
+            BetweenCompositionRule(),
             PredicateReorderingRule(),
             PredicateMergeRule(),
             ColumnPruningRule(),

@@ -188,7 +188,16 @@ class ExpressionEvaluator:
     def _parameter(self, expr: ast.Parameter) -> ExprResult:
         if expr.parameter_id not in self.parameters:
             raise EvaluationError(f"unbound parameter ${expr.parameter_id}")
-        return self._literal(ast.Literal(self.parameters[expr.parameter_id]))
+        v = self.parameters[expr.parameter_id]
+        if isinstance(v, jax.Array):
+            # traced prepared-statement binding (compiled.split_params):
+            # broadcast the scalar; dtype comes from the device value, so
+            # the stage recompiles only when the parameter TYPE changes.
+            dt = DataType.DOUBLE if v.dtype.kind == "f" else DataType.LONG
+            return ExprResult(
+                jnp.full(self.capacity, v, dtype=v.dtype), None, dt
+            )
+        return self._literal(ast.Literal(v))
 
     # ----------------------------------------------------------- arithmetic
 

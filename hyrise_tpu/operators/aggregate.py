@@ -185,7 +185,11 @@ class Aggregate(AbstractReadOnlyOperator):
                 tuple(e.key() for e in self.group_by),
                 tuple(e.key() for e in self.dependent),
                 tuple(k for k in seen.keys()),
-                _pk(self.parameters),
+                _referenced_pk(
+                    self.parameters,
+                    list(self.group_by) + list(self.dependent)
+                    + [a for a in self.aggregates],
+                ),
                 tuple(dense_domains) if dense_domains else None,
             ),
             cacheable=cacheable,
@@ -334,6 +338,21 @@ class Aggregate(AbstractReadOnlyOperator):
 
 def _pk(parameters) -> tuple:
     return tuple(sorted(parameters.items())) if parameters else ()
+
+
+def _referenced_pk(parameters, exprs) -> tuple:
+    """Key material only for parameters the expressions actually reference —
+    unreferenced bindings (they belong to scans below) must not fragment the
+    stage cache across prepared-statement executions."""
+    if not parameters:
+        return ()
+    pids = {
+        sub.parameter_id
+        for e in exprs
+        for sub in e.walk()
+        if isinstance(sub, ast.Parameter)
+    }
+    return tuple((k, v) for k, v in sorted(parameters.items()) if k in pids)
 
 
 def _distinct_agg(fn, data, valid, seg_orig, n_mask, out_cap):

@@ -36,6 +36,53 @@ def _record(tag: str, out, t0: float) -> None:
         STAGE_TIMES[tag] = STAGE_TIMES.get(tag, 0.0) + (time.perf_counter() - t0)
 
 
+def split_params(parameters: Optional[Dict[int, object]]):
+    """Split parameter bindings into traced scalars vs static key material.
+
+    Numeric parameter VALUES become 0-d device arrays fed to the stage as
+    traced inputs, so a prepared statement executed with new values reuses
+    the SAME compiled executable (the OLTP make-or-break: without this,
+    every TPC-C statement recompiles).  Strings / None / exotic types stay
+    baked into the trace and keyed by value (string literals drive HOST
+    dictionary lookups and cannot be traced).
+
+    -> (bound: dict pid->value-or-array, traced_vals: tuple, key: tuple)
+    """
+    if not parameters:
+        return {}, (), ()
+    import numpy as np
+
+    traced_vals: List = []
+    key: List = []
+    bound: Dict[int, object] = {}
+    for pid in sorted(parameters):
+        v = parameters[pid]
+        if isinstance(v, bool) or not isinstance(
+            v, (int, float, np.integer, np.floating)
+        ):
+            bound[pid] = v
+            key.append((pid, "static", v))
+            continue
+        arr = jnp.asarray(
+            v, dtype=jnp.int64 if isinstance(v, (int, np.integer)) else jnp.float64
+        )
+        bound[pid] = arr
+        traced_vals.append(arr)
+        key.append((pid, str(arr.dtype)))
+    return bound, tuple(traced_vals), tuple(key)
+
+
+def rebind_params(bound: Dict[int, object], traced: tuple) -> Dict[int, object]:
+    """Swap the device scalars in `bound` for their traced stand-ins (same
+    sorted-pid order as split_params produced)."""
+    out = dict(bound)
+    it = iter(traced)
+    for pid in sorted(out):
+        if isinstance(out[pid], jax.Array) or hasattr(out[pid], "aval"):
+            out[pid] = next(it)
+    return out
+
+
 def table_signature(table: Table) -> tuple:
     return (
         table.capacity,
@@ -77,6 +124,7 @@ def run_stage(
     builder: Callable[[Table], object],
     extra_key: tuple = (),
     cacheable: bool = True,
+    params: Optional[Dict[int, object]] = None,
 ):
     """Run `builder(traced_table) -> (arrays_pytree, static_meta)` as one
     jitted stage; returns (arrays, meta).
@@ -88,8 +136,16 @@ def run_stage(
     cacheable=False when the builder closes over per-execution values
     (e.g. uncorrelated subquery results) — it still runs jitted/fused, just
     without cross-execution reuse.
+
+    `params` (prepared-statement / correlated bindings) are fed through
+    split_params: numeric values enter the stage as traced scalars keyed
+    only by dtype, so re-execution with new values is a cache hit; the
+    builder is then called as builder(table, bound_param_dict).
     """
     datas, valids, sel, nr = _flatten(table)
+    bound, pvals, pkey = split_params(params)
+    if params is not None:
+        extra_key = extra_key + (pkey,)
     key: Optional[tuple] = None
     if cacheable:
         key = (tag, extra_key, table_signature(table))
@@ -97,20 +153,24 @@ def run_stage(
         if hit is not None:
             fn, meta = hit
             t0 = time.perf_counter()
-            out = fn(datas, valids, sel, nr)
+            out = fn(datas, valids, sel, nr, pvals)
             _record(tag, out, t0)
             return out, meta
 
     meta_cell = {}
 
     @jax.jit
-    def fn(datas, valids, sel, nr):
-        arrays, meta = builder(_rebuild(table, datas, valids, sel, nr))
+    def fn(datas, valids, sel, nr, pvals):
+        t = _rebuild(table, datas, valids, sel, nr)
+        if params is not None:
+            arrays, meta = builder(t, rebind_params(bound, pvals))
+        else:
+            arrays, meta = builder(t)
         meta_cell["meta"] = meta
         return arrays
 
     t0 = time.perf_counter()
-    out = fn(datas, valids, sel, nr)
+    out = fn(datas, valids, sel, nr, pvals)
     _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:

@@ -12,6 +12,8 @@ GetTable (the TPU analogue of the reference's RowID pos lists).
 
 from __future__ import annotations
 
+from functools import partial
+import jax
 import threading
 from typing import Dict, List, Optional, Sequence
 
@@ -60,21 +62,38 @@ class Insert(AbstractReadWriteOperator):
                 new_cap = max(new_cap, padded_size(target.capacity * 2))
             src_names = self.column_names or list(src.column_names)
             name_to_src = {n: i for i, n in enumerate(src_names)}
-            new_cols = []
-            for tname, tcol in zip(target.column_names, target.columns):
-                if tname == ROWID_COLUMN:
-                    continue
-                if tname in name_to_src and n_new > 0:
-                    scol = src.columns[name_to_src[tname]]
-                    new_cols.append(
-                        _append_column(tcol, scol, old_n, n_new, new_cap)
-                    )
-                else:
-                    new_cols.append(_append_nulls(tcol, old_n, n_new, new_cap))
+            tcols = [
+                (tname, tcol)
+                for tname, tcol in zip(target.column_names, target.columns)
+                if tname != ROWID_COLUMN
+            ]
+            batch = _batched_append(
+                tcols, src, name_to_src, old_n, n_new, new_cap
+            )
+            if batch is not None:
+                new_cols = batch
+            else:
+                new_cols = []
+                for tname, tcol in tcols:
+                    if tname in name_to_src and n_new > 0:
+                        scol = src.columns[name_to_src[tname]]
+                        new_cols.append(
+                            _append_column(tcol, scol, old_n, n_new, new_cap)
+                        )
+                    else:
+                        new_cols.append(
+                            _append_nulls(tcol, old_n, n_new, new_cap)
+                        )
             target.columns = new_cols
             target.num_rows = new_n
-            target.statistics = None
-            target.pruning_statistics = None
+            # soft invalidation: histograms stay usable until the row count
+            # drifts ~10% (ref: chunk statistics are immutable-per-chunk,
+            # chunk_statistics aren't rebuilt per insert) — rebuilding per
+            # OLTP statement would dominate transaction latency
+            st = target.statistics
+            if st is None or new_n > st.row_count * 1.1 + 64:
+                target.statistics = None
+                target.pruning_statistics = None
             mvcc.grow(new_cap)
             self._inserted_rows = list(range(old_n, new_n))
             mvcc.register_insert(self._inserted_rows,
@@ -162,6 +181,7 @@ class Update(AbstractReadWriteOperator):
         ]
         proj = Projection(wrapper, self.update_expressions, target_names)
         proj.uncorrelated_subquery_plans = self.uncorrelated_subquery_plans
+        proj.parameters = self.parameters
         proj.execute()
         self._insert = Insert(self.table_name, proj, target_names)
         self._insert.transaction_context = self.transaction_context
@@ -191,20 +211,90 @@ def _extract_rowids(table: Table) -> List[int]:
     return [int(x) for x in data]
 
 
+@jax.jit
+def _jit_place(dst, src, start):
+    """One fused row-append write (the OLTP fast path: jit specializes per
+    (capacity, n_new, dtype) and reuses across all inserts, vs the eager
+    zero+scatter+scatter chain that dominated per-statement latency)."""
+    return jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), (start,))
+
+
+def _place(dst, src, start: int):
+    return _jit_place(dst, src, jnp.asarray(start, dtype=jnp.int32))
+
+
+def _batched_append(tcols, src, name_to_src, old_n: int, n_new: int,
+                    new_cap: int):
+    """Single-dispatch whole-row append, or None when a column needs the
+    general path (capacity growth, validity merging, dictionary growth)."""
+    if n_new <= 0 or not tcols or new_cap != tcols[0][1].capacity:
+        return None
+    datas, srcs, rebuild = [], [], []
+    for tname, tcol in tcols:
+        if tname not in name_to_src or tcol.validity is not None:
+            return None
+        scol = src.columns[name_to_src[tname]]
+        if scol.validity is not None:
+            return None
+        if tcol.data_type == DataType.STRING:
+            if scol.data_type != DataType.STRING:
+                return None
+            merged = merge_dictionaries(tcol.dictionary, scol.dictionary)
+            if merged is not tcol.dictionary:
+                return None
+            s = recode_to_dictionary(scol, merged)
+        elif scol.data_type == DataType.STRING:
+            if tcol.data_type != DataType.DATE:
+                return None
+            from hyrise_tpu.utils.dates import date_str_to_days
+
+            lut = jnp.asarray(date_str_to_days(scol.dictionary))
+            s = jnp.take(lut, jnp.clip(scol.data, 0, len(scol.dictionary) - 1))
+        else:
+            s = scol.data
+        datas.append(tcol.data)
+        srcs.append(s)
+        rebuild.append(tcol)
+    out = _jit_append_all(
+        tuple(datas), tuple(srcs), jnp.asarray(old_n, dtype=jnp.int32), n_new
+    )
+    return [
+        Column(c.data_type, d, None, c.dictionary, c.dict_sorted)
+        for c, d in zip(rebuild, out)
+    ]
+
+
+@partial(jax.jit, static_argnames=("n_new",))
+def _jit_append_all(datas, srcs, start, n_new):
+    """Whole-row append across all columns in ONE dispatch: slice, cast and
+    dynamic-update every column inside a single executable (per-column
+    eager ops made each TPC-C insert ~10 dispatches per column)."""
+    out = []
+    for d, s in zip(datas, srcs):
+        out.append(
+            jax.lax.dynamic_update_slice(
+                d, s[:n_new].astype(d.dtype), (start,)
+            )
+        )
+    return tuple(out)
+
+
 def _append_column(tcol: Column, scol: Column, old_n: int, n_new: int,
                    new_cap: int) -> Column:
+    same_cap = new_cap == tcol.capacity
     if tcol.data_type == DataType.STRING:
         merged = merge_dictionaries(tcol.dictionary, scol.dictionary)
-        old_codes = recode_to_dictionary(tcol, merged)
         src_codes = recode_to_dictionary(scol, merged)
-        data = jnp.zeros(new_cap, dtype=jnp.int32)
-        data = data.at[: old_codes.shape[0]].set(old_codes)
-        data = data.at[old_n:old_n + n_new].set(src_codes[:n_new])
+        if same_cap and merged is tcol.dictionary:
+            data = _place(tcol.data, src_codes[:n_new], old_n)
+        else:
+            old_codes = recode_to_dictionary(tcol, merged)
+            data = jnp.zeros(new_cap, dtype=jnp.int32)
+            data = data.at[: old_codes.shape[0]].set(old_codes)
+            data = data.at[old_n:old_n + n_new].set(src_codes[:n_new])
         new_col = Column(DataType.STRING, data, None, merged, True)
     else:
         np_dt = physical_dtype(tcol.data_type)
-        data = jnp.zeros(new_cap, dtype=np_dt)
-        data = data.at[: tcol.data.shape[0]].set(tcol.data.astype(np_dt))
         if scol.data_type == DataType.STRING:
             if tcol.data_type == DataType.DATE:
                 # coerce date-string values through the dictionary
@@ -217,8 +307,15 @@ def _append_column(tcol: Column, scol: Column, old_n: int, n_new: int,
             else:
                 raise RuntimeError("cannot insert string into non-string column")
         else:
-            src_data = scol.data.astype(np_dt)
-        data = data.at[old_n:old_n + n_new].set(src_data[:n_new])
+            src_data = scol.data
+        if same_cap and tcol.data.dtype == np_dt:
+            data = _place(tcol.data, src_data[:n_new], old_n)
+        else:
+            data = jnp.zeros(new_cap, dtype=np_dt)
+            data = data.at[: tcol.data.shape[0]].set(tcol.data.astype(np_dt))
+            data = data.at[old_n:old_n + n_new].set(
+                src_data[:n_new].astype(np_dt)
+            )
         new_col = Column(tcol.data_type, data)
     validity = _merge_append_validity(tcol, scol, old_n, n_new, new_cap)
     new_col.validity = validity
@@ -226,18 +323,28 @@ def _append_column(tcol: Column, scol: Column, old_n: int, n_new: int,
 
 
 def _append_nulls(tcol: Column, old_n: int, n_new: int, new_cap: int) -> Column:
-    if tcol.data_type == DataType.STRING:
+    same_cap = new_cap == tcol.capacity
+    if same_cap:
+        data = tcol.data
+    elif tcol.data_type == DataType.STRING:
         data = jnp.zeros(new_cap, dtype=jnp.int32)
         data = data.at[: tcol.data.shape[0]].set(tcol.data)
-        col = Column(DataType.STRING, data, None, tcol.dictionary, tcol.dict_sorted)
     else:
         data = jnp.zeros(new_cap, dtype=tcol.data.dtype)
         data = data.at[: tcol.data.shape[0]].set(tcol.data)
+    if tcol.data_type == DataType.STRING:
+        col = Column(DataType.STRING, data, None, tcol.dictionary, tcol.dict_sorted)
+    else:
         col = Column(tcol.data_type, data)
-    valid = jnp.ones(new_cap, dtype=bool)
-    if tcol.validity is not None:
-        valid = valid.at[: tcol.validity.shape[0]].set(tcol.validity)
-    valid = valid.at[old_n:old_n + n_new].set(False)
+    if same_cap and tcol.validity is not None:
+        valid = _place(
+            tcol.validity, jnp.zeros(n_new, dtype=bool), old_n
+        )
+    else:
+        valid = jnp.ones(new_cap, dtype=bool)
+        if tcol.validity is not None:
+            valid = valid.at[: tcol.validity.shape[0]].set(tcol.validity)
+        valid = valid.at[old_n:old_n + n_new].set(False)
     col.validity = valid
     return col
 

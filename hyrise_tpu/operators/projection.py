@@ -9,7 +9,6 @@ import jax.numpy as jnp
 
 from hyrise_tpu.expression import ast
 from hyrise_tpu.operators.base import AbstractReadOnlyOperator
-from hyrise_tpu.operators.table_scan import _param_key
 from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
 
@@ -34,8 +33,8 @@ class Projection(AbstractReadOnlyOperator):
         computed = [e for e in self.expressions if e.key() not in cmap]
 
         if computed:
-            def build(t: Table):
-                ev = self.make_evaluator(t, cmap)
+            def build(t: Table, bound=None):
+                ev = self.make_evaluator(t, cmap, parameters=bound)
                 arrays = []
                 meta = []
                 for e in computed:
@@ -49,9 +48,9 @@ class Projection(AbstractReadOnlyOperator):
 
             arrays, meta = run_stage(
                 "project", table, build,
-                extra_key=tuple(e.key() for e in computed)
-                + (_param_key(self.parameters),),
+                extra_key=tuple(e.key() for e in computed),
                 cacheable=not self.uncorrelated_subquery_plans,
+                params=self.parameters if self.parameters else None,
             )
             computed_cols = {
                 e.key(): Column(dtype, data, validity, dictionary, ds)

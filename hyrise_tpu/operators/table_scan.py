@@ -27,14 +27,15 @@ class TableScan(AbstractReadOnlyOperator):
         self.output_expressions = list(self._left.output_expressions)
         cmap = self._column_map(self._left)
 
-        def build(t: Table):
-            ev = self.make_evaluator(t, cmap)
+        def build(t: Table, bound=None):
+            ev = self.make_evaluator(t, cmap, parameters=bound)
             return ev.selection_mask(self.predicate) & t.row_mask(), None
 
         mask, _ = run_stage(
             "scan", table, build,
-            extra_key=(self.predicate.key(), _param_key(self.parameters)),
+            extra_key=(self.predicate.key(),),
             cacheable=not self.uncorrelated_subquery_plans,
+            params=self.parameters if self.parameters else None,
         )
         out = Table(table.column_names, table.columns, table.num_rows,
                     selection=mask)
@@ -45,5 +46,3 @@ class TableScan(AbstractReadOnlyOperator):
         return f"TableScan({self.predicate.description()})"
 
 
-def _param_key(parameters) -> tuple:
-    return tuple(sorted(parameters.items())) if parameters else ()

@@ -108,8 +108,13 @@ class SQLPipelineStatement:
             self._executed = True
             return
         if isinstance(self.statement, st.PrepareStatement):
+            inner_stmt = self.statement.statement
+            lqp = self.optimizer.optimize(
+                SQLTranslator(self.use_mvcc).translate(inner_stmt)
+            )
             db.storage_manager.add_prepared_plan(
-                self.statement.name, PreparedPlan(self.statement.statement, None)
+                self.statement.name,
+                PreparedPlan(lqp, None, statement=inner_stmt),
             )
             self._result = None
             self._executed = True
@@ -127,9 +132,10 @@ class SQLPipelineStatement:
                 else:
                     raise ValueError("EXECUTE parameters must be literals")
             inner = SQLPipelineStatement(
-                self.sql, plan.lqp, self.use_mvcc, self.optimizer,
+                self.sql, plan.statement, self.use_mvcc, self.optimizer,
                 self.transaction_context, parameters=params, use_cache=False,
             )
+            inner._lqp = plan.lqp  # cids stable across EXECUTEs -> stage hits
             inner._execute()
             self._result = inner._result
             self.metrics = inner.metrics

@@ -436,6 +436,27 @@ class SQLTranslator:
         columns = stmt.columns
         if columns is None and target is not None:
             columns = list(target.column_names)
+        has_params = any(
+            isinstance(sub, ast.Parameter)
+            for row in stmt.values for e in row for sub in e.walk()
+        )
+        if has_params:
+            # parameterized VALUES (prepared INSERT): a projection over the
+            # dummy row evaluates literals AND parameters at execution time,
+            # so the plan is reusable across bindings (ref: the reference
+            # binds placeholders into the cached PQP,
+            # operators/insert.cpp + prepared_plan.cpp).
+            if len(stmt.values) != 1:
+                raise TranslationError(
+                    "parameterized INSERT supports a single VALUES row"
+                )
+            if columns is None:
+                raise TranslationError(
+                    "parameterized INSERT needs a known target table"
+                )
+            exprs = list(stmt.values[0])
+            proj = L.ProjectionNode(exprs, L.DummyTableNode())
+            return L.AliasNode(exprs, list(columns), proj)
         rows = []
         for row in stmt.values:
             vals = []

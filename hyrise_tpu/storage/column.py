@@ -212,4 +212,12 @@ def recode_to_dictionary(
 
 
 def merge_dictionaries(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return np.unique(np.concatenate([a, b])) if (len(a) or len(b)) else a
+    if not (len(a) or len(b)):
+        return a
+    # identity-preserving: compiled-stage cache keys use id(dictionary), so
+    # appends whose values already exist must NOT mint a new dictionary
+    # object (OLTP inserts would re-key — and recompile — every stage
+    # touching the table)
+    if len(a) and np.isin(b, a).all():
+        return a
+    return np.unique(np.concatenate([a, b]))

@@ -21,11 +21,16 @@ class LQPView:
 
 
 class PreparedPlan:
-    """Parameterized plan for PREPARE/EXECUTE (ref: storage/prepared_plan.hpp)."""
+    """Parameterized plan for PREPARE/EXECUTE (ref: storage/prepared_plan.hpp).
 
-    def __init__(self, lqp, parameter_ids):
+    Holds the OPTIMIZED LQP built once at PREPARE time: re-translating per
+    EXECUTE would mint fresh column cids and miss every compiled-stage
+    cache entry, recompiling the XLA stages for each new parameter value."""
+
+    def __init__(self, lqp, parameter_ids, statement=None):
         self.lqp = lqp
         self.parameter_ids = parameter_ids
+        self.statement = statement
 
 
 class StorageManager:

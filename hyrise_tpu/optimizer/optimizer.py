@@ -62,6 +62,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.between_composition import (
             BetweenCompositionRule,
         )
+        from hyrise_tpu.optimizer.strategy.join_to_predicate import (
+            JoinToPredicateRewriteRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -76,6 +79,7 @@ class Optimizer:
             JoinOrderingRule(),
             PredicatePlacementRule(),
             JoinToSemiJoinRule(),
+            JoinToPredicateRewriteRule(),
             JoinPredicateOrderingRule(),
             NullScanRemovalRule(),
             BetweenCompositionRule(),

@@ -84,6 +84,21 @@ def test_join_to_semi_join_keeps_join_when_right_used(env):
     assert rows_match(run_sql(q).to_pylist(), env.execute(q), ordered=False)
 
 
+def test_join_to_predicate_rewrites_single_row_semi(env):
+    # dim filtered by its unique key to one row; dim columns unused above
+    # -> the (semi) join becomes a scalar-subquery predicate
+    q = "SELECT f.v FROM fact f JOIN dim d ON f.k = d.k WHERE d.k = 2"
+    root = _optimize(q)
+    assert not _joins(root), "join should be rewritten to a predicate"
+    assert rows_match(run_sql(q).to_pylist(), env.execute(q), ordered=False)
+
+
+def test_join_to_predicate_no_match_returns_empty(env):
+    q = "SELECT f.v FROM fact f JOIN dim d ON f.k = d.k WHERE d.k = 77"
+    assert not _joins(_optimize(q))
+    assert run_sql(q).to_pylist() == []
+
+
 def test_join_to_semi_join_requires_unique_key(env):
     # fact.k is NOT unique: join against it must stay inner even though
     # no fact columns are used above

@@ -80,6 +80,17 @@ class TPCDSTableGenerator:
         }
         tables["customer"] = self._customer(tables)
         tables["store_sales"] = self._store_sales(tables)
+        # catalog + web channels (ref: tpcds catalog_sales.dat /
+        # web_sales.dat — same sale grain, channel-prefixed columns; spec
+        # sizing: catalog ~= store/2, web ~= store/4)
+        tables["catalog_sales"] = self._channel_sales(
+            "cs", max(self.n_store_sales // 2, 10), tables,
+            customer_col="cs_bill_customer_sk", addr_col="cs_bill_addr_sk",
+        )
+        tables["web_sales"] = self._channel_sales(
+            "ws", max(self.n_store_sales // 4, 10), tables,
+            customer_col="ws_bill_customer_sk", addr_col="ws_bill_addr_sk",
+        )
         pk = {
             "date_dim": ("d_date_sk",), "time_dim": ("t_time_sk",),
             "item": ("i_item_sk",), "store": ("s_store_sk",),
@@ -359,6 +370,53 @@ class TPCDSTableGenerator:
                 "c_birth_year": DataType.INT,
             },
         )
+
+    def _channel_sales(self, p: str, n: int, tables,
+                       customer_col: str, addr_col: str) -> Table:
+        """Catalog/web sales fact at the same grain as store_sales (ref:
+        tpcds spec §2.4/§2.5; only the columns the query set touches)."""
+        rng = self.rng
+        n_dates = tables["date_dim"].num_rows
+        quantity = rng.integers(1, 101, size=n).astype(np.int32)
+        wholesale = _money(rng.integers(100, 10000, size=n))
+        list_price = np.round(wholesale * (1 + rng.random(n)) * 100) / 100
+        discount = rng.random(n) * 0.4
+        sales_price = np.round(list_price * (1 - discount) * 100) / 100
+        ext_sales = np.round(sales_price * quantity * 100) / 100
+        ext_list = np.round(list_price * quantity * 100) / 100
+        ext_wholesale = np.round(wholesale * quantity * 100) / 100
+        data = {
+            f"{p}_sold_date_sk": (
+                rng.integers(0, n_dates, size=n) + 2450815
+            ).astype(np.int32),
+            f"{p}_sold_time_sk": rng.integers(
+                0, tables["time_dim"].num_rows, size=n
+            ).astype(np.int32),
+            f"{p}_item_sk": rng.integers(
+                1, self.n_item + 1, size=n
+            ).astype(np.int32),
+            customer_col: rng.integers(
+                1, self.n_customer + 1, size=n
+            ).astype(np.int32),
+            addr_col: rng.integers(
+                1, tables["customer_address"].num_rows + 1, size=n
+            ).astype(np.int32),
+            f"{p}_promo_sk": rng.integers(
+                1, self.n_promo + 1, size=n
+            ).astype(np.int32),
+            f"{p}_quantity": quantity,
+            f"{p}_wholesale_cost": wholesale,
+            f"{p}_list_price": list_price,
+            f"{p}_sales_price": sales_price,
+            f"{p}_ext_sales_price": ext_sales,
+            f"{p}_ext_list_price": ext_list,
+            f"{p}_net_profit": np.round((ext_sales - ext_wholesale) * 100) / 100,
+        }
+        types = {
+            name: (DataType.INT if arr.dtype.kind == "i" else DataType.DOUBLE)
+            for name, arr in data.items()
+        }
+        return Table.from_numpy(data, types)
 
     def _store_sales(self, tables) -> Table:
         rng = self.rng

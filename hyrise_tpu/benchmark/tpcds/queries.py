@@ -154,4 +154,101 @@ WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
 GROUP BY s_store_name, d_year, d_moy
 ORDER BY s_store_name, d_moy
 """,
+    # ---- multi-channel (store + catalog + web)
+    33: """
+SELECT i_manufact_id, SUM(total_sales) AS total_sales
+FROM (
+  SELECT i_manufact_id, SUM(ss_ext_sales_price) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category = 'Electronics')
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5
+    AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id
+  UNION ALL
+  SELECT i_manufact_id, SUM(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category = 'Electronics')
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5
+    AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id
+  UNION ALL
+  SELECT i_manufact_id, SUM(ws_ext_sales_price) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                          WHERE i_category = 'Electronics')
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 5
+    AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_manufact_id
+) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales
+LIMIT 100
+""",
+    60: """
+SELECT i_item_id, SUM(total_sales) AS total_sales
+FROM (
+  SELECT i_item_id, SUM(ss_ext_sales_price) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item WHERE i_category = 'Music')
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 9
+    AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id
+  UNION ALL
+  SELECT i_item_id, SUM(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item WHERE i_category = 'Music')
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 9
+    AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id
+  UNION ALL
+  SELECT i_item_id, SUM(ws_ext_sales_price) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item WHERE i_category = 'Music')
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 1998 AND d_moy = 9
+    AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id
+) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100
+""",
+    71: """
+SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+       SUM(ext_price) AS ext_price
+FROM item,
+     (SELECT ws_ext_sales_price AS ext_price,
+             ws_sold_date_sk AS sold_date_sk,
+             ws_item_sk AS sold_item_sk,
+             ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT cs_ext_sales_price AS ext_price,
+             cs_sold_date_sk AS sold_date_sk,
+             cs_item_sk AS sold_item_sk,
+             cs_sold_time_sk AS time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT ss_ext_sales_price AS ext_price,
+             ss_sold_date_sk AS sold_date_sk,
+             ss_item_sk AS sold_item_sk,
+             ss_sold_time_sk AS time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1999
+     ) tmp, time_dim
+WHERE sold_item_sk = i_item_sk AND i_manager_id = 1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, i_brand_id, t_hour, t_minute
+""",
 }

@@ -237,6 +237,16 @@ class SQLTranslator:
                 if not 0 <= idx < len(select_exprs):
                     raise TranslationError(f"ORDER BY position {idx+1} out of range")
                 e = select_exprs[idx]
+            elif (
+                isinstance(item.expr, st.UnresolvedColumn)
+                and len(item.expr.parts) == 1
+                and item.expr.parts[0] in scope.select_aliases
+            ):
+                # SQL: a bare ORDER BY name matching a SELECT output alias
+                # binds to the OUTPUT column, even when a FROM column has
+                # the same name (PostgreSQL/sqlite semantics; e.g. TPC-DS
+                # Q33's ORDER BY total_sales over a derived total_sales)
+                e = scope.select_aliases[item.expr.parts[0]]
             else:
                 e = self._resolve_expr(item.expr, scope)
             order_items.append((e, item.sort_mode))

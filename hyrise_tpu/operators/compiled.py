@@ -197,7 +197,10 @@ def run_stage2(
         hit = _CACHE.get(key)
         if hit is not None:
             fn, meta = hit
-            return fn(da, va, sa, na, db_, vb, sb, nb), meta
+            t0 = time.perf_counter()
+            out = fn(da, va, sa, na, db_, vb, sb, nb)
+            _record(tag, out, t0)
+            return out, meta
 
     meta_cell = {}
 
@@ -209,7 +212,9 @@ def run_stage2(
         meta_cell["meta"] = meta
         return arrays
 
+    t0 = time.perf_counter()
     out = fn(da, va, sa, na, db_, vb, sb, nb)
+    _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
         _CACHE[key] = (fn, meta)
@@ -239,7 +244,10 @@ def run_stage2_extra(
         hit = _CACHE.get(key)
         if hit is not None:
             fn, meta = hit
-            return fn(da, va, sa, na, db_, vb, sb, nb, extra_arrays), meta
+            t0 = time.perf_counter()
+            out = fn(da, va, sa, na, db_, vb, sb, nb, extra_arrays)
+            _record(tag, out, t0)
+            return out, meta
 
     meta_cell = {}
 
@@ -253,7 +261,9 @@ def run_stage2_extra(
         meta_cell["meta"] = meta
         return arrays
 
+    t0 = time.perf_counter()
     out = fn(da, va, sa, na, db_, vb, sb, nb, extra_arrays)
+    _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
         _CACHE[key] = (fn, meta)
@@ -281,7 +291,10 @@ def run_arrays(
         hit = _CACHE.get(key)
         if hit is not None:
             fn, meta = hit
-            return fn(*arrays), meta
+            t0 = time.perf_counter()
+            out = fn(*arrays)
+            _record(tag, out, t0)
+            return out, meta
 
     meta_cell = {}
 
@@ -291,7 +304,9 @@ def run_arrays(
         meta_cell["meta"] = meta
         return out
 
+    t0 = time.perf_counter()
     out = fn(*arrays)
+    _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
         _CACHE[key] = (fn, meta)

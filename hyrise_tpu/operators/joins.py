@@ -165,6 +165,18 @@ class Join(AbstractReadOnlyOperator):
                 bv1 = bv1 & bv2
             return (pk1, pv1), (bk1, bv1)
 
+        # dense direct-address fast path: int build key with fresh
+        # statistics bounds -> scatter build + 1-gather probes (no sort,
+        # no searchsorted); see kernels/joins.py dense_build/dense_probe.
+        # Membership (semi/anti) tolerates duplicate build keys (slot
+        # clobbering still answers "any match"); the inner/outer path
+        # additionally requires declared-unique build keys.
+        dense_range = (
+            _dense_join_spec(*side_exprs(equi[0])[::-1]) if used == 1 else None
+        )
+        if dense_range is not None:
+            pred_key = pred_key + (dense_range,)
+
         # ------------- fast path: semi/anti without secondary predicates —
         # a pure selection mask on the probe side, zero host syncs
         if eff_mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
@@ -173,8 +185,14 @@ class Join(AbstractReadOnlyOperator):
                 (pk, pkv), (bk, bkv) = make_keys(pt, bt)
                 pv = pkv & pt.row_mask()
                 bv = bkv & bt.row_mask()
-                sk, perm, nv = joink.build_sorted(bk, bv)
-                member = joink.contains(sk, nv, pk, pv)
+                if dense_range is not None:
+                    lo, dsize = dense_range
+                    slot = joink.dense_build(bk, bv, lo, dsize)
+                    _, cnt = joink.dense_probe(slot, pk, pv, lo, dsize)
+                    member = cnt > 0
+                else:
+                    sk, perm, nv = joink.build_sorted(bk, bv)
+                    member = joink.contains(sk, nv, pk, pv)
                 if eff_mode == JoinMode.SEMI:
                     mask = member
                 elif eff_mode == JoinMode.ANTI_NULL_AS_FALSE:
@@ -196,14 +214,21 @@ class Join(AbstractReadOnlyOperator):
         # (soft constraints are assumed valid, as in the reference's
         # optimizer rules; ref table.hpp:215-218)
         build_unique = _build_key_unique(
-            [side_exprs(p)[1] for p in equi[:used]]
+            [side_exprs(p)[1] for p in equi[:used]], build_op
         )
+        dense_spec = dense_range if build_unique else None
 
-        # ------------- stage 1: keys + sorted build + probe counts --------
+        # ------------- stage 1: keys + build + probe counts ---------------
         def build1(pt: Table, bt: Table):
             (pk, pkv), (bk, bkv) = make_keys(pt, bt)
             pv = pkv & pt.row_mask()
             bv = bkv & bt.row_mask()
+            if dense_spec is not None:
+                lo, dsize = dense_spec
+                slot = joink.dense_build(bk, bv, lo, dsize)
+                left_pos, counts = joink.dense_probe(slot, pk, pv, lo, dsize)
+                total = jnp.sum(counts, dtype=jnp.int64)
+                return (left_pos, counts, slot, pv, bkv, total), None
             sorted_keys, build_perm, n_build_valid = joink.build_sorted(bk, bv)
             left_pos, counts = joink.probe_counts(
                 sorted_keys, n_build_valid, pk, pv
@@ -235,9 +260,15 @@ class Join(AbstractReadOnlyOperator):
         ]
 
         def build2(pt: Table, bt: Table, left_pos, counts, build_perm, pv, bkv):
-            probe_idx, build_idx, pair_valid = joink.expand_matches(
-                left_pos, counts, build_perm, out_cap
-            )
+            if build_unique:
+                # counts ∈ {0,1}: compaction scatter, no searchsorted
+                probe_idx, build_idx, pair_valid = joink.expand_unique(
+                    left_pos, counts, build_perm, out_cap
+                )
+            else:
+                probe_idx, build_idx, pair_valid = joink.expand_matches(
+                    left_pos, counts, build_perm, out_cap
+                )
             if sec_preds:
                 ptbl = pt.take(probe_idx, out_cap)
                 btbl = bt.take(build_idx, out_cap)
@@ -431,15 +462,105 @@ def _cross_product(op, L: Table, R: Table, materialize: bool = True):
     return Table(L.column_names + R.column_names, lt.columns + rt.columns, n)
 
 
-def _build_key_unique(build_exprs) -> bool:
-    """True when the build-side equi key(s) form a declared unique key of
-    their base table (all plain columns of one table covered by a
-    TableKeyConstraint)."""
+DENSE_JOIN_LIMIT = 1 << 24  # 16M slots (64 MB int32) max direct table
+
+
+def _dense_join_spec(build_expr, probe_expr):
+    """(lo, size) when the build key is a plain int/date column whose
+    FRESH statistics bound a small dense range — the bounds are only
+    trusted when no rows were appended since the statistics were built
+    (soft invalidation keeps stale histograms around; a later insert
+    could exceed the recorded max and silently drop matches)."""
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.statistics.table_statistics import get_table_statistics
+    from hyrise_tpu.types import DataType
+
+    ok_types = (DataType.INT, DataType.LONG, DataType.DATE)
+    if not isinstance(build_expr, ast.ColumnRef) or not build_expr.origin:
+        return None
+    if build_expr.data_type() not in ok_types:
+        return None
+    if probe_expr.data_type() not in ok_types:
+        return None
+    try:
+        table = Database.get().storage_manager.get_table(build_expr.origin)
+    except KeyError:
+        return None
+    stats = get_table_statistics(table)
+    if stats.row_count != table.num_rows:
+        return None  # stale bounds: rows appended since the build
+    cs = stats.columns.get(build_expr.display_name)
+    if cs is None or cs.min_value is None or cs.max_value is None:
+        return None
+    lo = int(cs.min_value)
+    size = int(cs.max_value) - lo + 1
+    if not (0 < size <= DENSE_JOIN_LIMIT):
+        return None
+    return (lo, size)
+
+
+def _op_origins(op) -> set:
+    return {
+        e.origin for e in op.output_expressions
+        if isinstance(e, ast.ColumnRef) and getattr(e, "origin", None)
+    }
+
+
+def _rows_unique_for(op, origin: str) -> bool:
+    """True when each row of base table `origin` appears AT MOST ONCE in
+    op's output — the condition under which a declared key of `origin`
+    stays unique through the subtree.  Joins below may duplicate rows
+    (TPC-H Q5: customer x supplier on nationkey multiplies each customer
+    ~4x, silently breaking a custkey-unique assumption above)."""
+    if isinstance(op, Join):
+        if op.mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
+                       JoinMode.ANTI_NULL_AS_FALSE):
+            return _rows_unique_for(op._left, origin)
+        if op.mode == JoinMode.CROSS:
+            return False
+        left_has = origin in _op_origins(op._left)
+        right_has = origin in _op_origins(op._right)
+        if left_has == right_has:
+            return False
+        side, other = (
+            (op._left, op._right) if left_has else (op._right, op._left)
+        )
+        eq = [p for p in op.predicates
+              if p.condition == PredicateCondition.EQUALS]
+        if not eq:
+            return False
+        other_origins = _op_origins(other)
+        other_keys = []
+        for p in eq:
+            for cand in (p.left, p.right):
+                if (isinstance(cand, ast.ColumnRef)
+                        and getattr(cand, "origin", None) in other_origins):
+                    other_keys.append(cand)
+                    break
+            else:
+                return False
+        if not _declared_unique(other_keys):
+            return False
+        return (
+            _rows_unique_for(side, origin)
+            and _rows_unique_for(other, other_keys[0].origin)
+        )
+    inputs = op.inputs()
+    if not inputs:
+        return True
+    if len(inputs) > 1:
+        return False  # unions / products / set ops may duplicate
+    return _rows_unique_for(inputs[0], origin)
+
+
+def _declared_unique(exprs) -> bool:
+    """All exprs are columns of ONE base table whose key constraint they
+    cover exactly."""
     from hyrise_tpu.database import Database
 
     names = []
     origin = None
-    for e in build_exprs:
+    for e in exprs:
         if not isinstance(e, ast.ColumnRef) or not e.origin:
             return False
         if origin is None:
@@ -453,6 +574,18 @@ def _build_key_unique(build_exprs) -> bool:
         return False
     key_set = set(names)
     return any(set(kc.columns) == key_set for kc in table.key_constraints)
+
+
+def _build_key_unique(build_exprs, build_op=None) -> bool:
+    """True when the build-side equi key(s) are a declared unique key of
+    their base table AND the build subtree cannot have duplicated that
+    table's rows (ref: join_graph uniqueness reasoning in
+    join_to_semi_join_rule.cpp / UCC validation)."""
+    if not _declared_unique(build_exprs):
+        return False
+    if build_op is None:
+        return True
+    return _rows_unique_for(build_op, build_exprs[0].origin)
 
 
 def _anti_nat_mask(matched, probe_key_valid_masked, build_key_valid_raw, bt):

@@ -138,3 +138,55 @@ def test_group_rows_null_keys_form_one_group():
     nmask = masks.padding_mask(4, cap)
     perm, seg_ids, num_groups = aggregates.group_rows((k,), (valid,), nmask)
     assert int(num_groups) == 2
+
+
+def test_dense_join_kernels():
+    import jax.numpy as jnp
+
+    from hyrise_tpu.kernels import joins as jk
+
+    # build: keys 10..14 at rows 0..4, row 3 invalid, key 99 out of range
+    bk = jnp.asarray([10, 11, 12, 13, 14, 99, 0, 0])
+    bv = jnp.asarray([True, True, True, False, True, True, False, False])
+    lo, dsize = 10, 5
+    slot = jk.dense_build(bk, bv, lo, dsize)
+    assert np.asarray(slot)[:5].tolist() == [0, 1, 2, -1, 4]
+
+    pk = jnp.asarray([12, 13, 14, 9, 15, 10, 0, 0])
+    pv = jnp.asarray([True, True, True, True, True, False, False, False])
+    left, counts = jk.dense_probe(slot, pk, pv, lo, dsize)
+    # 12 matches, 13 built-invalid, 14 matches, 9/15 out of range,
+    # 10 probe-invalid
+    assert np.asarray(counts).tolist() == [1, 0, 1, 0, 0, 0, 0, 0]
+
+    probe_idx, build_idx, valid = jk.expand_unique(left, counts, slot, 8)
+    got = [
+        (int(p), int(b))
+        for p, b, v in zip(
+            np.asarray(probe_idx), np.asarray(build_idx), np.asarray(valid)
+        )
+        if v
+    ]
+    assert got == [(0, 2), (2, 4)]
+
+
+def test_expand_unique_matches_expand_matches():
+    import jax.numpy as jnp
+
+    from hyrise_tpu.kernels import joins as jk
+
+    rng = np.random.default_rng(3)
+    bk = jnp.asarray(rng.permutation(64).astype(np.int32))
+    bv = jnp.asarray(rng.random(64) < 0.8)
+    pk = jnp.asarray(rng.integers(0, 80, size=128).astype(np.int32))
+    pv = jnp.asarray(rng.random(128) < 0.9)
+    sk, perm, nv = jk.build_sorted(bk, bv)
+    left, counts = jk.probe_counts(sk, nv, pk, pv)
+    a = jk.expand_matches(left, counts, perm, 256)
+    b = jk.expand_unique(left, counts, perm, 256)
+    pairs = lambda t: sorted(
+        (int(p), int(x))
+        for p, x, v in zip(np.asarray(t[0]), np.asarray(t[1]), np.asarray(t[2]))
+        if v
+    )
+    assert pairs(a) == pairs(b)

@@ -123,6 +123,23 @@ def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
     t = _time(probe, bkeys, pkeys, iters=iters)
     record("join_probe_binsearch", t, n_rows * 8 + n_build * 8, n_rows)
 
+    # ---- dense direct-address probe (the unique-int-key fast path)
+    from hyrise_tpu.kernels import joins as joink
+
+    dkeys = jnp.asarray(rng.permutation(n_build).astype("int32"))
+    dprobe = jnp.asarray(rng.integers(0, n_build, n_rows), dtype=jnp.int32)
+    ones_b = jnp.ones(n_build, dtype=bool)
+    ones_p = jnp.ones(n_rows, dtype=bool)
+    slot = joink.dense_build(dkeys, ones_b, 0, n_build)
+
+    @jax.jit
+    def dense(slot, pkeys):
+        _, counts = joink.dense_probe(slot, pkeys, ones_p, 0, n_build)
+        return jnp.sum(counts)
+
+    t = _time(dense, slot, dprobe, iters=iters)
+    record("join_probe_dense", t, n_rows * 4 + n_build * 4, n_rows)
+
     # ---- gather (late materialization)
     idx = jnp.asarray(rng.integers(0, n_rows, n_rows), dtype=jnp.int32)
 

@@ -222,13 +222,16 @@ class Predicate(Expression):
         cond = self.condition
         if cond in (PredicateCondition.IS_NULL, PredicateCondition.IS_NOT_NULL):
             return f"{c[0].description()} {cond.value}"
-        if cond in (
-            PredicateCondition.BETWEEN_INCLUSIVE,
-            PredicateCondition.BETWEEN_LOWER_EXCLUSIVE,
-            PredicateCondition.BETWEEN_UPPER_EXCLUSIVE,
-            PredicateCondition.BETWEEN_EXCLUSIVE,
-        ):
-            return f"{c[0].description()} BETWEEN {c[1].description()} AND {c[2].description()}"
+        between_bounds = {
+            PredicateCondition.BETWEEN_INCLUSIVE: ("", ""),
+            PredicateCondition.BETWEEN_LOWER_EXCLUSIVE: (" (excl)", ""),
+            PredicateCondition.BETWEEN_UPPER_EXCLUSIVE: ("", " (excl)"),
+            PredicateCondition.BETWEEN_EXCLUSIVE: (" (excl)", " (excl)"),
+        }
+        if cond in between_bounds:
+            lx, ux = between_bounds[cond]
+            return (f"{c[0].description()} BETWEEN {c[1].description()}{lx}"
+                    f" AND {c[2].description()}{ux}")
         return f"{c[0].description()} {cond.value} {c[1].description()}"
 
 

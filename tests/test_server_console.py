@@ -110,6 +110,16 @@ def test_pg_server_end_to_end():
         assert err is None
         _, rows, err = await client.query("SELECT a FROM t2 ORDER BY a")
         assert err is None and rows == [("41",), ("42",)]
+        # SQL-level PREPARE/EXECUTE through the wire (prepared plans +
+        # traced parameter binding live behind the same pipeline)
+        _, _, err = await client.query(
+            "PREPARE wq AS SELECT name FROM fruits WHERE qty = ?"
+        )
+        assert err is None
+        _, rows, err = await client.query("EXECUTE wq (7)")
+        assert err is None and rows == [("fig",)]
+        _, rows, err = await client.query("EXECUTE wq (3)")
+        assert err is None and rows == [("apple",)]
         client.close()
         server._server.close()
 

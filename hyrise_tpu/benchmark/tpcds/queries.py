@@ -1,7 +1,8 @@
-"""TPC-DS store-channel query set (12 of the 99; written from the TPC-DS
-v3 specification with fixed substitution parameters; ref:
-resources/benchmark/tpcds/ in the reference repo).  Queries touching only
-the catalog/web channels land with those tables (PARITY.md)."""
+"""TPC-DS query set (19 of the 99; written from the TPC-DS v3
+specification with fixed substitution parameters, adapted where the
+generator's statistical approximation lacks a column; ref:
+resources/benchmark/tpcds/ in the reference repo).  Covers the store
+channel plus the catalog/web channels (Q33/Q60/Q71 multi-channel)."""
 
 TPCDS_QUERIES = {
     3: """
@@ -153,6 +154,54 @@ WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
   AND d_year = 2000
 GROUP BY s_store_name, d_year, d_moy
 ORDER BY s_store_name, d_moy
+""",
+    34: """
+SELECT c_last_name, c_first_name, ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) AS cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk
+        AND (d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)
+        AND (hd_buy_potential = '>10000' OR hd_buy_potential = '0-500')
+        AND hd_vehicle_count > 0
+        AND (d_year = 1998 OR d_year = 1999 OR d_year = 2000)
+        AND s_county = 'Williamson County'
+      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 8
+ORDER BY c_last_name, c_first_name, ss_ticket_number
+LIMIT 100
+""",
+    48: """
+SELECT SUM(ss_quantity) AS total
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_year = 1999 AND ss_cdemo_sk = cd_demo_sk
+  AND ((cd_marital_status = 'M' AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 100.00 AND 150.00)
+    OR (cd_marital_status = 'D' AND cd_education_status = '2 yr Degree'
+        AND ss_sales_price BETWEEN 50.00 AND 100.00)
+    OR (cd_marital_status = 'S' AND cd_education_status = 'College'
+        AND ss_sales_price BETWEEN 150.00 AND 200.00))
+  AND ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+  AND ((ca_state IN ('TX', 'OH') AND ss_net_profit BETWEEN 100 AND 200)
+    OR (ca_state IN ('NY', 'GA', 'IL') AND ss_net_profit BETWEEN 150 AND 300)
+    OR (ca_state IN ('CA', 'WA', 'TN') AND ss_net_profit BETWEEN 50 AND 250))
+""",
+    79: """
+SELECT c_last_name, c_first_name, s_city, profit, ss_ticket_number, amt
+FROM (SELECT ss_ticket_number, ss_customer_sk, s_city,
+             SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk
+        AND (hd_dep_count = 6 OR hd_vehicle_count > 2) AND d_dow = 1
+        AND (d_year = 1998 OR d_year = 1999 OR d_year = 2000)
+        AND s_number_employees BETWEEN 200 AND 295
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, s_city) ms,
+     customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, s_city, profit, ss_ticket_number
+LIMIT 100
 """,
     # ---- multi-channel (store + catalog + web)
     33: """

@@ -97,7 +97,12 @@ class StorageManager:
             self._prepared_plans[name] = plan
 
     def get_prepared_plan(self, name: str) -> PreparedPlan:
-        return self._prepared_plans[name]
+        try:
+            return self._prepared_plans[name]
+        except KeyError:
+            raise KeyError(
+                f"no prepared statement named {name!r} — PREPARE it first"
+            ) from None
 
     def has_prepared_plan(self, name: str) -> bool:
         return name in self._prepared_plans

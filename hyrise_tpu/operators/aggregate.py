@@ -79,7 +79,9 @@ class Aggregate(AbstractReadOnlyOperator):
             if col.data_type in (DataType.INT, DataType.DATE, DataType.LONG):
                 if est is None:
                     est = CardinalityEstimator()
-                cs = est.column_stats(e)
+                # fresh-only: stale bounds would clip appended out-of-range
+                # keys into the top slot, silently merging distinct groups
+                cs = est.column_stats_fresh(e)
                 if cs is None or cs.min_value is None:
                     return None
                 lo = int(cs.min_value)

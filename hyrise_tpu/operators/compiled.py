@@ -86,6 +86,7 @@ def rebind_params(bound: Dict[int, object], traced: tuple) -> Dict[int, object]:
 def table_signature(table: Table) -> tuple:
     return (
         table.capacity,
+        tuple(table.column_names),
         table.selection is not None,
         tuple(
             (

@@ -12,6 +12,7 @@ Run: python -m hyrise_tpu.server.pg_server --port 54321
 from __future__ import annotations
 
 import asyncio
+import re
 import struct
 import sys
 from typing import Dict, List, Optional, Tuple
@@ -172,9 +173,7 @@ class Session:
         portal, _ = _read_cstr(body)
         stmt_name, params = self._portals.get(portal.decode(), ("", []))
         sql = self._prepared.get(stmt_name, "")
-        for i, p in enumerate(params):
-            value = "NULL" if p is None else _quote_param(p)
-            sql = sql.replace(f"${i + 1}", value)
+        sql = _substitute_placeholders(sql, params)
         try:
             builder = SQLPipelineBuilder(sql)
             if self._txn_context is not None:
@@ -252,6 +251,29 @@ def _quote_param(p: str) -> str:
         return p
     except ValueError:
         return "'" + p.replace("'", "''") + "'"
+
+
+_PLACEHOLDER_RE = re.compile(r"'(?:[^']|'')*'|\$(\d+)")
+
+
+def _substitute_placeholders(sql: str, params: List[Optional[str]]) -> str:
+    """Single-pass $N substitution keyed by the captured index.
+
+    Splicing with sequential str.replace corrupts $10+ (prefix match with $1)
+    and rewrites placeholders inside string literals; the alternation above
+    consumes quoted literals whole so only real placeholders are replaced.
+    """
+
+    def repl(m: "re.Match[str]") -> str:
+        if m.group(1) is None:
+            return m.group(0)  # quoted literal — leave untouched
+        i = int(m.group(1)) - 1
+        if i < 0 or i >= len(params):
+            return m.group(0)
+        p = params[i]
+        return "NULL" if p is None else _quote_param(p)
+
+    return _PLACEHOLDER_RE.sub(repl, sql)
 
 
 def _read_cstr(data: bytes) -> Tuple[bytes, bytes]:

@@ -68,6 +68,23 @@ class CardinalityEstimator:
         self._base_col_stats[expr.key()] = (cs, dictionary)
         return cs
 
+    def column_stats_fresh(self, expr: ast.Expression) -> Optional[ColumnStatistics]:
+        """Like column_stats, but only when the base table's statistics were
+        built at the CURRENT row count — required by fast paths that treat
+        min/max as hard bounds (soft invalidation keeps stale histograms
+        around; rows appended after the build could exceed the recorded max
+        and be silently clipped/merged)."""
+        cs = self.column_stats(expr)
+        if cs is None or not isinstance(expr, ast.ColumnRef) or not expr.origin:
+            return None
+        try:
+            table = Database.get().storage_manager.get_table(expr.origin)
+        except KeyError:
+            return None
+        if cs.row_count != table.num_rows:
+            return None
+        return cs
+
     def column_dictionary(self, expr: ast.Expression):
         self.column_stats(expr)
         hit = self._base_col_stats.get(expr.key())

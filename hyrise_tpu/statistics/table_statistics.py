@@ -85,6 +85,17 @@ def _column_statistics(col: Column, n: int) -> ColumnStatistics:
         np.asarray(col.validity)[:n] if col.validity is not None
         else None
     )
+    # exact min/max/null_fraction over the FULL column even when the
+    # histogram samples: dense-join/dense-group fast paths treat these as
+    # hard bounds, and sample extrema would silently drop out-of-range keys
+    full_valid_data = data[valid] if valid is not None else data
+    null_fraction = (
+        1.0 - float(valid.mean()) if valid is not None else 0.0
+    )
+    if len(full_valid_data) == 0:
+        return ColumnStatistics(col.data_type, n, 0.0, null_fraction, None, None)
+    exact_min = float(full_valid_data.min())
+    exact_max = float(full_valid_data.max())
     scale = 1.0
     if n > SAMPLE_THRESHOLD:
         idx = np.random.default_rng(0).integers(0, n, size=SAMPLE_SIZE)
@@ -93,12 +104,9 @@ def _column_statistics(col: Column, n: int) -> ColumnStatistics:
             valid = valid[idx]
         scale = n / SAMPLE_SIZE
     if valid is not None:
-        null_fraction = 1.0 - float(valid.mean())
         data = data[valid]
-    else:
-        null_fraction = 0.0
     if len(data) == 0:
-        return ColumnStatistics(col.data_type, n, 0.0, null_fraction, None, None)
+        data = full_valid_data[:1]
     vals = data.astype(np.float64)
     sorted_vals = np.sort(vals)
     boundaries = np.concatenate([[True], sorted_vals[1:] != sorted_vals[:-1]])
@@ -120,8 +128,8 @@ def _column_statistics(col: Column, n: int) -> ColumnStatistics:
         n,
         max(distinct, 1.0),
         null_fraction,
-        float(sorted_vals[0]),
-        float(sorted_vals[-1]),
+        exact_min,
+        exact_max,
         histogram,
     )
 

@@ -160,3 +160,17 @@ def test_format_table_nulls():
     t = Table.from_dict({"a": [1, None]})
     text = format_table(t)
     assert "NULL" in text
+
+
+def test_placeholder_substitution():
+    # single-pass $N replacement: $10 must not be corrupted by $1, quoted
+    # literals are left untouched, strings are quoted/escaped
+    from hyrise_tpu.server.pg_server import _substitute_placeholders
+
+    params = [str(i) for i in range(1, 10)] + ["ten"]
+    sql = "SELECT $10, $1, '$2 stays', 'it''s $3' FROM t WHERE a = $2"
+    out = _substitute_placeholders(sql, params)
+    assert out == "SELECT 'ten', 1, '$2 stays', 'it''s $3' FROM t WHERE a = 2"
+    assert _substitute_placeholders("SELECT $1, $3", ["x", None]) == (
+        "SELECT 'x', $3"
+    )

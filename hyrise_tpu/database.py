@@ -63,3 +63,23 @@ class Database:
         old = self.scheduler
         self.scheduler = scheduler
         old.finish()
+
+    # ---------------------------------------------------------- distribution
+
+    def distribute(self, table_names=None, mesh=None,
+                   rows_per_shard: Optional[int] = None):
+        """Partition tables over a device mesh; subsequent SELECTs over
+        them execute distributed (parallel/dexec.py).  Returns the
+        QueryMesh used."""
+        from hyrise_tpu.parallel.dtable import partition_base
+        from hyrise_tpu.parallel.mesh import QueryMesh
+
+        qmesh = mesh if mesh is not None else QueryMesh()
+        names = (table_names if table_names is not None
+                 else self.storage_manager.table_names())
+        for name in names:
+            table = self.storage_manager.get_table(name)
+            self.storage_manager.add_sharded_table(
+                name, partition_base(table, qmesh, rows_per_shard)
+            )
+        return qmesh

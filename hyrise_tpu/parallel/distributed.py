@@ -45,7 +45,7 @@ def make_distributed_join_agg_step(qmesh: QueryMesh, bucket_cap: int,
         # ---- shuffle build side by key
         bk, bv, _, b_over = shf.shuffle_rows(b_keys, b_valid, (), n, bucket_cap)
         # ---- shard-local join
-        probe_idx, build_idx, pair_valid = shf.local_equi_join(
+        probe_idx, build_idx, pair_valid, _ = shf.local_equi_join(
             bk, bv, pk, pv, join_out_cap
         )
         # ---- aggregate joined rows into dense group slots + psum

@@ -246,7 +246,7 @@ def distributed_join_aggregate(
             pk, p_mask, (slot, vdata), n, bucket_cap
         )
         rbk, rbv, _, b_over = shf.shuffle_rows(bk, b_mask, (), n, bucket_cap)
-        probe_idx, build_idx, pair_valid = shf.local_equi_join(
+        probe_idx, build_idx, pair_valid, _ = shf.local_equi_join(
             rbk, rbv, rpk, rpv, join_out_cap
         )
         pslot = jnp.take(rslot, probe_idx)

@@ -111,7 +111,9 @@ def shuffle_rows(keys, valid, payload, n_shards: int, bucket_cap: int):
 
 def local_equi_join(build_keys, build_valid, probe_keys, probe_valid,
                     out_cap: int):
-    """Shard-local sorted join; returns (probe_idx, build_idx, pair_valid)."""
+    """Shard-local sorted join; returns (probe_idx, build_idx, pair_valid,
+    total_pairs) — total_pairs may exceed out_cap (caller detects overflow
+    and retries with a bigger capacity)."""
     skeys = jnp.where(build_valid, build_keys, I64_MAX)
     iota = jnp.arange(build_keys.shape[0], dtype=jnp.int32)
     sorted_keys, perm = jax.lax.sort((skeys, iota), num_keys=1, is_stable=True)
@@ -136,7 +138,7 @@ def local_equi_join(build_keys, build_valid, probe_keys, probe_valid,
     build_pos = jnp.clip(jnp.take(left, probe_idx) + k, 0, perm.shape[0] - 1)
     build_idx = jnp.take(perm, build_pos)
     pair_valid = out_j < total
-    return probe_idx, build_idx, pair_valid
+    return probe_idx, build_idx, pair_valid, total
 
 
 def dense_group_sum(slot_ids, values, valid, num_slots: int,

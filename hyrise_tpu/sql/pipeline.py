@@ -142,6 +142,32 @@ class SQLPipelineStatement:
             self._executed = True
             return
 
+        # distributed execution: sharded subtrees run on the mesh first,
+        # re-entering the plan as static tables (parallel/dexec.py)
+        lqp = self.get_optimized_logical_plan()
+        sm = db.storage_manager
+        if sm.has_sharded_tables() and not self.parameters:
+            from hyrise_tpu.parallel.dexec import (
+                references_sharded,
+                rewrite_distributed,
+            )
+
+            from hyrise_tpu.plan import lqp as L
+
+            for n in lqp.walk():
+                if isinstance(
+                    n, (L.InsertNode, L.UpdateNode, L.DeleteNode)
+                ) and sm.is_sharded(n.table_name):
+                    raise RuntimeError(
+                        f"DML on distributed table {n.table_name!r} is not "
+                        "supported — drop the sharded twin and re-distribute"
+                    )
+            if references_sharded(lqp, sm):
+                t0 = time.perf_counter_ns()
+                lqp = rewrite_distributed(lqp)
+                self._pqp = LQPTranslator().translate(lqp)
+                self.metrics.execute_ns += time.perf_counter_ns() - t0
+
         pqp = self.get_physical_plan()
 
         # transaction wiring: DML requires a context (auto-commit default)
@@ -159,7 +185,7 @@ class SQLPipelineStatement:
         t0 = time.perf_counter_ns()
         tasks = OperatorTask.make_tasks_from_operator(pqp)
         db.scheduler.schedule_and_wait_for_tasks(tasks)
-        self.metrics.execute_ns = time.perf_counter_ns() - t0
+        self.metrics.execute_ns += time.perf_counter_ns() - t0
 
         if ctx is not None and ctx.aborted:
             ctx.rollback(after_conflict=True)

@@ -38,6 +38,10 @@ class StorageManager:
         self._tables: Dict[str, Table] = {}
         self._views: Dict[str, LQPView] = {}
         self._prepared_plans: Dict[str, PreparedPlan] = {}
+        # name -> per-column DColumn map for distributed execution
+        # (parallel/dexec.py); the single-chip Table stays registered for
+        # schema binding, statistics and fallback execution
+        self._sharded: Dict[str, object] = {}
         self._lock = threading.RLock()
 
     # -------------------------------------------------------------- tables
@@ -68,6 +72,27 @@ class StorageManager:
 
     def table_names(self) -> List[str]:
         return sorted(self._tables)
+
+    # ------------------------------------------------------ sharded tables
+    def add_sharded_table(self, name: str, sharded) -> None:
+        """Register a mesh-partitioned twin (parallel/dtable.ShardedBase)
+        for an existing table; SELECTs over it execute distributed."""
+        with self._lock:
+            if name not in self._tables:
+                raise KeyError(f"no table named {name!r} to shard")
+            self._sharded[name] = sharded
+
+    def get_sharded_table(self, name: str):
+        return self._sharded[name]
+
+    def is_sharded(self, name: str) -> bool:
+        return name in self._sharded
+
+    def has_sharded_tables(self) -> bool:
+        return bool(self._sharded)
+
+    def drop_sharded_table(self, name: str) -> None:
+        self._sharded.pop(name, None)
 
     # --------------------------------------------------------------- views
     def add_view(self, name: str, view: LQPView) -> None:

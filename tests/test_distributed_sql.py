@@ -1,0 +1,220 @@
+"""Distributed SQL execution (parallel/dexec.py) on the virtual 8-device
+mesh: real SQL statements over mesh-partitioned tables must match the
+single-chip engine (BASELINE: row parity across scale-out), the plan
+spine (scan -> join -> aggregate) must actually lower onto the mesh (not
+just gather the leaves), and skew-induced shuffle overflow must resolve
+via capacity retries."""
+
+import numpy as np
+import pytest
+
+from hyrise_tpu.benchmark.tpch.generator import TPCHTableGenerator
+from hyrise_tpu.database import Database
+from hyrise_tpu.parallel import dexec
+from hyrise_tpu.sql.pipeline import sql
+from hyrise_tpu.storage.table import Table
+from tests.sqlite_oracle import rows_match
+
+_TABLES = {}
+
+
+@pytest.fixture
+def tpch():
+    if not _TABLES:
+        _TABLES.update(TPCHTableGenerator(scale_factor=0.002).generate())
+    db = Database.get()
+    for name, t in _TABLES.items():
+        db.storage_manager.add_table(name, t)
+    return db
+
+
+def _check(db, query: str, *, min_joins=0, min_aggs=0, ordered=True):
+    """Single-chip result vs distributed result (+ lowering assertions)."""
+    expected = sql(query).to_pylist()
+    db.distribute()
+    dexec.reset_stats()
+    got = sql(query).to_pylist()
+    assert rows_match(got, expected, ordered=ordered), (
+        f"distributed mismatch for {query!r}:\n"
+        f" exp={expected[:5]}\n got={got[:5]}"
+    )
+    assert dexec.STATS["subtrees"] >= 1, "nothing lowered onto the mesh"
+    assert dexec.STATS["joins"] >= min_joins
+    assert dexec.STATS["aggregates"] >= min_aggs
+    return got
+
+
+# ------------------------------------------------------------ TPC-H spine
+
+
+def test_distributed_tpch_q1(tpch):
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+
+    _check(tpch, TPCH_QUERIES[1], min_aggs=1)
+
+
+def test_distributed_tpch_q3(tpch):
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+
+    _check(tpch, TPCH_QUERIES[3], min_joins=2, min_aggs=1)
+
+
+def test_distributed_tpch_q5(tpch):
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+
+    _check(tpch, TPCH_QUERIES[5], min_joins=5, min_aggs=1)
+
+
+def test_distributed_tpch_q6(tpch):
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+
+    _check(tpch, TPCH_QUERIES[6], min_aggs=1)
+
+
+def test_distributed_tpch_q10_q12_q14(tpch):
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+
+    expected = {q: sql(TPCH_QUERIES[q]).to_pylist() for q in (10, 12, 14)}
+    tpch.distribute()
+    for q in (10, 12, 14):
+        dexec.reset_stats()
+        got = sql(TPCH_QUERIES[q]).to_pylist()
+        assert rows_match(got, expected[q], ordered=True), f"Q{q}"
+        assert dexec.STATS["joins"] >= 1 and dexec.STATS["aggregates"] >= 1
+
+
+# ------------------------------------------------------- shuffle variants
+
+
+def test_shuffle_join_string_keys(tpch, monkeypatch):
+    """Force the all_to_all shuffle path (no broadcast) on a string-keyed
+    join: dictionary codes recode through merged-dictionary LUTs."""
+    monkeypatch.setattr(dexec, "BROADCAST_LIMIT", 0)
+    q = (
+        "SELECT n_name, COUNT(*) FROM customer JOIN nation "
+        "ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"
+    )
+    _check(tpch, q, min_joins=1, min_aggs=1)
+
+
+def test_shuffle_join_forced(tpch, monkeypatch):
+    monkeypatch.setattr(dexec, "BROADCAST_LIMIT", 0)
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+
+    _check(tpch, TPCH_QUERIES[3], min_joins=2, min_aggs=1)
+
+
+def test_skewed_join_overflow_retry(monkeypatch):
+    """A hot key routing nearly every row to ONE destination shard must
+    overflow the initial per-bucket capacity and resolve via the
+    capacity-doubling retry (ref analogue: join_hash.cpp:70-110
+    partition-until-it-fits)."""
+    monkeypatch.setattr(dexec, "BROADCAST_LIMIT", 0)
+    db = Database.get()
+    n = 4096
+    keys = np.ones(n, dtype=np.int64)  # all rows share one join key
+    keys[: n // 64] = np.arange(n // 64)  # a few distinct keys
+    vals = np.arange(n, dtype=np.float64)
+    db.storage_manager.add_table("fact", Table.from_dict(
+        {"fk": keys.tolist(), "v": vals.tolist()}))
+    db.storage_manager.add_table("dim", Table.from_dict(
+        {"pk": [0, 1, 2, 1000000], "name": ["a", "b", "c", "d"]}))
+    q = ("SELECT name, SUM(v), COUNT(*) FROM fact JOIN dim ON fk = pk "
+         "GROUP BY name ORDER BY name")
+    expected = sql(q).to_pylist()
+    db.distribute()
+    dexec.reset_stats()
+    got = sql(q).to_pylist()
+    assert rows_match(got, expected, ordered=True)
+    assert dexec.STATS["shuffle_retries"] >= 1, (
+        "skewed key should overflow the initial bucket capacity"
+    )
+
+
+def test_skewed_aggregate_pre_aggregation(monkeypatch):
+    """A single hot GROUP BY key must NOT overflow: local pre-aggregation
+    collapses it to one representative per shard before any shuffle."""
+    db = Database.get()
+    n = 8192
+    g = np.zeros(n, dtype=np.int64)  # one giant group
+    g[:5] = [1, 2, 3, 4, 5]
+    db.storage_manager.add_table("t", Table.from_dict(
+        {"g": g.tolist(), "v": list(range(n))}))
+    q = "SELECT g, SUM(v), COUNT(*) FROM t GROUP BY g ORDER BY g"
+    expected = sql(q).to_pylist()
+    db.distribute()
+    dexec.reset_stats()
+    got = sql(q).to_pylist()
+    assert got == expected
+    assert dexec.STATS["shuffle_retries"] == 0
+
+
+# ------------------------------------------------------------- semantics
+
+
+def test_distributed_nulls_and_aggregates():
+    db = Database.get()
+    db.storage_manager.add_table("t", Table.from_dict({
+        "g": ["a", "a", None, "b", None, "b"],
+        "x": [1, None, 3, None, 5, 6],
+        "f": [1.5, 2.5, None, 4.5, 5.5, None],
+    }))
+    q = ("SELECT g, COUNT(*), COUNT(x), SUM(x), AVG(f), MIN(x), MAX(f) "
+         "FROM t GROUP BY g ORDER BY g")
+    expected = sql(q).to_pylist()
+    db.distribute()
+    got = sql(q).to_pylist()
+    assert rows_match(got, expected, ordered=True)
+
+
+def test_distributed_semi_anti():
+    db = Database.get()
+    db.storage_manager.add_table("l", Table.from_dict(
+        {"k": [1, 2, 3, 4, None, 6], "v": list("abcdef")}))
+    db.storage_manager.add_table("r", Table.from_dict(
+        {"k2": [2, 4, 4, 8]}))
+    q_in = "SELECT v FROM l WHERE k IN (SELECT k2 FROM r) ORDER BY v"
+    q_notin = "SELECT v FROM l WHERE k NOT IN (SELECT k2 FROM r) ORDER BY v"
+    q_exists = ("SELECT v FROM l WHERE NOT EXISTS "
+                "(SELECT * FROM r WHERE k2 = k) ORDER BY v")
+    exp = {q: sql(q).to_pylist() for q in (q_in, q_notin, q_exists)}
+    db.distribute()
+    for q in (q_in, q_notin, q_exists):
+        assert sql(q).to_pylist() == exp[q], q
+
+
+def test_distributed_fallback_unsupported_shapes(tpch):
+    """Queries the mesh lowering does not support still execute (gather
+    fallback) with identical results — e.g. outer joins."""
+    q = ("SELECT c_custkey, COUNT(o_orderkey) FROM customer "
+         "LEFT JOIN orders ON c_custkey = o_custkey "
+         "GROUP BY c_custkey ORDER BY c_custkey LIMIT 20")
+    expected = sql(q).to_pylist()
+    tpch.distribute()
+    got = sql(q).to_pylist()
+    assert rows_match(got, expected, ordered=True)
+
+
+def test_distributed_insert_rejected():
+    db = Database.get()
+    db.storage_manager.add_table("t", Table.from_dict({"a": [1, 2]}))
+    db.distribute(["t"])
+    with pytest.raises(RuntimeError, match="distributed table"):
+        sql("INSERT INTO t VALUES (3)")
+
+
+def test_distributed_plan_reuse_is_cached():
+    """Second execution of the same SQL must reuse compiled stages (the
+    stage cache is keyed by plan + shapes)."""
+    from hyrise_tpu.parallel.dtable import _STAGE_CACHE
+
+    db = Database.get()
+    db.storage_manager.add_table("t", Table.from_dict(
+        {"g": [1, 2, 1, 2], "v": [1.0, 2.0, 3.0, 4.0]}))
+    db.distribute()
+    q = "SELECT g, SUM(v) FROM t GROUP BY g ORDER BY g"
+    first = sql(q).to_pylist()
+    n_stages = len(_STAGE_CACHE)
+    second = sql(q).to_pylist()
+    assert first == second
+    assert len(_STAGE_CACHE) == n_stages, "re-execution recompiled stages"

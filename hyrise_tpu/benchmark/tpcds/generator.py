@@ -76,8 +76,15 @@ class TPCDSTableGenerator:
             "promotion": self._promotion(),
             "customer_address": self._customer_address(),
             "customer_demographics": self._customer_demographics(),
-            "household_demographics": self._household_demographics(),
+            "income_band": self._income_band(),
+            "warehouse": self._warehouse(),
+            "ship_mode": self._ship_mode(),
+            "web_site": self._web_site(),
+            "web_page": self._web_page(),
+            "call_center": self._call_center(),
+            "reason": self._reason(),
         }
+        tables["household_demographics"] = self._household_demographics(tables)
         tables["customer"] = self._customer(tables)
         tables["store_sales"] = self._store_sales(tables)
         # catalog + web channels (ref: tpcds catalog_sales.dat /
@@ -91,6 +98,12 @@ class TPCDSTableGenerator:
             "ws", max(self.n_store_sales // 4, 10), tables,
             customer_col="ws_bill_customer_sk", addr_col="ws_bill_addr_sk",
         )
+        tables["store_returns"] = self._store_returns(tables)
+        tables["catalog_returns"] = self._channel_returns(
+            "cr", "cs", tables["catalog_sales"], tables)
+        tables["web_returns"] = self._channel_returns(
+            "wr", "ws", tables["web_sales"], tables)
+        tables["inventory"] = self._inventory(tables)
         pk = {
             "date_dim": ("d_date_sk",), "time_dim": ("t_time_sk",),
             "item": ("i_item_sk",), "store": ("s_store_sk",),
@@ -98,6 +111,11 @@ class TPCDSTableGenerator:
             "customer_address": ("ca_address_sk",),
             "customer_demographics": ("cd_demo_sk",),
             "household_demographics": ("hd_demo_sk",),
+            "income_band": ("ib_income_band_sk",),
+            "warehouse": ("w_warehouse_sk",),
+            "ship_mode": ("sm_ship_mode_sk",),
+            "web_site": ("web_site_sk",), "web_page": ("wp_web_page_sk",),
+            "call_center": ("cc_call_center_sk",), "reason": ("r_reason_sk",),
         }
         for name, cols in pk.items():
             tables[name].key_constraints.append(TableKeyConstraint(cols, True))
@@ -132,13 +150,19 @@ class TPCDSTableGenerator:
                 )[(dow + 1) % 7],
                 "d_dow": dow,
                 "d_month_seq": ((y - 1998) * 12 + m - 1).astype(np.int32),
+                "d_week_seq": ((days - D_START) // 7 + 1).astype(np.int32),
+                "d_quarter_name": np.char.add(
+                    np.char.add(y.astype(str), "Q"),
+                    ((m - 1) // 3 + 1).astype(str),
+                ),
             },
             {
                 "d_date_sk": DataType.INT, "d_date": DataType.DATE,
                 "d_year": DataType.INT, "d_moy": DataType.INT,
                 "d_dom": DataType.INT, "d_qoy": DataType.INT,
                 "d_day_name": DataType.STRING, "d_dow": DataType.INT,
-                "d_month_seq": DataType.INT,
+                "d_month_seq": DataType.INT, "d_week_seq": DataType.INT,
+                "d_quarter_name": DataType.STRING,
             },
         )
 
@@ -190,6 +214,15 @@ class TPCDSTableGenerator:
                 "i_manufact": np.char.add("mfg#", manufact_id.astype(str)),
                 "i_color": _texts(rng, n, 1),
                 "i_manager_id": rng.integers(1, 101, size=n).astype(np.int32),
+                "i_product_name": _texts(rng, n, 3),
+                "i_class_id": (cat_id * 16 + rng.integers(1, 17, size=n)).astype(np.int32),
+                "i_class": np.char.add("class#", (cat_id * 16 + rng.integers(1, 17, size=n)).astype(str)),
+                "i_size": np.array(["small", "medium", "large", "petite",
+                                    "extra large", "N/A", "economy"])[rng.integers(0, 7, size=n)],
+                "i_units": np.array(["Unknown", "Each", "Dozen", "Case", "Pallet",
+                                     "Gross", "Oz", "Lb"])[rng.integers(0, 8, size=n)],
+                "i_container": np.array(["Unknown"] * n),
+                "i_wholesale_cost": _money(rng.integers(100, 9000, size=n)),
             },
             {
                 "i_item_sk": DataType.INT, "i_item_id": DataType.STRING,
@@ -199,6 +232,11 @@ class TPCDSTableGenerator:
                 "i_category_id": DataType.INT, "i_category": DataType.STRING,
                 "i_manufact_id": DataType.INT, "i_manufact": DataType.STRING,
                 "i_color": DataType.STRING, "i_manager_id": DataType.INT,
+                "i_product_name": DataType.STRING,
+                "i_class_id": DataType.INT, "i_class": DataType.STRING,
+                "i_size": DataType.STRING, "i_units": DataType.STRING,
+                "i_container": DataType.STRING,
+                "i_wholesale_cost": DataType.DOUBLE,
             },
         )
 
@@ -223,6 +261,13 @@ class TPCDSTableGenerator:
                     rng.integers(30000, 40000, size=n).astype(str), 5
                 ),
                 "s_gmt_offset": np.full(n, -5.0),
+                "s_company_id": np.ones(n, dtype=np.int32),
+                "s_company_name": np.array(["Unknown"] * n),
+                "s_street_number": rng.integers(1, 1000, size=n).astype(str),
+                "s_street_name": _texts(rng, n, 1),
+                "s_street_type": np.array(["Street", "Ave", "Blvd", "Ln"])[sk % 4],
+                "s_suite_number": np.char.add("Suite ", (sk * 10 % 300).astype(str)),
+                "s_market_id": rng.integers(1, 11, size=n).astype(np.int32),
             },
             {
                 "s_store_sk": DataType.INT, "s_store_id": DataType.STRING,
@@ -231,6 +276,13 @@ class TPCDSTableGenerator:
                 "s_city": DataType.STRING, "s_county": DataType.STRING,
                 "s_state": DataType.STRING, "s_zip": DataType.STRING,
                 "s_gmt_offset": DataType.DOUBLE,
+                "s_company_id": DataType.INT,
+                "s_company_name": DataType.STRING,
+                "s_street_number": DataType.STRING,
+                "s_street_name": DataType.STRING,
+                "s_street_type": DataType.STRING,
+                "s_suite_number": DataType.STRING,
+                "s_market_id": DataType.INT,
             },
         )
 
@@ -306,6 +358,9 @@ class TPCDSTableGenerator:
                 "cd_credit_rating": np.array(_CREDIT)[
                     np.arange(n) % len(_CREDIT)
                 ],
+                "cd_dep_count": (np.arange(n) % 7).astype(np.int32),
+                "cd_dep_employed_count": (np.arange(n) % 7).astype(np.int32),
+                "cd_dep_college_count": ((np.arange(n) // 7) % 7).astype(np.int32),
             },
             {
                 "cd_demo_sk": DataType.INT, "cd_gender": DataType.STRING,
@@ -313,19 +368,26 @@ class TPCDSTableGenerator:
                 "cd_education_status": DataType.STRING,
                 "cd_purchase_estimate": DataType.INT,
                 "cd_credit_rating": DataType.STRING,
+                "cd_dep_count": DataType.INT,
+                "cd_dep_employed_count": DataType.INT,
+                "cd_dep_college_count": DataType.INT,
             },
         )
 
-    def _household_demographics(self) -> Table:
+    def _household_demographics(self, tables) -> Table:
         rows = []
         for buy in _BUY:
             for dep in range(0, 10):
                 for veh in range(-1, 5):
                     rows.append((buy, dep, veh))
         n = len(rows)
+        n_ib = tables["income_band"].num_rows
         return Table.from_numpy(
             {
                 "hd_demo_sk": np.arange(1, n + 1, dtype=np.int32),
+                "hd_income_band_sk": (
+                    np.arange(n) % n_ib + 1
+                ).astype(np.int32),
                 "hd_buy_potential": np.array([r[0] for r in rows]),
                 "hd_dep_count": np.array([r[1] for r in rows], dtype=np.int32),
                 "hd_vehicle_count": np.array([r[2] for r in rows],
@@ -333,9 +395,162 @@ class TPCDSTableGenerator:
             },
             {
                 "hd_demo_sk": DataType.INT,
+                "hd_income_band_sk": DataType.INT,
                 "hd_buy_potential": DataType.STRING,
                 "hd_dep_count": DataType.INT,
                 "hd_vehicle_count": DataType.INT,
+            },
+        )
+
+    # ------------------------------------------------- small dimensions
+    # (ref: tpcds spec §2 fixed-size dimensions; sized per spec)
+
+    def _income_band(self) -> Table:
+        lo = np.arange(0, 200001, 10000, dtype=np.int32)[:20]
+        return Table.from_numpy(
+            {
+                "ib_income_band_sk": np.arange(1, 21, dtype=np.int32),
+                "ib_lower_bound": lo,
+                "ib_upper_bound": lo + 10000,
+            },
+            {
+                "ib_income_band_sk": DataType.INT,
+                "ib_lower_bound": DataType.INT,
+                "ib_upper_bound": DataType.INT,
+            },
+        )
+
+    def _warehouse(self) -> Table:
+        n = max(int(5 * max(self.sf, 1) ** 0.5), 2)
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "w_warehouse_sk": sk,
+                "w_warehouse_id": np.char.add("wh_", sk.astype(str)),
+                "w_warehouse_name": np.char.add("Warehouse#", sk.astype(str)),
+                "w_warehouse_sq_ft": (sk * 100000 % 900000 + 50000).astype(np.int32),
+                "w_city": np.array(["Midway", "Fairview"])[sk % 2],
+                "w_county": np.array(["Williamson County"] * n),
+                "w_state": np.array(["TN", "CA"])[sk % 2],
+                "w_country": np.array(["United States"] * n),
+            },
+            {
+                "w_warehouse_sk": DataType.INT,
+                "w_warehouse_id": DataType.STRING,
+                "w_warehouse_name": DataType.STRING,
+                "w_warehouse_sq_ft": DataType.INT,
+                "w_city": DataType.STRING, "w_county": DataType.STRING,
+                "w_state": DataType.STRING, "w_country": DataType.STRING,
+            },
+        )
+
+    def _ship_mode(self) -> Table:
+        types = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY"]
+        carriers = ["UPS", "FEDEX", "AIRBORNE", "USPS", "DHL",
+                    "TBS", "ZHOU", "LATVIAN", "MSC", "ORIENTAL"]
+        n = 20
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "sm_ship_mode_sk": sk,
+                "sm_ship_mode_id": np.char.add("sm_", sk.astype(str)),
+                "sm_type": np.array(types)[(sk - 1) % len(types)],
+                "sm_code": np.array(["AIR", "SURFACE", "SEA", "LIBRARY"])[
+                    (sk - 1) % 4
+                ],
+                "sm_carrier": np.array(carriers)[(sk - 1) % len(carriers)],
+            },
+            {
+                "sm_ship_mode_sk": DataType.INT,
+                "sm_ship_mode_id": DataType.STRING,
+                "sm_type": DataType.STRING, "sm_code": DataType.STRING,
+                "sm_carrier": DataType.STRING,
+            },
+        )
+
+    def _web_site(self) -> Table:
+        n = max(int(10 * max(self.sf, 1) ** 0.5), 2)
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "web_site_sk": sk,
+                "web_site_id": np.char.add("site_", sk.astype(str)),
+                "web_name": np.char.add("site_", ((sk - 1) % 4).astype(str)),
+                "web_company_name": np.array(
+                    ["pri", "able", "ought", "ese", "anti", "cally"]
+                )[(sk - 1) % 6],
+            },
+            {
+                "web_site_sk": DataType.INT, "web_site_id": DataType.STRING,
+                "web_name": DataType.STRING,
+                "web_company_name": DataType.STRING,
+            },
+        )
+
+    def _web_page(self) -> Table:
+        rng = self.rng
+        n = max(int(30 * max(self.sf, 1) ** 0.5), 4)
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "wp_web_page_sk": sk,
+                "wp_web_page_id": np.char.add("page_", sk.astype(str)),
+                "wp_char_count": rng.integers(100, 8000, size=n).astype(np.int32),
+            },
+            {
+                "wp_web_page_sk": DataType.INT,
+                "wp_web_page_id": DataType.STRING,
+                "wp_char_count": DataType.INT,
+            },
+        )
+
+    def _call_center(self) -> Table:
+        n = max(int(3 * max(self.sf, 1) ** 0.5), 2)
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "cc_call_center_sk": sk,
+                "cc_call_center_id": np.char.add("cc_", sk.astype(str)),
+                "cc_name": np.array(
+                    ["NY Metro", "Mid Atlantic", "North Midwest", "Pacific"]
+                )[(sk - 1) % 4],
+                "cc_county": np.array(["Williamson County"] * n),
+                "cc_manager": np.char.add("Manager#", sk.astype(str)),
+            },
+            {
+                "cc_call_center_sk": DataType.INT,
+                "cc_call_center_id": DataType.STRING,
+                "cc_name": DataType.STRING, "cc_county": DataType.STRING,
+                "cc_manager": DataType.STRING,
+            },
+        )
+
+    def _reason(self) -> Table:
+        descs = ["Package was damaged", "Stopped working",
+                 "Did not get it on time", "Not the product that was ordred",
+                 "Parts missing", "Does not work with a product that I have",
+                 "Gift exchange", "Did not like the color",
+                 "Did not like the model", "Did not fit",
+                 "Found a better price in a store", "Found a better extension",
+                 "No service location in my area", "duplicate purchase",
+                 "Its the best", "reason 16", "reason 17", "reason 18",
+                 "reason 19", "reason 20", "reason 21", "reason 22",
+                 "reason 23", "reason 24", "reason 25", "reason 26",
+                 "reason 27", "reason 28", "reason 29", "reason 30",
+                 "reason 31", "reason 32", "reason 33", "reason 34",
+                 "reason 35"]
+        n = len(descs)
+        return Table.from_numpy(
+            {
+                "r_reason_sk": np.arange(1, n + 1, dtype=np.int32),
+                "r_reason_id": np.char.add(
+                    "reason_", np.arange(1, n + 1).astype(str)
+                ),
+                "r_reason_desc": np.array(descs),
+            },
+            {
+                "r_reason_sk": DataType.INT, "r_reason_id": DataType.STRING,
+                "r_reason_desc": DataType.STRING,
             },
         )
 
@@ -358,6 +573,17 @@ class TPCDSTableGenerator:
                 "c_first_name": _texts(rng, n, 1),
                 "c_last_name": _texts(rng, n, 1),
                 "c_birth_year": rng.integers(1930, 1995, size=n).astype(np.int32),
+                "c_birth_month": rng.integers(1, 13, size=n).astype(np.int32),
+                "c_birth_day": rng.integers(1, 29, size=n).astype(np.int32),
+                "c_birth_country": np.array(
+                    ["UNITED STATES", "CANADA", "MEXICO", "GERMANY", "JAPAN",
+                     "FRANCE", "BRAZIL", "INDIA"])[rng.integers(0, 8, size=n)],
+                "c_preferred_cust_flag": np.array(["Y", "N"])[rng.integers(0, 2, size=n)],
+                "c_salutation": np.array(
+                    ["Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir"])[rng.integers(0, 6, size=n)],
+                "c_email_address": np.char.add(_texts(rng, n, 1), "@example.com"),
+                "c_first_shipto_date_sk": (rng.integers(0, 2000, size=n) + 2450815).astype(np.int32),
+                "c_first_sales_date_sk": (rng.integers(0, 2000, size=n) + 2450815).astype(np.int32),
             },
             {
                 "c_customer_sk": DataType.INT,
@@ -368,6 +594,14 @@ class TPCDSTableGenerator:
                 "c_first_name": DataType.STRING,
                 "c_last_name": DataType.STRING,
                 "c_birth_year": DataType.INT,
+                "c_birth_month": DataType.INT,
+                "c_birth_day": DataType.INT,
+                "c_birth_country": DataType.STRING,
+                "c_preferred_cust_flag": DataType.STRING,
+                "c_salutation": DataType.STRING,
+                "c_email_address": DataType.STRING,
+                "c_first_shipto_date_sk": DataType.INT,
+                "c_first_sales_date_sk": DataType.INT,
             },
         )
 
@@ -385,12 +619,16 @@ class TPCDSTableGenerator:
         ext_sales = np.round(sales_price * quantity * 100) / 100
         ext_list = np.round(list_price * quantity * 100) / 100
         ext_wholesale = np.round(wholesale * quantity * 100) / 100
+        sold = (rng.integers(0, n_dates - 125, size=n) + 2450815).astype(np.int32)
         data = {
-            f"{p}_sold_date_sk": (
-                rng.integers(0, n_dates, size=n) + 2450815
-            ).astype(np.int32),
+            f"{p}_sold_date_sk": sold,
             f"{p}_sold_time_sk": rng.integers(
                 0, tables["time_dim"].num_rows, size=n
+            ).astype(np.int32),
+            # orders group ~4 lines; ship dates trail the sale ≤120 days
+            f"{p}_order_number": (np.arange(n) // 4 + 1).astype(np.int32),
+            f"{p}_ship_date_sk": (
+                sold + rng.integers(1, 121, size=n)
             ).astype(np.int32),
             f"{p}_item_sk": rng.integers(
                 1, self.n_item + 1, size=n
@@ -398,25 +636,204 @@ class TPCDSTableGenerator:
             customer_col: rng.integers(
                 1, self.n_customer + 1, size=n
             ).astype(np.int32),
+            f"{p}_ship_customer_sk": rng.integers(
+                1, self.n_customer + 1, size=n
+            ).astype(np.int32),
             addr_col: rng.integers(
                 1, tables["customer_address"].num_rows + 1, size=n
             ).astype(np.int32),
+            f"{p}_ship_addr_sk": rng.integers(
+                1, tables["customer_address"].num_rows + 1, size=n
+            ).astype(np.int32),
+            f"{p}_cdemo_sk": rng.integers(
+                1, tables["customer_demographics"].num_rows + 1, size=n
+            ).astype(np.int32),
+            f"{p}_hdemo_sk": rng.integers(
+                1, tables["household_demographics"].num_rows + 1, size=n
+            ).astype(np.int32),
             f"{p}_promo_sk": rng.integers(
                 1, self.n_promo + 1, size=n
+            ).astype(np.int32),
+            f"{p}_warehouse_sk": rng.integers(
+                1, tables["warehouse"].num_rows + 1, size=n
+            ).astype(np.int32),
+            f"{p}_ship_mode_sk": rng.integers(
+                1, tables["ship_mode"].num_rows + 1, size=n
             ).astype(np.int32),
             f"{p}_quantity": quantity,
             f"{p}_wholesale_cost": wholesale,
             f"{p}_list_price": list_price,
             f"{p}_sales_price": sales_price,
+            f"{p}_ext_discount_amt": np.round((ext_list - ext_sales) * 100) / 100,
             f"{p}_ext_sales_price": ext_sales,
             f"{p}_ext_list_price": ext_list,
+            f"{p}_ext_wholesale_cost": ext_wholesale,
+            f"{p}_ext_ship_cost": np.round(ext_sales * 0.05 * 100) / 100,
+            f"{p}_coupon_amt": np.where(
+                rng.random(n) < 0.1, np.round(ext_sales * 0.1 * 100) / 100, 0.0
+            ),
+            f"{p}_net_paid": ext_sales,
             f"{p}_net_profit": np.round((ext_sales - ext_wholesale) * 100) / 100,
+        }
+        if p == "cs":
+            data["cs_call_center_sk"] = rng.integers(
+                1, tables["call_center"].num_rows + 1, size=n
+            ).astype(np.int32)
+        else:
+            data["ws_web_site_sk"] = rng.integers(
+                1, tables["web_site"].num_rows + 1, size=n
+            ).astype(np.int32)
+            data["ws_web_page_sk"] = rng.integers(
+                1, tables["web_page"].num_rows + 1, size=n
+            ).astype(np.int32)
+        types = {
+            name: (DataType.INT if arr.dtype.kind == "i" else DataType.DOUBLE)
+            for name, arr in data.items()
+        }
+        return Table.from_numpy(data, types)
+
+    # ---------------------------------------------------------- returns
+
+    def _store_returns(self, tables) -> Table:
+        """~10% of store sales return; returns share (item_sk,
+        ticket_number, customer_sk) with the originating sale so
+        sale-to-return joins (Q17/Q25/Q29/Q50/Q93) produce matches."""
+        rng = self.rng
+        ss = tables["store_sales"]
+        n_ss = ss.num_rows
+        idx = np.flatnonzero(rng.random(n_ss) < 0.1)
+        n = len(idx)
+
+        def col(name):
+            return np.asarray(ss.column(name).data)[:n_ss][idx]
+
+        sold = col("ss_sold_date_sk")
+        quantity = np.maximum(
+            (col("ss_quantity") * rng.random(n)).astype(np.int32), 1
+        )
+        amt = np.round(col("ss_sales_price") * quantity * 100) / 100
+        # a slice of returns come back through a DIFFERENT customer (gift
+        # returns) — Q1-style per-customer return analysis needs both
+        returning = col("ss_customer_sk").copy()
+        other = rng.random(n) < 0.2
+        returning[other] = rng.integers(
+            1, self.n_customer + 1, size=int(other.sum()))
+        data = {
+            "sr_returned_date_sk": (
+                sold + rng.integers(1, 91, size=n)
+            ).astype(np.int32),
+            "sr_return_time_sk": rng.integers(
+                0, tables["time_dim"].num_rows, size=n).astype(np.int32),
+            "sr_item_sk": col("ss_item_sk"),
+            "sr_customer_sk": returning.astype(np.int32),
+            "sr_cdemo_sk": col("ss_cdemo_sk"),
+            "sr_hdemo_sk": col("ss_hdemo_sk"),
+            "sr_addr_sk": col("ss_addr_sk"),
+            "sr_store_sk": col("ss_store_sk"),
+            "sr_reason_sk": rng.integers(
+                1, tables["reason"].num_rows + 1, size=n).astype(np.int32),
+            "sr_ticket_number": col("ss_ticket_number"),
+            "sr_return_quantity": quantity,
+            "sr_return_amt": amt,
+            "sr_return_tax": np.round(amt * 0.08 * 100) / 100,
+            "sr_return_amt_inc_tax": np.round(amt * 1.08 * 100) / 100,
+            "sr_fee": _money(rng.integers(50, 10000, size=n)),
+            "sr_return_ship_cost": np.round(amt * 0.05 * 100) / 100,
+            "sr_refunded_cash": np.round(amt * rng.random(n) * 100) / 100,
+            "sr_net_loss": np.round(amt * 0.2 * 100) / 100,
         }
         types = {
             name: (DataType.INT if arr.dtype.kind == "i" else DataType.DOUBLE)
             for name, arr in data.items()
         }
         return Table.from_numpy(data, types)
+
+    def _channel_returns(self, p: str, sp: str, sales: Table, tables) -> Table:
+        """Catalog (cr_) / web (wr_) returns sampled from their channel's
+        sales, sharing (item_sk, order_number)."""
+        rng = self.rng
+        n_s = sales.num_rows
+        idx = np.flatnonzero(rng.random(n_s) < 0.1)
+        n = len(idx)
+
+        def col(name):
+            return np.asarray(sales.column(name).data)[:n_s][idx]
+
+        sold = col(f"{sp}_sold_date_sk")
+        quantity = np.maximum(
+            (col(f"{sp}_quantity") * rng.random(n)).astype(np.int32), 1
+        )
+        amt = np.round(col(f"{sp}_sales_price") * quantity * 100) / 100
+        amount_col = "cr_return_amount" if p == "cr" else "wr_return_amt"
+        data = {
+            f"{p}_returned_date_sk": (
+                sold + rng.integers(1, 91, size=n)).astype(np.int32),
+            f"{p}_item_sk": col(f"{sp}_item_sk"),
+            f"{p}_order_number": col(f"{sp}_order_number"),
+            f"{p}_returning_customer_sk": rng.integers(
+                1, self.n_customer + 1, size=n).astype(np.int32),
+            f"{p}_refunded_customer_sk": col(
+                f"{sp}_bill_customer_sk"),
+            f"{p}_returning_addr_sk": rng.integers(
+                1, tables["customer_address"].num_rows + 1, size=n
+            ).astype(np.int32),
+            f"{p}_refunded_addr_sk": col(f"{sp}_ship_addr_sk"),
+            f"{p}_refunded_cdemo_sk": col(f"{sp}_cdemo_sk"),
+            f"{p}_returning_cdemo_sk": rng.integers(
+                1, tables["customer_demographics"].num_rows + 1, size=n
+            ).astype(np.int32),
+            f"{p}_refunded_hdemo_sk": col(f"{sp}_hdemo_sk"),
+            f"{p}_reason_sk": rng.integers(
+                1, tables["reason"].num_rows + 1, size=n).astype(np.int32),
+            f"{p}_return_quantity": quantity,
+            amount_col: amt,
+            f"{p}_return_amt_inc_tax": np.round(amt * 1.08 * 100) / 100,
+            f"{p}_fee": _money(rng.integers(50, 10000, size=n)),
+            f"{p}_refunded_cash": np.round(amt * rng.random(n) * 100) / 100,
+            f"{p}_net_loss": np.round(amt * 0.2 * 100) / 100,
+        }
+        if p == "cr":
+            data["cr_call_center_sk"] = col("cs_call_center_sk")
+        else:
+            data["wr_web_page_sk"] = col("ws_web_page_sk")
+        types = {
+            name: (DataType.INT if arr.dtype.kind == "i" else DataType.DOUBLE)
+            for name, arr in data.items()
+        }
+        return Table.from_numpy(data, types)
+
+    def _inventory(self, tables) -> Table:
+        """Weekly item × warehouse stock levels (ref: tpcds spec §2.4.11);
+        item stride caps the cross product at test/bench scales."""
+        rng = self.rng
+        dates = np.asarray(tables["date_dim"].column("d_date_sk").data)[
+            : tables["date_dim"].num_rows
+        ]
+        weeks = dates[::7]
+        n_wh = tables["warehouse"].num_rows
+        cap = max(int(1_000_000 * self.sf), 5000)
+        stride = max(1, (len(weeks) * self.n_item * n_wh) // cap)
+        items = np.arange(1, self.n_item + 1, dtype=np.int32)[::max(stride, 1)]
+        grid = np.stack(
+            [a.ravel() for a in np.meshgrid(weeks, items,
+                                            np.arange(1, n_wh + 1))],
+            axis=1,
+        )
+        n = len(grid)
+        return Table.from_numpy(
+            {
+                "inv_date_sk": grid[:, 0].astype(np.int32),
+                "inv_item_sk": grid[:, 1].astype(np.int32),
+                "inv_warehouse_sk": grid[:, 2].astype(np.int32),
+                "inv_quantity_on_hand": rng.integers(
+                    0, 1000, size=n).astype(np.int32),
+            },
+            {
+                "inv_date_sk": DataType.INT, "inv_item_sk": DataType.INT,
+                "inv_warehouse_sk": DataType.INT,
+                "inv_quantity_on_hand": DataType.INT,
+            },
+        )
 
     def _store_sales(self, tables) -> Table:
         rng = self.rng

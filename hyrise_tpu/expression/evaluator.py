@@ -492,11 +492,14 @@ class ExpressionEvaluator:
             ok = np.ones(len(r.dictionary), dtype=bool)
             for i, s in enumerate(r.dictionary):
                 try:
-                    lut[i] = (
-                        float(s)
-                        if target in (DataType.FLOAT, DataType.DOUBLE)
-                        else int(float(s))
-                    )
+                    if target == DataType.DATE:
+                        lut[i] = single_date_to_days(str(s))
+                    else:
+                        lut[i] = (
+                            float(s)
+                            if target in (DataType.FLOAT, DataType.DOUBLE)
+                            else int(float(s))
+                        )
                 except ValueError:
                     ok[i] = False
             data = jnp.take(jnp.asarray(lut), jnp.clip(r.data, 0, len(lut) - 1))

@@ -66,7 +66,68 @@ class SubqueryToJoinRule(AbstractRule):
                 return self._rewrite_correlated_scalar(
                     node, ast.Predicate(flipped, [r, l]), r, l
                 )
+        if isinstance(pred, (ast.Logical, ast.Not)):
+            return self._rewrite_marked(node)
         return None
+
+    # ------------------------------------------------------------------
+
+    def _rewrite_marked(self, node: L.PredicateNode) -> Optional[L.LQPNode]:
+        """Correlated EXISTS inside a boolean tree (OR branches, NOT —
+        TPC-DS Q10/Q35/Q69): rewrite each as a MARK join — LEFT join the
+        outer input against the DISTINCT correlation keys of the subquery
+        and replace the EXISTS with `key IS [NOT] NULL`.  IS NULL is
+        2-valued, so the marker composes under any NOT/OR context."""
+        pred = node.predicate
+        exists_nodes: List[ast.Exists] = []
+
+        def scan(e: ast.Expression) -> bool:
+            """Collect correlated EXISTS; False when one sits under an
+            operator other than AND/OR/NOT (no safe mark placement)."""
+            if isinstance(e, ast.Exists):
+                if e.subquery.is_correlated():
+                    exists_nodes.append(e)
+                return True
+            if isinstance(e, (ast.Logical, ast.Not)):
+                return all(scan(c) for c in e.children)
+            return not any(
+                isinstance(s, ast.Exists) and s.subquery.is_correlated()
+                for s in e.walk()
+            )
+
+        if not scan(pred) or not exists_nodes:
+            return None
+
+        target = node.left
+        mapping: Dict[int, ast.Expression] = {}
+        for ex in exists_nodes:
+            inner, hoisted = self._hoist_correlation(ex.subquery)
+            if not hoisted:
+                return None
+            if not all(
+                isinstance(hp, ast.Predicate)
+                and hp.condition == PredicateCondition.EQUALS
+                for hp in hoisted
+            ):
+                return None  # distinct-key dedup needs pure equalities
+            corr_cols = [hp.children[1] for hp in hoisted]
+            distinct = L.AggregateNode(corr_cols, [], inner)
+            target = L.JoinNode(JoinMode.LEFT, list(hoisted), target, distinct)
+            cond = (PredicateCondition.IS_NULL if ex.negated
+                    else PredicateCondition.IS_NOT_NULL)
+            mapping[id(ex)] = ast.Predicate(cond, [corr_cols[0]])
+
+        def rebuild(e: ast.Expression) -> ast.Expression:
+            if id(e) in mapping:
+                return mapping[id(e)]
+            if isinstance(e, ast.Logical):
+                return ast.Logical(e.op, rebuild(e.children[0]),
+                                   rebuild(e.children[1]))
+            if isinstance(e, ast.Not):
+                return ast.Not(rebuild(e.children[0]))
+            return e
+
+        return L.PredicateNode(rebuild(pred), target)
 
     def _rewrite_in(self, node, pred: ast.InSubquery, negated: bool):
         sub: ast.Subquery = pred.subquery
@@ -217,8 +278,15 @@ class SubqueryToJoinRule(AbstractRule):
         return None
 
     def _find_sole_aggregate(self, root: L.LQPNode) -> Optional[L.AggregateNode]:
-        aggs = [n for n in root.walk() if isinstance(n, L.AggregateNode)]
-        return aggs[0] if len(aggs) == 1 else None
+        """The TOPMOST aggregate on the left spine (deeper aggregates — a
+        CTE's own GROUP BY, TPC-DS Q1-style — are just input and do not
+        disqualify the rewrite)."""
+        node = root
+        while node is not None:
+            if isinstance(node, L.AggregateNode):
+                return node
+            node = node.left
+        return None
 
     def _extend_projections(self, root: L.LQPNode, cols, stop_at) -> None:
         """Append columns to Projection/Alias nodes between root and

@@ -620,6 +620,23 @@ class TPCDSTableGenerator:
         ext_list = np.round(list_price * quantity * 100) / 100
         ext_wholesale = np.round(wholesale * quantity * 100) / 100
         sold = (rng.integers(0, n_dates - 125, size=n) + 2450815).astype(np.int32)
+        # cross-channel shoppers: ~20% of channel rows reuse a store-sales
+        # (item, customer) pair so sale->return->other-channel chains
+        # (Q17/Q25/Q29) produce matches, as dsdgen's behavior model does
+        item_sk = rng.integers(1, self.n_item + 1, size=n).astype(np.int32)
+        cust_sk = rng.integers(1, self.n_customer + 1, size=n).astype(np.int32)
+        ss = tables.get("store_sales")
+        if ss is not None and ss.num_rows:
+            cross = np.flatnonzero(rng.random(n) < 0.3)
+            src = rng.integers(0, ss.num_rows, size=len(cross))
+            item_sk[cross] = np.asarray(ss.column("ss_item_sk").data)[src]
+            cust_sk[cross] = np.asarray(ss.column("ss_customer_sk").data)[src]
+            # repeat purchases cluster in time near the store visit
+            sold[cross] = np.minimum(
+                np.asarray(ss.column("ss_sold_date_sk").data)[src]
+                + rng.integers(0, 60, size=len(cross)),
+                2450815 + n_dates - 126,
+            ).astype(np.int32)
         data = {
             f"{p}_sold_date_sk": sold,
             f"{p}_sold_time_sk": rng.integers(
@@ -630,12 +647,8 @@ class TPCDSTableGenerator:
             f"{p}_ship_date_sk": (
                 sold + rng.integers(1, 121, size=n)
             ).astype(np.int32),
-            f"{p}_item_sk": rng.integers(
-                1, self.n_item + 1, size=n
-            ).astype(np.int32),
-            customer_col: rng.integers(
-                1, self.n_customer + 1, size=n
-            ).astype(np.int32),
+            f"{p}_item_sk": item_sk,
+            customer_col: cust_sk,
             f"{p}_ship_customer_sk": rng.integers(
                 1, self.n_customer + 1, size=n
             ).astype(np.int32),
@@ -701,7 +714,7 @@ class TPCDSTableGenerator:
         rng = self.rng
         ss = tables["store_sales"]
         n_ss = ss.num_rows
-        idx = np.flatnonzero(rng.random(n_ss) < 0.1)
+        idx = np.flatnonzero(rng.random(n_ss) < 0.15)
         n = len(idx)
 
         def col(name):
@@ -811,7 +824,7 @@ class TPCDSTableGenerator:
         ]
         weeks = dates[::7]
         n_wh = tables["warehouse"].num_rows
-        cap = max(int(1_000_000 * self.sf), 5000)
+        cap = max(int(1_000_000 * self.sf), 50_000)
         stride = max(1, (len(weeks) * self.n_item * n_wh) // cap)
         items = np.arange(1, self.n_item + 1, dtype=np.int32)[::max(stride, 1)]
         grid = np.stack(
@@ -825,8 +838,11 @@ class TPCDSTableGenerator:
                 "inv_date_sk": grid[:, 0].astype(np.int32),
                 "inv_item_sk": grid[:, 1].astype(np.int32),
                 "inv_warehouse_sk": grid[:, 2].astype(np.int32),
-                "inv_quantity_on_hand": rng.integers(
-                    0, 1000, size=n).astype(np.int32),
+                # right-skewed stock levels (most items lightly stocked)
+                # so the Q39-style coefficient of variation exceeds 1
+                "inv_quantity_on_hand": (
+                    rng.random(n) ** 4 * 1000
+                ).astype(np.int32),
             },
             {
                 "inv_date_sk": DataType.INT, "inv_item_sk": DataType.INT,

@@ -14,9 +14,28 @@ from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import DataType
 
 
+class _StddevSamp:
+    """Sample standard deviation for sqlite (which has no stddev)."""
+
+    def __init__(self):
+        self.vals: List[float] = []
+
+    def step(self, v):
+        if v is not None:
+            self.vals.append(float(v))
+
+    def finalize(self):
+        n = len(self.vals)
+        if n < 2:
+            return None
+        mean = sum(self.vals) / n
+        return math.sqrt(sum((x - mean) ** 2 for x in self.vals) / (n - 1))
+
+
 class SQLiteOracle:
     def __init__(self):
         self.conn = sqlite3.connect(":memory:")
+        self.conn.create_aggregate("stddev_samp", 1, _StddevSamp)
 
     def load_table(self, name: str, table: Table) -> None:
         type_map = {

@@ -3,12 +3,13 @@
 benchmarklib/tpcds/tpcds_table_generator.cpp wrapping
 third_party/tpcds-kit — no dsdgen code used).
 
-Covers the 10 tables the store-channel query set touches: date_dim,
-time_dim, item, store, promotion, customer, customer_address,
-customer_demographics, household_demographics, store_sales.  The catalog
-and web channels are future work (PARITY.md tracks this).
-`demo_density` scales the fixed-size demographics cross products down for
-tests.
+Covers all 23 tables the supported query set touches: the store,
+catalog and web sales channels with their returns tables (returns sample
+their originating sales so sale->return joins match), inventory, and the
+full dimension set (date/time/item/store/promotion/customer/address/
+demographics/income_band/warehouse/ship_mode/web_site/web_page/
+call_center/reason).  `demo_density` scales the fixed-size demographics
+cross products down for tests.
 """
 
 from __future__ import annotations
@@ -605,6 +606,17 @@ class TPCDSTableGenerator:
             },
         )
 
+    def _skewed_items(self, n: int) -> "np.ndarray":
+        """Item popularity skew: ~30% of sales concentrate on a hot set of
+        ~2% of items, so cross-channel item intersections (Q83-style) are
+        populated at small scales."""
+        rng = self.rng
+        items = rng.integers(1, self.n_item + 1, size=n).astype(np.int32)
+        hot = np.flatnonzero(rng.random(n) < 0.3)
+        n_hot = max(self.n_item // 50, 5)
+        items[hot] = rng.integers(1, n_hot + 1, size=len(hot))
+        return items
+
     def _channel_sales(self, p: str, n: int, tables,
                        customer_col: str, addr_col: str) -> Table:
         """Catalog/web sales fact at the same grain as store_sales (ref:
@@ -623,7 +635,7 @@ class TPCDSTableGenerator:
         # cross-channel shoppers: ~20% of channel rows reuse a store-sales
         # (item, customer) pair so sale->return->other-channel chains
         # (Q17/Q25/Q29) produce matches, as dsdgen's behavior model does
-        item_sk = rng.integers(1, self.n_item + 1, size=n).astype(np.int32)
+        item_sk = self._skewed_items(n)
         cust_sk = rng.integers(1, self.n_customer + 1, size=n).astype(np.int32)
         ss = tables.get("store_sales")
         if ss is not None and ss.num_rows:
@@ -766,7 +778,7 @@ class TPCDSTableGenerator:
         sales, sharing (item_sk, order_number)."""
         rng = self.rng
         n_s = sales.num_rows
-        idx = np.flatnonzero(rng.random(n_s) < 0.1)
+        idx = np.flatnonzero(rng.random(n_s) < 0.15)
         n = len(idx)
 
         def col(name):
@@ -792,8 +804,14 @@ class TPCDSTableGenerator:
             ).astype(np.int32),
             f"{p}_refunded_addr_sk": col(f"{sp}_ship_addr_sk"),
             f"{p}_refunded_cdemo_sk": col(f"{sp}_cdemo_sk"),
-            f"{p}_returning_cdemo_sk": rng.integers(
-                1, tables["customer_demographics"].num_rows + 1, size=n
+            # most returns come back through the purchaser (same
+            # demographics) — Q85-style cd1=cd2 joins need matches
+            f"{p}_returning_cdemo_sk": np.where(
+                rng.random(n) < 0.7,
+                col(f"{sp}_cdemo_sk"),
+                rng.integers(
+                    1, tables["customer_demographics"].num_rows + 1, size=n
+                ),
             ).astype(np.int32),
             f"{p}_refunded_hdemo_sk": col(f"{sp}_hdemo_sk"),
             f"{p}_reason_sk": rng.integers(
@@ -871,7 +889,7 @@ class TPCDSTableGenerator:
                 "ss_sold_time_sk": rng.integers(
                     0, tables["time_dim"].num_rows, size=n
                 ).astype(np.int32),
-                "ss_item_sk": rng.integers(1, self.n_item + 1, size=n).astype(np.int32),
+                "ss_item_sk": self._skewed_items(n),
                 "ss_customer_sk": rng.integers(1, self.n_customer + 1, size=n).astype(np.int32),
                 "ss_cdemo_sk": rng.integers(
                     1, tables["customer_demographics"].num_rows + 1, size=n

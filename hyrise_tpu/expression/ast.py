@@ -458,12 +458,23 @@ class AggregateExpression(Expression):
         self.function = function
         self.distinct = distinct
         self.children = [argument] if argument is not None else []
+        # Aggregates are COLUMN IDENTITIES like ColumnRefs: two
+        # structurally-equal aggregates from different plan branches (e.g.
+        # COUNT(*) in two derived tables, TPC-DS Q88) are different
+        # columns, so the key carries an instance id.  The translator
+        # resolves textual references (HAVING/ORDER BY) to the SAME object.
+        self.uid = next(_column_ids)
 
     @property
     def argument(self) -> Optional[Expression]:
         return self.children[0] if self.children else None
 
     def key(self):
+        return ("agg", self.uid)
+
+    def structural_key(self):
+        """Identity-free shape, used by the translator to match textual
+        re-occurrences (HAVING COUNT(*) = the select list's COUNT(*))."""
         return (
             "agg",
             self.function,
@@ -518,19 +529,15 @@ class WindowExpression(Expression):
             + [e for e, _ in order_by]
         )
         self._argument = argument
+        # column identity, like AggregateExpression (branch-local)
+        self.uid = next(_column_ids)
 
     @property
     def argument(self):
         return self._argument
 
     def key(self):
-        return (
-            "window",
-            self.function,
-            self._argument.key() if self._argument is not None else None,
-            tuple(e.key() for e in self.partition_by),
-            tuple((e.key(), m) for e, m in self.order_by),
-        )
+        return ("window", self.uid)
 
     def data_type(self):
         return AggregateExpression(self.function, self._argument).data_type()

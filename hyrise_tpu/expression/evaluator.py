@@ -608,22 +608,38 @@ class ExpressionEvaluator:
             e = b + count if count is not None else None
             new_vals = np.array([s[b:e] for s in src], dtype=str)
         elif f == "concat":
+            # fold left over operands; column||column builds the cross
+            # dictionary of the two (small, host-side) dictionaries and
+            # combines codes as c1 * |d2| + c2 on device
             parts = [self.evaluate(c) for c in expr.children]
-            if all(len(p.dictionary) == 1 or p is arg0 for p in parts):
-                # column ++ literals: transform the dictionary
-                new_vals = src
-                out = []
-                for s in src:
-                    acc = ""
-                    for c_e, p in zip(expr.children, parts):
-                        if p is arg0:
-                            acc += s
-                        else:
-                            acc += str(p.dictionary[0])
-                    out.append(acc)
-                new_vals = np.array(out, dtype=str)
-            else:
-                raise EvaluationError("CONCAT of multiple columns unsupported")
+            acc = parts[0]
+            codes, adict, validity = acc.data, acc.dictionary, acc.validity
+            for p in parts[1:]:
+                d2 = p.dictionary
+                if len(adict) * max(len(d2), 1) > (1 << 20):
+                    raise EvaluationError(
+                        "CONCAT dictionary cross product too large"
+                    )
+                if len(adict) == 0 or len(d2) == 0:
+                    adict = adict if len(d2) == 0 else d2
+                    codes = codes if len(d2) == 0 else p.data
+                    validity = _merge_validity(validity, p.validity)
+                    continue
+                cross = np.char.add(
+                    np.repeat(np.asarray(adict, dtype=str), len(d2)),
+                    np.tile(np.asarray(d2, dtype=str), len(adict)),
+                )
+                new_dict2, inverse = np.unique(cross, return_inverse=True)
+                pair = (
+                    jnp.clip(codes, 0, len(adict) - 1) * len(d2)
+                    + jnp.clip(p.data, 0, len(d2) - 1)
+                )
+                codes = jnp.take(
+                    jnp.asarray(inverse.astype(np.int32)), pair
+                )
+                adict = new_dict2
+                validity = _merge_validity(validity, p.validity)
+            return ExprResult(codes, validity, DataType.STRING, adict, True)
         else:
             raise EvaluationError(f)
         # Re-encode: transformed dictionary may be unsorted / contain dups.

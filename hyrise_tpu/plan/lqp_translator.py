@@ -84,6 +84,9 @@ class LQPTranslator:
             op.output_expressions = []
             return op
         if t is L.PredicateNode:
+            idx_op = self._try_index_scan(node, cache)
+            if idx_op is not None:
+                return idx_op
             left = self._translate(node.left, cache)
             op = TableScan(left, node.predicate)
             self._wire_subqueries(op, [node.predicate], cache)
@@ -195,6 +198,61 @@ class LQPTranslator:
         raise LQPTranslationError(f"cannot translate {t.__name__}")
 
     # ------------------------------------------------------------------
+
+    def _try_index_scan(self, node: L.PredicateNode, cache):
+        """Route a point/range predicate over an INDEXED base-table column
+        to IndexScan instead of TableScan (ref: the scan-vs-index choice in
+        lqp_translator.cpp:186-290 + index_scan_rule.cpp).  Requires:
+        a comparison of a base column vs literal(s), an up-to-date
+        OrderedIndex on that column, and an input chain that preserves the
+        base table's row layout (only filters/validates below)."""
+        from hyrise_tpu.database import Database
+        from hyrise_tpu.expression import ast as A
+        from hyrise_tpu.operators.index_scan import IndexScan
+        from hyrise_tpu.types import DataType
+
+        p = node.predicate
+        supported = (
+            PredicateCondition.EQUALS, PredicateCondition.LESS_THAN,
+            PredicateCondition.LESS_THAN_EQUALS,
+            PredicateCondition.GREATER_THAN,
+            PredicateCondition.GREATER_THAN_EQUALS,
+            PredicateCondition.BETWEEN_INCLUSIVE,
+        )
+        if not isinstance(p, A.Predicate) or p.condition not in supported:
+            return None
+        col = p.children[0]
+        lits = p.children[1:]
+        if not isinstance(col, A.ColumnRef) or not col.origin:
+            return None
+        if col.data_type() not in (DataType.INT, DataType.LONG,
+                                   DataType.DATE, DataType.STRING):
+            return None
+        if not all(isinstance(v, A.Literal) for v in lits):
+            return None
+        # row layout must match the base table (selection masks compose)
+        walk = node.left
+        while isinstance(walk, (L.PredicateNode, L.ValidateNode)):
+            walk = walk.left
+        if not isinstance(walk, L.StoredTableNode) or (
+            walk.table_name != col.origin
+        ):
+            return None
+        db = Database.get()
+        index = db.index_registry.ordered_index(col.origin, col.display_name)
+        if index is None:
+            return None
+        try:
+            base = db.storage_manager.get_table(col.origin)
+        except KeyError:
+            return None
+        if index._row_count_at_build != base.num_rows:
+            return None  # stale index: appended rows would be missed
+        left = self._translate(node.left, cache)
+        value = lits[0].value
+        value2 = lits[1].value if len(lits) > 1 else None
+        return IndexScan(left, col.origin, col.display_name, p.condition,
+                         value, value2)
 
     def _translate_join(self, node: L.JoinNode, cache) -> AbstractOperator:
         left = self._translate(node.left, cache)

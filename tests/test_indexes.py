@@ -54,3 +54,54 @@ def test_index_invalidated_on_insert(table):
     assert db.index_registry.ordered_index("idx_t", "id") is not None
     sql("INSERT INTO idx_t VALUES (100, 'z')")
     assert db.index_registry.ordered_index("idx_t", "id") is None
+
+
+def test_index_scan_auto_selection():
+    """The translator routes selective predicates on indexed columns to
+    IndexScan (ref: index_scan_rule.cpp); unindexed columns keep
+    TableScan, and a stale index (rows appended) falls back."""
+    import numpy as np
+
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.operators.index_scan import IndexScan
+    from hyrise_tpu.operators.table_scan import TableScan
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder, sql
+    from hyrise_tpu.storage.table import Table
+    from hyrise_tpu.types import DataType
+
+    db = Database.get()
+    n = 5000
+    t = Table.from_numpy(
+        {"a": np.arange(n), "b": np.arange(n) % 97},
+        {"a": DataType.INT, "b": DataType.INT},
+    )
+    db.storage_manager.add_table("it", t)
+    db.index_registry.create_ordered_index("it", t, "a")
+
+    def plan_ops(q):
+        ps = SQLPipelineBuilder(q).create_pipeline()
+        from hyrise_tpu.sql.pipeline import SQLPipelineStatement
+
+        st_ = SQLPipelineStatement(q, ps.statements[0])
+        ops = []
+        node = st_.get_physical_plan()
+        stack = [node]
+        while stack:
+            op = stack.pop()
+            ops.append(type(op).__name__)
+            stack.extend(op.inputs())
+        return ops
+
+    assert "IndexScan" in plan_ops("SELECT b FROM it WHERE a = 123")
+    assert "IndexScan" in plan_ops(
+        "SELECT b FROM it WHERE a BETWEEN 10 AND 20")
+    assert "IndexScan" not in plan_ops("SELECT a FROM it WHERE b = 5")
+    # results match the plain scan path
+    assert sql("SELECT b FROM it WHERE a = 123").to_pylist() == [(123 % 97,)]
+    assert sql("SELECT COUNT(*) FROM it WHERE a BETWEEN 10 AND 20"
+               ).to_pylist() == [(11,)]
+    # stale index after an append: falls back to TableScan, stays correct
+    sql("INSERT INTO it VALUES (99999, 7)")
+    ops = plan_ops("SELECT b FROM it WHERE a = 99999")
+    assert "IndexScan" not in ops and "TableScan" in ops
+    assert sql("SELECT b FROM it WHERE a = 99999").to_pylist() == [(7,)]

@@ -19,11 +19,16 @@ class GetTable(AbstractReadOnlyOperator):
         pruned_column_names: Sequence[str] = (),
         output_expressions: Optional[List[ast.Expression]] = None,
         include_row_ids: bool = False,
+        pruning_predicates: Sequence[ast.Expression] = (),
     ):
         super().__init__()
         self.table_name = table_name
         self.pruned_column_names = set(pruned_column_names)
         self.include_row_ids = include_row_ids
+        self.pruning_predicates = list(pruning_predicates)
+        # observability: how many blocks the last execution read
+        self.blocks_total = 0
+        self.blocks_kept = 0
         if output_expressions is not None:
             self.output_expressions = output_expressions
 
@@ -38,6 +43,10 @@ class GetTable(AbstractReadOnlyOperator):
         keep = [n for n in table.column_names if n not in self.pruned_column_names]
         out = table.select(keep) if self.pruned_column_names else table
         out.mvcc = table.mvcc
+        if (self.pruning_predicates and not self.include_row_ids
+                and table.selection is None and table.mvcc is None
+                and table.num_rows):
+            out = self._apply_block_pruning(table, out)
         if self.include_row_ids:
             rowid = Column(
                 DataType.LONG, jnp.arange(out.capacity, dtype=jnp.int64)
@@ -55,6 +64,48 @@ class GetTable(AbstractReadOnlyOperator):
                 for n, c in zip(out.column_names, out.columns)
             ]
         return out
+
+    def _apply_block_pruning(self, base: Table, out: Table) -> Table:
+        """Skip blocks whose min/max prove no row matches; surviving
+        blocks re-pack with ONE device gather (ref: get_table.cpp chunk
+        pruning).  Statistics (soft-)rebuild at the current row count."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from hyrise_tpu.statistics.pruning import (
+            blocks_surviving,
+            build_pruning_statistics,
+        )
+
+        stats = base.pruning_statistics
+        if stats is None or stats.row_count != base.num_rows:
+            stats = build_pruning_statistics(base)
+            base.pruning_statistics = stats
+        keep = blocks_surviving(stats, base, self.pruning_predicates)
+        self.blocks_total = stats.n_blocks
+        self.blocks_kept = int(keep.sum())
+        if self.blocks_kept >= stats.n_blocks:
+            return out
+        kept_idx = np.flatnonzero(keep)
+        B = stats.block_rows
+        if len(kept_idx) == 0:
+            empty = Table(out.column_names,
+                          [c.take(jnp.zeros(0, dtype=jnp.int32)) for c in
+                           out.columns], 0)
+            return empty
+        rows = (jnp.asarray(kept_idx.astype(np.int64))[:, None] * B
+                + jnp.arange(B, dtype=jnp.int64)[None, :]).reshape(-1)
+        rows = jnp.minimum(rows, out.capacity - 1)
+        counts = jnp.asarray(stats.block_counts[kept_idx].astype(np.int64))
+        valid = (jnp.arange(B, dtype=jnp.int64)[None, :]
+                 < counts[:, None]).reshape(-1)
+        packed = Table(
+            out.column_names,
+            [c.take(rows) for c in out.columns],
+            int(len(kept_idx) * B),
+            selection=valid,
+        )
+        return packed
 
     def _describe_self(self) -> str:
         return f"GetTable({self.table_name})"

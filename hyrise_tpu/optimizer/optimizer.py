@@ -65,6 +65,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.join_to_predicate import (
             JoinToPredicateRewriteRule,
         )
+        from hyrise_tpu.optimizer.strategy.block_pruning import (
+            BlockPruningRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -85,6 +88,7 @@ class Optimizer:
             BetweenCompositionRule(),
             PredicateReorderingRule(),
             PredicateMergeRule(),
+            BlockPruningRule(),
             ColumnPruningRule(),
         ])
 

@@ -71,6 +71,10 @@ class StoredTableNode(LQPNode):
         super().__init__()
         self.table_name = table_name
         self.pruned_column_names: List[str] = []
+        # simple comparisons usable for block skipping, attached by
+        # BlockPruningRule and consumed by GetTable (ref: pruned_chunk_ids
+        # on stored_table_node.cpp + get_table.hpp:57)
+        self.pruning_predicates: List[ast.Expression] = []
         self._columns: Optional[List[ast.ColumnRef]] = None
         # DML target scans carry a hidden physical-row-id column (the TPU
         # analogue of the reference's RowID pos lists).

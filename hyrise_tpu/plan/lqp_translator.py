@@ -71,6 +71,7 @@ class LQPTranslator:
                 pruned_column_names=node.pruned_column_names,
                 output_expressions=node.output_expressions(),
                 include_row_ids=node.include_row_ids,
+                pruning_predicates=node.pruning_predicates,
             )
             return op
         if t is L.StaticTableNode:

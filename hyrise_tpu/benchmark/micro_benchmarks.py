@@ -95,6 +95,14 @@ def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
     t = _time(dense_group, slots, price, iters=iters)
     record("dense_group_sum(8 groups)", t, n_rows * 8, n_rows)
 
+    # ---- same grouped sum via the Pallas MXU one-hot kernel
+    from hyrise_tpu.kernels.pallas_ops import pallas_dense_group_sum
+
+    mask = jnp.ones(n_rows, dtype=bool)
+    t = _time(lambda s, p: pallas_dense_group_sum(s, p, mask, 8),
+              slots, price, iters=iters)
+    record("dense_group_sum_pallas(8 groups)", t, n_rows * 9, n_rows)
+
     # ---- sort: single int32 key + permutation
     keys32 = jnp.asarray(rng.integers(0, 1 << 30, n_rows), dtype=jnp.int32)
 

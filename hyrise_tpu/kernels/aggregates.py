@@ -23,6 +23,19 @@ import jax.numpy as jnp
 
 from hyrise_tpu.kernels.joins import normalize_key
 
+# Pallas MXU grouping cap: one-hot matrices beyond this slot count stop
+# paying for themselves (and stop fitting VMEM tiles)
+_PALLAS_MAX_SLOTS = 1024
+
+
+def _use_pallas(num_segments: int) -> bool:
+    import os
+
+    return (
+        os.environ.get("HYRISE_TPU_PALLAS", "0") == "1"
+        and num_segments <= _PALLAS_MAX_SLOTS
+    )
+
 
 @jax.jit
 def group_rows(
@@ -64,6 +77,18 @@ def group_rows(
 
 @partial(jax.jit, static_argnames=("num_segments",))
 def segment_sum(values, seg_ids, valid, num_segments: int):
+    if _use_pallas(num_segments):
+        # MXU one-hot contraction (kernels/pallas_ops.py): grouped sums
+        # ride the systolic array instead of scatter-adds.  f32
+        # accumulation — opt-in via HYRISE_TPU_PALLAS=1 for workloads
+        # where ~1e-7 relative error on sums is acceptable.
+        from hyrise_tpu.kernels.pallas_ops import pallas_dense_group_sum
+
+        out = pallas_dense_group_sum(
+            seg_ids.astype(jnp.int32), values.astype(jnp.float32), valid,
+            num_segments,
+        )
+        return out.astype(_acc_dtype(values.dtype))
     acc = values.astype(_acc_dtype(values.dtype))
     acc = jnp.where(valid, acc, 0)
     return jax.ops.segment_sum(acc, seg_ids, num_segments=num_segments)
@@ -71,6 +96,14 @@ def segment_sum(values, seg_ids, valid, num_segments: int):
 
 @partial(jax.jit, static_argnames=("num_segments",))
 def segment_count(seg_ids, valid, num_segments: int):
+    if _use_pallas(num_segments):
+        from hyrise_tpu.kernels.pallas_ops import pallas_dense_group_sum
+
+        out = pallas_dense_group_sum(
+            seg_ids.astype(jnp.int32),
+            valid.astype(jnp.float32), valid, num_segments,
+        )
+        return out.astype(jnp.int64)  # counts < 2^24 are f32-exact
     return jax.ops.segment_sum(
         valid.astype(jnp.int64), seg_ids, num_segments=num_segments
     )

@@ -53,10 +53,18 @@ def pallas_dense_group_sum(slots: jax.Array, values: jax.Array,
                            mask: jax.Array, n_slots: int) -> jax.Array:
     """Dense grouped sum: out[s] = sum(values[i] where slots[i]==s & mask).
 
-    slots int32 (N,), values f32 (N,), mask bool (N,); N must be a
-    multiple of BLOCK_ROWS (callers pad; padding rows carry mask=False)."""
+    slots int32 (N,), values f32 (N,), mask bool (N,); inputs pad to a
+    BLOCK_ROWS multiple here (padding rows carry mask=False).  The MXU
+    contraction accumulates in f32 — callers needing f64-exact sums stay
+    on the XLA segment_sum path (kernels/aggregates.py gates on
+    HYRISE_TPU_PALLAS)."""
     n = values.shape[0]
-    assert n % BLOCK_ROWS == 0, n
+    pad = (-n) % BLOCK_ROWS
+    if pad:
+        slots = jnp.concatenate([slots, jnp.zeros(pad, slots.dtype)])
+        values = jnp.concatenate([values, jnp.zeros(pad, values.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+        n += pad
     grid = (n // BLOCK_ROWS,)
     out = pl.pallas_call(
         _group_sum_kernel,
@@ -84,24 +92,29 @@ def pallas_dense_group_sum(slots: jax.Array, values: jax.Array,
 # ------------------------------------------------------------- scan+reduce
 
 
-def _scan_reduce_kernel(shipdate_ref, disc_ref, qty_ref, price_ref,
+def _scan_reduce_kernel(date_ref, disc_ref, qty_ref, price_ref,
                         bounds_ref, out_ref):
-    """Fused Q6: 3-predicate filter + masked sum + count in one pass."""
+    """Fused selective scan: 3-predicate filter + masked sum + count in
+    one HBM pass.  All predicate constants arrive via SMEM (bounds_ref),
+    so one compiled kernel serves every parameterization."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    lo = bounds_ref[0, 0]
-    hi = bounds_ref[0, 1]
-    sd = shipdate_ref[:]
+    date_lo = bounds_ref[0, 0]
+    date_hi = bounds_ref[0, 1]
+    disc_lo = bounds_ref[0, 2]
+    disc_hi = bounds_ref[0, 3]
+    qty_hi = bounds_ref[0, 4]
+    sd = date_ref[:]
     dc = disc_ref[:]
     qt = qty_ref[:]
     pr = price_ref[:]
     m = (
-        (sd >= lo) & (sd < hi)
-        & (dc >= 0.05 - 1e-9) & (dc <= 0.07 + 1e-9) & (qt < 24.0)
+        (sd >= date_lo) & (sd < date_hi)
+        & (dc >= disc_lo) & (dc <= disc_hi) & (qt < qty_hi)
     )
     revenue = jnp.sum(jnp.where(m, pr * dc, 0.0))
     count = jnp.sum(m.astype(jnp.float32))
@@ -110,14 +123,30 @@ def _scan_reduce_kernel(shipdate_ref, disc_ref, qty_ref, price_ref,
 
 
 @jax.jit
-def pallas_q6_scan(shipdate: jax.Array, discount: jax.Array,
-                   quantity: jax.Array, price: jax.Array,
-                   lo: jax.Array, hi: jax.Array) -> jax.Array:
-    """Returns (revenue, matched_count) for the TPC-H Q6 shape."""
-    n = shipdate.shape[0]
-    assert n % BLOCK_ROWS == 0, n
+def pallas_scan_reduce(date: jax.Array, discount: jax.Array,
+                       quantity: jax.Array, price: jax.Array,
+                       date_lo, date_hi, disc_lo, disc_hi,
+                       qty_hi) -> jax.Array:
+    """(sum(price*discount), match_count) over rows passing
+    date in [date_lo, date_hi) AND discount in [disc_lo, disc_hi] AND
+    quantity < qty_hi — the TPC-H Q6 scan shape with every constant a
+    runtime parameter."""
+    n = date.shape[0]
+    pad = (-n) % BLOCK_ROWS
+    if pad:
+        # padded dates sit outside any real [lo, hi) window
+        date = jnp.concatenate(
+            [date, jnp.full(pad, jnp.iinfo(jnp.int32).min, date.dtype)])
+        discount = jnp.concatenate([discount, jnp.zeros(pad, discount.dtype)])
+        quantity = jnp.concatenate([quantity, jnp.zeros(pad, quantity.dtype)])
+        price = jnp.concatenate([price, jnp.zeros(pad, price.dtype)])
+        n += pad
     grid = (n // BLOCK_ROWS,)
-    bounds = jnp.stack([lo.astype(jnp.int32), hi.astype(jnp.int32)]).reshape(1, 2)
+    bounds = jnp.stack([
+        jnp.asarray(date_lo, jnp.float32), jnp.asarray(date_hi, jnp.float32),
+        jnp.asarray(disc_lo, jnp.float32), jnp.asarray(disc_hi, jnp.float32),
+        jnp.asarray(qty_hi, jnp.float32),
+    ]).reshape(1, 5)
     out = pl.pallas_call(
         _scan_reduce_kernel,
         grid=grid,
@@ -130,14 +159,14 @@ def pallas_q6_scan(shipdate: jax.Array, discount: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
         interpret=_interpret(),
     )(
-        shipdate.reshape(1, -1).astype(jnp.int32),
+        date.reshape(1, -1).astype(jnp.float32),
         discount.reshape(1, -1).astype(jnp.float32),
         quantity.reshape(1, -1).astype(jnp.float32),
         price.reshape(1, -1).astype(jnp.float32),

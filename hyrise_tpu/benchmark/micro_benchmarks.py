@@ -69,6 +69,9 @@ def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
             "gb_per_s": round(achieved / 1e9, 1),
             "roofline_fraction": round(achieved / bw, 3),
         })
+        # stream progress: remote-tunnel compiles are slow, and a killed
+        # run should still leave partial evidence
+        print(f"# {results[-1]}", file=sys.stderr, flush=True)
 
     # ---- scan/filter: 3-predicate fused mask over f32+i32 columns (Q6 shape)
     shipdate = jnp.asarray(rng.integers(8000, 11000, n_rows), dtype=jnp.int32)

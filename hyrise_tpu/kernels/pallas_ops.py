@@ -65,28 +65,31 @@ def pallas_dense_group_sum(slots: jax.Array, values: jax.Array,
         values = jnp.concatenate([values, jnp.zeros(pad, values.dtype)])
         mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
         n += pad
+    # Mosaic tiles the minor dimension in 128-lane registers: the slot
+    # axis pads up to a lane multiple and slices back after the call
+    s_pad = max(-(-n_slots // 128) * 128, 128)
     grid = (n // BLOCK_ROWS,)
     out = pl.pallas_call(
         _group_sum_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_slots), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, s_pad), lambda i: (0 * i, 0 * i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_slots), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, s_pad), jnp.float32),
         interpret=_interpret(),
     )(
         slots.reshape(1, -1).astype(jnp.int32),
         values.reshape(1, -1).astype(jnp.float32),
         mask.reshape(1, -1),
     )
-    return out[0]
+    return out[0, :n_slots]
 
 
 # ------------------------------------------------------------- scan+reduce
@@ -118,8 +121,11 @@ def _scan_reduce_kernel(date_ref, disc_ref, qty_ref, price_ref,
     )
     revenue = jnp.sum(jnp.where(m, pr * dc, 0.0))
     count = jnp.sum(m.astype(jnp.float32))
-    out_ref[0, 0] += revenue
-    out_ref[0, 1] += count
+    # full-vector accumulate (scalar VMEM stores do not lower on Mosaic);
+    # lane 0 carries the revenue, lane 1 the count
+    lane = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
+    out_ref[:] += (jnp.where(lane == 0, revenue, 0.0)
+                   + jnp.where(lane == 1, count, 0.0))
 
 
 @jax.jit
@@ -151,19 +157,19 @@ def pallas_scan_reduce(date: jax.Array, discount: jax.Array,
         _scan_reduce_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0, i),
+            pl.BlockSpec((1, BLOCK_ROWS), lambda i: (0 * i, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), lambda i: (0 * i, 0 * i), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0 * i, 0 * i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
         interpret=_interpret(),
     )(
         date.reshape(1, -1).astype(jnp.float32),
@@ -172,4 +178,4 @@ def pallas_scan_reduce(date: jax.Array, discount: jax.Array,
         price.reshape(1, -1).astype(jnp.float32),
         bounds,
     )
-    return out[0]
+    return out[0, :2]

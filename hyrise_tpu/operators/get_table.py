@@ -75,12 +75,16 @@ class GetTable(AbstractReadOnlyOperator):
         from hyrise_tpu.statistics.pruning import (
             blocks_surviving,
             build_pruning_statistics,
+            ensure_column,
         )
 
         stats = base.pruning_statistics
         if stats is None or stats.row_count != base.num_rows:
-            stats = build_pruning_statistics(base)
+            stats = build_pruning_statistics(base, column_names=())
             base.pruning_statistics = stats
+        # only the predicate columns ever pull to the host
+        for p in self.pruning_predicates:
+            ensure_column(stats, base, p.children[0].display_name)
         keep = blocks_surviving(stats, base, self.pruning_predicates)
         self.blocks_total = stats.n_blocks
         self.blocks_kept = int(keep.sum())

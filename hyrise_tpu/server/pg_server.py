@@ -41,12 +41,19 @@ CANCEL_REQUEST_CODE = 80877102
 class Session:
     """One client connection (ref: server/session.hpp:19)."""
 
-    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+    def __init__(self, reader: asyncio.StreamReader,
+                 writer: asyncio.StreamWriter,
+                 admission: Optional[asyncio.Semaphore] = None):
         self.reader = reader
         self.writer = writer
         self._prepared: Dict[str, str] = {}
         self._portals: Dict[str, Tuple[str, list]] = {}
         self._txn_context = None
+        # admission control: caps concurrently-EXECUTING statements across
+        # sessions (the analogue of the reference's task grouping under
+        # load, node_queue_scheduler.hpp:44-67); parsing/planning and the
+        # wire protocol stay fully concurrent on the event loop
+        self._admission = admission or asyncio.Semaphore(4)
 
     # ------------------------------------------------------------- plumbing
 
@@ -116,13 +123,7 @@ class Session:
     async def _simple_query(self, body: bytes) -> None:
         sql = body.rstrip(b"\x00").decode()
         try:
-            builder = SQLPipelineBuilder(sql)
-            if self._txn_context is not None:
-                builder = builder.with_transaction_context(self._txn_context)
-            pipeline = builder.create_pipeline()
-            tables = pipeline.get_result_tables()
-            self._txn_context = pipeline.transaction_context
-            result = tables[-1] if tables else None
+            result = await self._run_pipeline(sql)
             if result is not None and result.num_columns:
                 self._send_row_description(result)
                 n = self._send_data_rows(result)
@@ -136,6 +137,26 @@ class Session:
             self._send_error(str(exc))
         self._send_ready()
         await self.writer.drain()
+
+    async def _run_pipeline(self, sql: str):
+        """Execute a statement OFF the event loop (engine work blocks) so
+        other sessions keep streaming; the admission semaphore bounds how
+        many statements execute at once."""
+
+        def work():
+            builder = SQLPipelineBuilder(sql)
+            if self._txn_context is not None:
+                builder = builder.with_transaction_context(self._txn_context)
+            pipeline = builder.create_pipeline()
+            tables = pipeline.get_result_tables()
+            return tables, pipeline.transaction_context
+
+        async with self._admission:
+            tables, ctx = await asyncio.get_running_loop().run_in_executor(
+                None, work
+            )
+        self._txn_context = ctx
+        return tables[-1] if tables else None
 
     # ------------------------------------------------------ extended query
 
@@ -284,13 +305,28 @@ def _read_cstr(data: bytes) -> Tuple[bytes, bytes]:
 class Server:
     """Ref: server/server.hpp:32."""
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 54321):
+    def __init__(self, host: str = "127.0.0.1", port: int = 54321,
+                 max_concurrent_queries: Optional[int] = None):
         self.host = host
         self.port = port
+        self.max_concurrent_queries = max_concurrent_queries
         self._server: Optional[asyncio.AbstractServer] = None
+        self._admission: Optional[asyncio.Semaphore] = None
 
     async def start(self) -> None:
-        Database.get()  # initialize managers up-front
+        db = Database.get()  # initialize managers up-front
+        limit = self.max_concurrent_queries
+        if limit is None:
+            from hyrise_tpu.meta.settings_manager import Setting
+
+            sm = db.settings_manager
+            if not sm.has_setting("server.max_concurrent_queries"):
+                sm.register(Setting(
+                    "server.max_concurrent_queries", "4",
+                    "statements executing at once across sessions",
+                ))
+            limit = int(sm.get_setting("server.max_concurrent_queries").get())
+        self._admission = asyncio.Semaphore(max(limit, 1))
         self._server = await asyncio.start_server(
             self._on_connect, self.host, self.port
         )
@@ -303,7 +339,7 @@ class Server:
             await self._server.serve_forever()
 
     async def _on_connect(self, reader, writer) -> None:
-        await Session(reader, writer).run()
+        await Session(reader, writer, admission=self._admission).run()
 
 
 def main(argv=None) -> None:

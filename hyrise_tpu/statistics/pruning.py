@@ -50,8 +50,12 @@ class BlockStatistics:
 
 
 def build_pruning_statistics(table: Table,
-                             block_rows: Optional[int] = None
+                             block_rows: Optional[int] = None,
+                             column_names: Optional[Sequence[str]] = None,
                              ) -> BlockStatistics:
+    """Per-block statistics for `column_names` (default: every prunable
+    column).  Columns build LAZILY — `ensure_column` adds more later — so
+    GetTable only ever pulls the PREDICATE columns to the host."""
     if block_rows is None:
         block_rows = DEFAULT_BLOCK_ROWS  # module attr: tests shrink it
     n = table.num_rows
@@ -59,29 +63,45 @@ def build_pruning_statistics(table: Table,
     counts = np.minimum(
         np.maximum(n - np.arange(nb) * block_rows, 0), block_rows
     )
-    cols: Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    for name, col in zip(table.column_names, table.columns):
-        if col.data_type not in (DataType.INT, DataType.LONG,
-                                 DataType.DATE, DataType.FLOAT,
-                                 DataType.DOUBLE, DataType.STRING):
+    stats = BlockStatistics(block_rows, nb, n, {}, counts)
+    for name in (column_names if column_names is not None
+                 else table.column_names):
+        ensure_column(stats, table, name)
+    return stats
+
+
+def ensure_column(stats: BlockStatistics, table: Table, name: str) -> bool:
+    """Add one column's block min/max to `stats` (one host pull)."""
+    if name in stats.columns:
+        return True
+    try:
+        col = table.column(name)
+    except KeyError:
+        return False
+    if col.data_type not in (DataType.INT, DataType.LONG, DataType.DATE,
+                             DataType.FLOAT, DataType.DOUBLE,
+                             DataType.STRING):
+        return False
+    n = stats.row_count
+    block_rows = stats.block_rows
+    nb = stats.n_blocks
+    data = np.asarray(col.data)[:n].astype(np.float64)
+    valid = (np.asarray(col.validity)[:n] if col.validity is not None
+             else np.ones(n, dtype=bool))
+    mins = np.full(nb, np.inf)
+    maxs = np.full(nb, -np.inf)
+    all_null = np.zeros(nb, dtype=bool)
+    for b in range(nb):
+        sl = slice(b * block_rows, min((b + 1) * block_rows, n))
+        v = valid[sl]
+        if not v.any():
+            all_null[b] = True
             continue
-        data = np.asarray(col.data)[:n].astype(np.float64)
-        valid = (np.asarray(col.validity)[:n] if col.validity is not None
-                 else np.ones(n, dtype=bool))
-        mins = np.full(nb, np.inf)
-        maxs = np.full(nb, -np.inf)
-        all_null = np.zeros(nb, dtype=bool)
-        for b in range(nb):
-            sl = slice(b * block_rows, min((b + 1) * block_rows, n))
-            v = valid[sl]
-            if not v.any():
-                all_null[b] = True
-                continue
-            d = data[sl][v]
-            mins[b] = d.min()
-            maxs[b] = d.max()
-        cols[name] = (mins, maxs, all_null)
-    return BlockStatistics(block_rows, nb, n, cols, counts)
+        d = data[sl][v]
+        mins[b] = d.min()
+        maxs[b] = d.max()
+    stats.columns[name] = (mins, maxs, all_null)
+    return True
 
 
 def _literal_to_float(col_dtype: DataType, dictionary, value) -> Optional[float]:

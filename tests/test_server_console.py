@@ -174,3 +174,47 @@ def test_placeholder_substitution():
     assert _substitute_placeholders("SELECT $1, $3", ["x", None]) == (
         "SELECT 'x', $3"
     )
+
+
+def test_pg_server_multi_client_stress():
+    """Many concurrent sessions hammering the server (ref:
+    test/.../stress_test.cpp + server task grouping under load,
+    node_queue_scheduler.hpp:44-67): statements execute off the event
+    loop behind an admission semaphore; every client's per-table inserts
+    and reads must come out exact."""
+    from hyrise_tpu.server.pg_server import Server
+
+    Database.get()
+    n_clients = 6
+    n_rounds = 5
+
+    async def client_work(port, cid):
+        c = await MiniPGClient.connect("127.0.0.1", port)
+        _, _, err = await c.query(f"CREATE TABLE stress_{cid} (v INT)")
+        assert err is None, err
+        total = 0
+        for r in range(n_rounds):
+            _, _, err = await c.query(
+                f"INSERT INTO stress_{cid} VALUES ({r}), ({r + 100})")
+            assert err is None, err
+            total += 2
+            _, rows, err = await c.query(
+                f"SELECT COUNT(*) FROM stress_{cid}")
+            assert err is None, err
+            assert rows == [(str(total),)], (cid, r, rows)
+        _, rows, err = await c.query(
+            f"SELECT SUM(v) FROM stress_{cid}")
+        expected = sum(r + (r + 100) for r in range(n_rounds))
+        assert rows == [(str(expected),)]
+        c.close()
+
+    async def scenario():
+        server = Server(port=0, max_concurrent_queries=3)
+        await server.start()
+        port = server._server.sockets[0].getsockname()[1]
+        await asyncio.gather(*[
+            client_work(port, cid) for cid in range(n_clients)
+        ])
+        server._server.close()
+
+    asyncio.run(scenario())

@@ -130,9 +130,16 @@ def dense_build(bk: jax.Array, bv: jax.Array, lo: int, dsize: int):
     (declared soft PK/UCC + fresh statistics bounds)."""
     idx = bk.astype(jnp.int64) - lo
     ok = bv & (idx >= 0) & (idx < dsize)
-    target = jnp.where(ok, idx, dsize).astype(jnp.int32)
+    # parked rows scatter OUT OF BOUNDS (mode=drop) at distinct offsets so
+    # every index is provably unique — without the hint XLA:TPU serializes
+    # the scatter (measured 38x slower on v5e)
+    park = dsize + 1 + jnp.arange(bk.shape[0], dtype=jnp.int64)
+    target = jnp.where(ok, idx, park)
     slot = jnp.full(dsize + 1, -1, dtype=jnp.int32)
-    return slot.at[target].set(jnp.arange(bk.shape[0], dtype=jnp.int32))
+    return slot.at[target].set(
+        jnp.arange(bk.shape[0], dtype=jnp.int32),
+        mode="drop", unique_indices=True,
+    )
 
 
 @partial(jax.jit, static_argnames=("lo", "dsize"))
@@ -159,10 +166,15 @@ def expand_unique(left: jax.Array, counts: jax.Array, build_perm: jax.Array,
     cum = jnp.cumsum(counts)
     total = cum[-1] if counts.shape[0] else jnp.int64(0)
     starts = cum - counts
-    pos = jnp.where(counts > 0, starts, out_capacity)
+    # matched rows land at unique compaction slots; the rest park at
+    # distinct out-of-bounds offsets (dropped) so the scatter is provably
+    # unique and stays parallel on TPU
+    park = out_capacity + 1 + jnp.arange(counts.shape[0], dtype=jnp.int64)
+    pos = jnp.where(counts > 0, starts, park)
     probe_idx = (
         jnp.zeros(out_capacity + 1, dtype=jnp.int64)
-        .at[pos].set(jnp.arange(counts.shape[0], dtype=jnp.int64), mode="drop")
+        .at[pos].set(jnp.arange(counts.shape[0], dtype=jnp.int64),
+                     mode="drop", unique_indices=True)
     )[:out_capacity]
     build_idx = jnp.take(brow, probe_idx).astype(jnp.int64)
     valid = jnp.arange(out_capacity, dtype=jnp.int64) < total

@@ -217,7 +217,8 @@ class Aggregate(AbstractReadOnlyOperator):
             sorted_real = jnp.take(n_mask, perm)
             seg_c = jnp.where(sorted_real, seg_ids, out_cap)
             # per-original-row group id (for distinct passes + dense path)
-            seg_orig = jnp.full(cap, out_cap, dtype=jnp.int64).at[perm].set(seg_c)
+            seg_orig = jnp.full(cap, out_cap, dtype=jnp.int64).at[perm].set(
+                seg_c, unique_indices=True)  # perm is a permutation
             out_arrays = []
             occupied = aggk.segment_count(seg_c, sorted_real, num_segments=out_cap)
             out_arrays.append((occupied, None))

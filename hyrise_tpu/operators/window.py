@@ -165,7 +165,9 @@ class WindowOperator(AbstractReadOnlyOperator):
             raise NotImplementedError(f"window function {fn}")
 
         # scatter back to original row order
-        inv = jnp.zeros(cap, dtype=jnp.int64).at[perm].set(pos)
+        # perm is a permutation: unique indices keep the scatter parallel
+        inv = jnp.zeros(cap, dtype=jnp.int64).at[perm].set(
+            pos, unique_indices=True)
         out = jnp.take(out_sorted, inv)
         out_valid = (
             jnp.take(out_valid_sorted, inv) if out_valid_sorted is not None else None

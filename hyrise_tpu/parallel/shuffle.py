@@ -58,26 +58,27 @@ def route_to_buckets(keys: jax.Array, valid: jax.Array, payload: Tuple[jax.Array
     )
     overflow = jnp.sum(jnp.maximum(counts - bucket_cap, 0))
 
-    # rows that don't fit (or are invalid) scatter into a parking slot past
-    # the real buckets so they can never clobber in-capacity rows
+    # rows that don't fit (or are invalid) scatter OUT OF BOUNDS at
+    # distinct offsets (mode=drop): indices stay provably unique, which
+    # keeps the scatter parallel on TPU (XLA serializes otherwise)
     parking = n_shards * bucket_cap
     flat_idx = jnp.where(
         in_cap,
         sorted_dest * bucket_cap + slot,
-        parking,
+        parking + pos,
     )
 
     def scatter(vals, fill):
         src = jnp.take(vals, perm)
-        out = jnp.full((parking + 1,), fill, dtype=vals.dtype)
-        out = out.at[flat_idx].set(src)
-        return out[:parking].reshape(n_shards, bucket_cap)
+        out = jnp.full((parking,), fill, dtype=vals.dtype)
+        out = out.at[flat_idx].set(src, mode="drop", unique_indices=True)
+        return out.reshape(n_shards, bucket_cap)
 
     bucket_keys = scatter(keys, 0)
     bucket_valid = (
-        jnp.zeros((parking + 1,), dtype=bool)
+        jnp.zeros((parking,), dtype=bool)
         .at[flat_idx]
-        .set(jnp.take(valid, perm))[:parking]
+        .set(jnp.take(valid, perm), mode="drop", unique_indices=True)
         .reshape(n_shards, bucket_cap)
     )
     bucket_payload = tuple(scatter(pv, 0) for pv in payload)

@@ -530,10 +530,12 @@ class ExpressionEvaluator:
             if len(expr.children) > 1 and isinstance(expr.children[1], ast.Literal):
                 nd = int(expr.children[1].value)
             scale = 10.0 ** nd
+            # SQL rounds half AWAY FROM ZERO (sqlite/postgres); jnp.round
+            # is banker's rounding (-8.5 -> -8), so do it by hand
+            scaled = args[0].data * scale
+            rounded = jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
             return ExprResult(
-                jnp.round(args[0].data * scale) / scale,
-                args[0].validity,
-                args[0].dtype,
+                rounded / scale, args[0].validity, args[0].dtype,
             )
         if f == "mod":
             return self._arithmetic(ast.Arithmetic("%", expr.children[0], expr.children[1]))

@@ -255,9 +255,10 @@ class SubqueryToJoinRule(AbstractRule):
 
     def _as_hoistable(self, p: ast.Expression,
                       param_map: Dict[int, ast.Expression]):
-        """inner_expr <cmp> Parameter -> Predicate(outer_expr <cmp'> inner)
-        with the outer side leftmost (any comparison condition qualifies —
-        the Join operator takes non-equi secondaries)."""
+        """inner_expr <cmp> f(Parameters) -> Predicate(f(outer) <cmp'>
+        inner) with the outer side leftmost; the parameter side may be any
+        expression over parameters and literals (e.g. `b.id = a.id + 1`)
+        — the Join operator takes non-equi/expression secondaries."""
         from hyrise_tpu.types import FLIPPED_CONDITION
 
         if not isinstance(p, ast.Predicate) or len(p.children) != 2:
@@ -265,16 +266,18 @@ class SubqueryToJoinRule(AbstractRule):
         if p.condition not in FLIPPED_CONDITION:
             return None
         a, b = p.children
-        if isinstance(a, ast.Parameter) and a.parameter_id in param_map and \
-                not _uses_params(b, param_map):
-            return ast.Predicate(
-                p.condition, [param_map[a.parameter_id], b]
-            )
-        if isinstance(b, ast.Parameter) and b.parameter_id in param_map and \
-                not _uses_params(a, param_map):
-            return ast.Predicate(
-                FLIPPED_CONDITION[p.condition], [param_map[b.parameter_id], a]
-            )
+        try:
+            if _params_only(a, param_map) and not _uses_params(b, param_map):
+                return ast.Predicate(
+                    p.condition, [_substitute_params(a, param_map), b]
+                )
+            if _params_only(b, param_map) and not _uses_params(a, param_map):
+                return ast.Predicate(
+                    FLIPPED_CONDITION[p.condition],
+                    [_substitute_params(b, param_map), a],
+                )
+        except _CannotSubstitute:
+            return None
         return None
 
     def _find_sole_aggregate(self, root: L.LQPNode) -> Optional[L.AggregateNode]:
@@ -317,3 +320,41 @@ def _uses_params(e: ast.Expression, param_map) -> bool:
         isinstance(s, ast.Parameter) and s.parameter_id in param_map
         for s in e.walk()
     )
+
+
+def _params_only(e: ast.Expression, param_map) -> bool:
+    """True when `e` references ONLY correlated parameters and literals
+    (no inner columns): it can evaluate entirely on the outer side."""
+    if not _uses_params(e, param_map):
+        return False
+    return all(
+        not isinstance(s, (ast.ColumnRef, ast.Subquery, ast.InSubquery,
+                           ast.Exists, ast.AggregateExpression))
+        for s in e.walk()
+    )
+
+
+def _substitute_params(e: ast.Expression, param_map) -> ast.Expression:
+    """Rebuild `e` with correlated Parameters replaced by their outer
+    expressions (only for shapes _params_only admits: arithmetic/casts/
+    functions over parameters and literals)."""
+    if isinstance(e, ast.Parameter) and e.parameter_id in param_map:
+        return param_map[e.parameter_id]
+    if not e.children:
+        return e
+    new_children = [_substitute_params(c, param_map) for c in e.children]
+    if isinstance(e, ast.Arithmetic):
+        return ast.Arithmetic(e.op, new_children[0], new_children[1])
+    if isinstance(e, ast.UnaryMinus):
+        return ast.UnaryMinus(new_children[0])
+    if isinstance(e, ast.Cast):
+        return ast.Cast(new_children[0], e.target)
+    if isinstance(e, ast.Function):
+        return ast.Function(e.fname, new_children)
+    if all(nc is oc for nc, oc in zip(new_children, e.children)):
+        return e
+    raise _CannotSubstitute()
+
+
+class _CannotSubstitute(Exception):
+    pass

@@ -142,3 +142,129 @@ NESTED_SHAPES = [
 @pytest.mark.parametrize("q", NESTED_SHAPES)
 def test_corpus_nested(env, q):
     check_query(env, q)
+
+
+# ---- round-2 expansion: deeper nesting, correlation, outer joins with
+# filters, distinct aggregates, boolean algebra, string functions, and
+# mixed set operations (ref: the reference's corpus has hundreds of
+# shapes in sqlite_testrunner_queries.sql)
+
+CORRELATED_SHAPES = [
+    "SELECT id FROM a WHERE val > (SELECT AVG(val) FROM a a2 WHERE a2.grp = a.grp)",
+    "SELECT id FROM a WHERE EXISTS (SELECT * FROM b WHERE b.id = a.id AND b.w > 2)",
+    "SELECT id FROM a WHERE NOT EXISTS (SELECT * FROM b WHERE b.id = a.id)",
+    "SELECT id FROM a WHERE EXISTS (SELECT * FROM b WHERE b.id = a.id) "
+    "OR EXISTS (SELECT * FROM b WHERE b.id = a.id + 1)",
+    "SELECT grp, (SELECT COUNT(*) FROM b) FROM a GROUP BY grp",
+    "SELECT id FROM b WHERE w > (SELECT MIN(val) FROM a WHERE a.grp = 1)",
+]
+
+
+@pytest.mark.parametrize("q", CORRELATED_SHAPES)
+def test_corpus_correlated(env, q):
+    check_query(env, q)
+
+
+OUTER_SHAPES = [
+    "SELECT a.id, b.w FROM a LEFT JOIN b ON a.id = b.id WHERE b.w IS NULL",
+    "SELECT a.id, b.w FROM a LEFT JOIN b ON a.id = b.id AND b.w > 3",
+    "SELECT a.id, b.id FROM a RIGHT JOIN b ON a.id = b.id",
+    "SELECT a.id, b.id FROM a FULL OUTER JOIN b ON a.id = b.id",
+    "SELECT COUNT(b.id), COUNT(*) FROM a LEFT JOIN b ON a.id = b.id",
+    "SELECT a.grp, SUM(b.w) FROM a LEFT JOIN b ON a.id = b.id GROUP BY a.grp",
+    "SELECT a.id, b.tag FROM a CROSS JOIN b WHERE a.id = 1",
+    "SELECT t1.id FROM a t1 JOIN a t2 ON t1.id = t2.id + 1 "
+    "JOIN a t3 ON t2.id = t3.id + 1 WHERE t3.grp = 0",
+]
+
+
+@pytest.mark.parametrize("q", OUTER_SHAPES)
+def test_corpus_outer_joins(env, q):
+    check_query(env, q)
+
+
+DISTINCT_SHAPES = [
+    "SELECT COUNT(DISTINCT grp), COUNT(DISTINCT txt) FROM a",
+    "SELECT SUM(DISTINCT grp) FROM a",
+    "SELECT AVG(DISTINCT grp) FROM a",
+    "SELECT grp, COUNT(DISTINCT nul) FROM a GROUP BY grp",
+    "SELECT DISTINCT grp, txt FROM a WHERE id < 10",
+    "SELECT DISTINCT nul FROM a",
+]
+
+
+@pytest.mark.parametrize("q", DISTINCT_SHAPES)
+def test_corpus_distinct(env, q):
+    check_query(env, q)
+
+
+BOOLEAN_SHAPES = [
+    "SELECT id FROM a WHERE (grp = 1 OR grp = 2) AND NOT (val > 5)",
+    "SELECT id FROM a WHERE nul > 5 OR nul IS NULL",
+    "SELECT id FROM a WHERE NOT (nul > 5)",
+    "SELECT id, val > 0 FROM a WHERE id < 6",
+    "SELECT id FROM a WHERE (val > 0) = (grp > 1)",
+    "SELECT id FROM a WHERE txt BETWEEN 'w1' AND 'w4'",
+    "SELECT id FROM a WHERE txt NOT LIKE 'w%'",
+    "SELECT id FROM a WHERE nul IN (3, 6, NULL)",
+]
+
+
+@pytest.mark.parametrize("q", BOOLEAN_SHAPES)
+def test_corpus_boolean(env, q):
+    check_query(env, q)
+
+
+STRING_SHAPES = [
+    "SELECT LOWER(txt), UPPER(txt) FROM a WHERE id <= 3",
+    "SELECT txt || '_' || txt FROM a WHERE id <= 3",
+    "SELECT id FROM a WHERE LENGTH(txt) = 2",
+    "SELECT SUBSTR(txt, 2) FROM a WHERE id < 4",
+    "SELECT MIN(txt), MAX(txt) FROM a",
+    "SELECT grp, MIN(txt) FROM a GROUP BY grp",
+    "SELECT TRIM('  pad  ') FROM a LIMIT 1",
+]
+
+
+@pytest.mark.parametrize("q", STRING_SHAPES)
+def test_corpus_strings(env, q):
+    check_query(env, q)
+
+
+DEEP_SHAPES = [
+    "SELECT g, c FROM (SELECT grp AS g, COUNT(*) AS c FROM "
+    "(SELECT grp FROM a WHERE val > -5) s GROUP BY grp) t WHERE c > 2",
+    "WITH x AS (SELECT grp, SUM(val) AS s FROM a GROUP BY grp), "
+    "y AS (SELECT grp, COUNT(*) AS c FROM a GROUP BY grp) "
+    "SELECT x.grp, x.s, y.c FROM x JOIN y ON x.grp = y.grp",
+    "SELECT (SELECT COUNT(*) FROM a WHERE val > 0) - "
+    "(SELECT COUNT(*) FROM a WHERE val < 0) FROM b LIMIT 1",
+    "SELECT grp, SUM(val) FROM a WHERE id IN "
+    "(SELECT id FROM a WHERE txt LIKE 'w%') GROUP BY grp "
+    "HAVING SUM(val) <> 0",
+    "SELECT u.id FROM (SELECT id FROM a UNION SELECT id FROM b) u "
+    "WHERE u.id % 3 = 0",
+    "SELECT a.grp, m.mx FROM a JOIN (SELECT grp, MAX(val) AS mx FROM a "
+    "GROUP BY grp) m ON a.grp = m.grp WHERE a.val = m.mx",
+]
+
+
+@pytest.mark.parametrize("q", DEEP_SHAPES)
+def test_corpus_deep_nesting(env, q):
+    check_query(env, q)
+
+
+ARITH_SHAPES = [
+    "SELECT id, val / 2, val * val FROM a WHERE id < 5",
+    "SELECT id % 7, COUNT(*) FROM a GROUP BY id % 7",
+    "SELECT -id, ABS(val) FROM a WHERE val < 0",
+    "SELECT id, ROUND(val, 0) FROM a WHERE id < 6",
+    "SELECT SUM(val) / COUNT(*), AVG(val) FROM a",
+    "SELECT MAX(val) - MIN(val) FROM a GROUP BY grp",
+    "SELECT id FROM a WHERE val * 2 BETWEEN id - 10 AND id + 10",
+]
+
+
+@pytest.mark.parametrize("q", ARITH_SHAPES)
+def test_corpus_arithmetic(env, q):
+    check_query(env, q)

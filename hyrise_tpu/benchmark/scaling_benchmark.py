@@ -90,6 +90,42 @@ def main(argv=None) -> None:
             "rows_per_s_m": round(rows_per_s / 1e6, 1),
             "efficiency": round(rows_per_s / (base * n), 3),
         })
+    # ---- full SQL over the mesh (parallel/dexec.py): the end-to-end
+    # scaling number — TPC-H Q6 (scan+psum) and Q1 (grouped aggregate with
+    # pre-aggregation + shuffle) from SQL text at each shard count
+    from hyrise_tpu.benchmark.tpch.generator import TPCHTableGenerator
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.parallel.dtable import clear_dstage_cache
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+
+    sf = max(args.rows / 6_000_000, 0.002)
+    db = Database.get()
+    tables = TPCHTableGenerator(scale_factor=sf).generate_into(
+        db.storage_manager)
+    li_rows = tables["lineitem"].num_rows
+    for qid in (6, 1):
+        sql_text = TPCH_QUERIES[qid]
+        for n in shard_counts:
+            db.storage_manager._sharded.clear()
+            clear_dstage_cache()
+            db.default_lqp_cache.clear()
+            db.distribute(mesh=QueryMesh(devices[:n]))
+            run = lambda: SQLPipelineBuilder(
+                sql_text).create_pipeline().get_result_table()
+            run()  # warm/compile
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                run()
+                best = min(best, time.perf_counter() - t0)
+            rows_per_s = li_rows / best
+            base = base_rps.setdefault(f"sql_q{qid}", rows_per_s / n)
+            results.append({
+                "step": f"sql_tpch_q{qid}", "shards": n,
+                "rows_per_s_m": round(rows_per_s / 1e6, 1),
+                "efficiency": round(rows_per_s / (base * n), 3),
+            })
     for r in results:
         print(f"{r['step']:<24} shards={r['shards']:<3} "
               f"{r['rows_per_s_m']:>8.1f} M rows/s  eff={r['efficiency']}",

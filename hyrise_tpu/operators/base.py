@@ -22,6 +22,19 @@ from hyrise_tpu.kernels import masks
 from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import size_bucket
 
+_SYNC_EXPENSIVE: Optional[bool] = None
+
+
+def _sync_is_expensive() -> bool:
+    """True on accelerator backends where a device->host count sync has a
+    latency floor far above padded device work (tunnel RTT ~28ms)."""
+    global _SYNC_EXPENSIVE
+    if _SYNC_EXPENSIVE is None:
+        import jax
+
+        _SYNC_EXPENSIVE = jax.default_backend() != "cpu"
+    return _SYNC_EXPENSIVE
+
 
 @dataclass
 class OperatorPerformanceData:
@@ -150,22 +163,35 @@ class AbstractOperator:
     @staticmethod
     def maybe_compact(table: Table, shrink_factor: int = 4,
                       est_rows: Optional[float] = None) -> Table:
-        """Materialize a deferred selection when the real row count is far
-        below capacity (cost: one count sync + one gather) — sorting or
-        re-scanning a nearly-empty padded table costs much more than the
-        sync.  Tables without a pending selection pass through untouched.
+        """Materialize a deferred selection when that is cheaper than
+        operating on the padded table.  The trade is backend-dependent:
 
-        `est_rows` (the optimizer's estimate for the producing node) skips
-        the count sync entirely when the selection is likely dense — on
-        remote backends every sync has a ~10-30ms latency floor."""
+        - CPU: a count sync is free, padded sorts cost real time ->
+          count, and compact when rows << capacity (the original policy);
+        - accelerators (esp. through a remote tunnel): every count sync
+          has a ~10-30ms latency floor while a padded device sort at
+          bench capacities costs <1ms (ROOFLINE_TPU.json: 4M-row sort =
+          0.08ms) -> never sync just to decide; compact only when the
+          OPTIMIZER ESTIMATE alone proves extreme sparsity at a capacity
+          where padded work approaches the sync cost."""
         if table.selection is None or table.capacity <= 256:
             return table
         from hyrise_tpu.types import size_bucket
 
+        if _sync_is_expensive():
+            if (
+                table.capacity >= (1 << 22)
+                and est_rows is not None and est_rows > 0
+                and size_bucket(max(int(est_rows), 1)) * 16 <= table.capacity
+            ):
+                n = table.valid_count  # big payoff: pay the one sync
+                if size_bucket(max(n, 1)) * shrink_factor <= table.capacity:
+                    return table.materialize()
+            return table
         if est_rows is not None and est_rows > 0:
             # skip the sync only when the estimate says ESSENTIALLY FULL:
             # a wasted sync costs ~1-30ms, a wasted full-capacity sort
-            # costs seconds — bias strongly toward syncing
+            # costs seconds on CPU — bias toward syncing
             if size_bucket(max(int(est_rows), 1)) >= table.capacity:
                 return table
         n = table.valid_count

@@ -96,3 +96,28 @@ def _diff(qid, ours, theirs):
         f"Q{qid} mismatch: ours={len(ours)} rows, sqlite={len(theirs)} rows\n"
         f"ours[:5]={ours[:5]}\nsqlite[:5]={theirs[:5]}"
     )
+
+
+def test_tpch_no_compaction_policy(tpch_env):
+    """The accelerator-backend policy (skip count syncs, operate on padded
+    tables — operators/base.py::maybe_compact) must give identical rows;
+    forced on the CPU mesh here."""
+    import hyrise_tpu.operators.base as base
+
+    old = base._SYNC_EXPENSIVE
+    base._SYNC_EXPENSIVE = True
+    try:
+        from hyrise_tpu.operators import compiled
+
+        compiled.clear_cache()
+        for qid in (3, 5, 10, 18):
+            sql = TPCH_QUERIES[qid]
+            ours = SQLPipelineBuilder(sql).create_pipeline(
+            ).get_result_table().to_pylist()
+            theirs = tpch_env.execute(sqlite_compat(sql))
+            assert rows_match(ours, theirs, ordered=True), f"Q{qid}"
+    finally:
+        base._SYNC_EXPENSIVE = old
+        from hyrise_tpu.operators import compiled
+
+        compiled.clear_cache()

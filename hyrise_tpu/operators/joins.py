@@ -240,14 +240,16 @@ class Join(AbstractReadOnlyOperator):
             "join1", probe_t, build_t, build1,
             extra_key=pred_key, cacheable=cacheable,
         )
+        from hyrise_tpu.operators.base import _sync_is_expensive
+
         est_out = getattr(self, "estimated_rows", None)
         if build_unique and (
-            est_out is None
+            _sync_is_expensive()  # padded gathers cost << one sync RTT
+            or est_out is None
             or size_bucket(max(int(est_out), 1)) * 4 > probe_t.capacity
         ):
-            # <=1 match per probe row AND a likely-dense result: skip the
-            # expansion-size sync (sparse results still sync — gathering at
-            # full probe capacity would cost more than the round trip)
+            # <=1 match per probe row: the expansion fits probe capacity,
+            # so the expansion-size sync can be skipped entirely
             out_cap = probe_t.capacity
         else:
             total = int(total_dev)

@@ -197,13 +197,22 @@ class Aggregate(AbstractReadOnlyOperator):
             cacheable=cacheable,
         )
         key_meta, arg_meta, dep_meta = meta
+        from hyrise_tpu.operators.base import _sync_is_expensive
+
         if dense_domains is not None:
             num_groups = 1
             for _, _, size in dense_domains:
                 num_groups *= size
+            out_cap = size_bucket(num_groups)
+        elif self.group_by and _sync_is_expensive():
+            # defer the group-count sync (a tunnel RTT): groups <= rows, so
+            # reductions run at input capacity and empty tail slots hide
+            # behind a selection mask exactly like the dense path
+            num_groups = None
+            out_cap = size_bucket(table.capacity)
         else:
             num_groups = int(num_groups_dev) if self.group_by else 1
-        out_cap = size_bucket(num_groups)
+            out_cap = size_bucket(num_groups)
 
         # ---------------- stage 2: reductions at static out_cap -----------
         agg_spec = tuple(
@@ -327,9 +336,10 @@ class Aggregate(AbstractReadOnlyOperator):
             columns.append(
                 Column(dt, data.astype(physical_dtype(dt)), valid, dictionary, ds)
             )
-        out = Table(names, columns, num_groups)
-        if dense_domains is not None:
-            # dense slots include empty groups — hide them via selection
+        out = Table(names, columns,
+                    num_groups if num_groups is not None else out_cap)
+        if dense_domains is not None or num_groups is None:
+            # slots include empty groups — hide them via selection
             out.selection = occupied[: out.capacity] > 0
         return out
 

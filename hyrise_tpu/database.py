@@ -41,6 +41,29 @@ class Database:
 
         self.index_registry = IndexRegistry()
 
+        # scheduler selection, switchable at runtime via
+        # UPDATE meta_settings (ref: the reference's --scheduler flag
+        # enabling NodeQueueScheduler, bin/server.cpp / benchmarks)
+        from hyrise_tpu.meta.settings_manager import Setting
+
+        def _on_scheduler_mode(value: str) -> None:
+            from hyrise_tpu.scheduler.scheduler import (
+                ImmediateExecutionScheduler,
+                NodeQueueScheduler,
+            )
+
+            if value == "node_queue":
+                self.set_scheduler(NodeQueueScheduler(self.topology))
+            else:
+                self.set_scheduler(ImmediateExecutionScheduler())
+
+        self.settings_manager.register(Setting(
+            "scheduler.mode", "immediate",
+            "operator task scheduler: immediate | node_queue "
+            "(per-node queues + work stealing)",
+            on_change=_on_scheduler_mode,
+        ))
+
     # ------------------------------------------------------------- singleton
 
     @classmethod

@@ -131,6 +131,10 @@ class NodeQueueScheduler(AbstractScheduler):
 
     def finish(self) -> None:
         self._shutdown.set()
+        me = threading.current_thread()
         for t in self._threads:
-            t.join(timeout=1.0)
+            # a scheduler swap can be triggered FROM a worker (UPDATE
+            # meta_settings executes as a task) — never join ourselves
+            if t is not me:
+                t.join(timeout=1.0)
         self._threads.clear()

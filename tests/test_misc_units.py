@@ -118,3 +118,32 @@ def test_cost_model_orders_plans_sensibly():
     cheap = cost("SELECT k FROM big WHERE k = 5")
     pricey = cost("SELECT a.k FROM big a JOIN big b ON a.k = b.k ORDER BY a.k")
     assert pricey > cheap
+
+
+def test_scheduler_mode_setting_runs_queries():
+    """UPDATE meta_settings switches query execution onto the
+    NodeQueueScheduler (per-node queues + work stealing) — results stay
+    identical (ref: the reference's --scheduler flag)."""
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.scheduler.scheduler import NodeQueueScheduler
+    from hyrise_tpu.sql.pipeline import sql
+    from hyrise_tpu.storage.table import Table
+
+    db = Database.get()
+    db.storage_manager.add_table("s1", Table.from_dict(
+        {"k": list(range(50)), "g": [i % 5 for i in range(50)]}))
+    db.storage_manager.add_table("s2", Table.from_dict(
+        {"k2": list(range(0, 50, 2))}))
+    q = ("SELECT g, COUNT(*) FROM s1 JOIN s2 ON k = k2 "
+         "GROUP BY g ORDER BY g")
+    expected = sql(q).to_pylist()
+    sql("UPDATE meta_settings SET value = 'node_queue' "
+        "WHERE name = 'scheduler.mode'")
+    try:
+        assert isinstance(db.scheduler, NodeQueueScheduler)
+        for _ in range(3):
+            assert sql(q).to_pylist() == expected
+    finally:
+        sql("UPDATE meta_settings SET value = 'immediate' "
+            "WHERE name = 'scheduler.mode'")
+    assert not isinstance(db.scheduler, NodeQueueScheduler)

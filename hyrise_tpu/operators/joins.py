@@ -556,8 +556,9 @@ def _rows_unique_for(op, origin: str) -> bool:
 
 
 def _declared_unique(exprs) -> bool:
-    """All exprs are columns of ONE base table whose key constraint they
-    cover exactly."""
+    """All exprs are columns of ONE base table and COVER a declared key
+    (a superset of a unique key is itself unique — Q5's packed
+    [c_custkey, c_nationkey] over the c_custkey PK)."""
     from hyrise_tpu.database import Database
 
     names = []
@@ -575,7 +576,7 @@ def _declared_unique(exprs) -> bool:
     except KeyError:
         return False
     key_set = set(names)
-    return any(set(kc.columns) == key_set for kc in table.key_constraints)
+    return any(key_set >= set(kc.columns) for kc in table.key_constraints)
 
 
 def _build_key_unique(build_exprs, build_op=None) -> bool:

@@ -47,8 +47,10 @@ def main() -> None:
     try:
         import jax
 
+        from hyrise_tpu import _default_cache_dir
+
         cache_dir = os.environ.get(
-            "HYRISE_TPU_COMPILE_CACHE", "/tmp/hyrise_tpu_jax_cache"
+            "HYRISE_TPU_COMPILE_CACHE", _default_cache_dir()
         )
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

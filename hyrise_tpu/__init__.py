@@ -39,9 +39,37 @@ if os.environ.get("HYRISE_TPU_X64", "1") == "1":
 
 # Persistent compilation cache: query-stage executables survive across
 # processes (critical on remote-compile TPU backends where each stage
-# compile costs seconds).
-_cache_dir = os.environ.get("HYRISE_TPU_COMPILE_CACHE",
-                            "/tmp/hyrise_tpu_jax_cache")
+# compile costs seconds).  The default directory carries a host
+# fingerprint: XLA:CPU writes machine-specific AOT artifacts, and loading
+# another machine's output can SIGILL/segfault.
+
+
+def _default_cache_dir() -> str:
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((line for line in f if line.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    fp = hashlib.sha1(
+        (platform.machine() + platform.release() + flags).encode()
+    ).hexdigest()[:12]
+    return f"/tmp/hyrise_tpu_jax_cache_{fp}"
+
+
+_cache_dir = os.environ.get("HYRISE_TPU_COMPILE_CACHE")
+if _cache_dir is None:
+    # Default-enable only for accelerator backends (remote compiles cost
+    # seconds each).  XLA:CPU executable deserialization has segfaulted on
+    # same-host reloads (feature-check issue), so CPU runs opt in via env.
+    _platforms = os.environ.get("JAX_PLATFORMS", "")
+    _cache_dir = (
+        _default_cache_dir()
+        if ("axon" in _platforms or "tpu" in _platforms)
+        else ""
+    )
 if _cache_dir:
     try:
         # (JAX keys cache entries by backend fingerprint; CPU AOT reloads

@@ -34,7 +34,7 @@ def load_tables_from_dir(table_dir: str) -> dict:
         if db.storage_manager.has_table(name):
             db.storage_manager.replace_table(name, table)
         else:
-            db.storage_manager.add_table(name, table)
+            db.storage_manager.add_table(name, table, encode=True)
         loaded[name] = table
     return loaded
 

@@ -386,5 +386,5 @@ class IMDBTableGenerator:
         for name, t in tables.items():
             if storage_manager.has_table(name):
                 storage_manager.drop_table(name)
-            storage_manager.add_table(name, t)
+            storage_manager.add_table(name, t, encode=True)
         return tables

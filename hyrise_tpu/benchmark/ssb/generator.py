@@ -83,7 +83,7 @@ class SSBTableGenerator:
         for name, t in tables.items():
             if storage_manager.has_table(name):
                 storage_manager.drop_table(name)
-            storage_manager.add_table(name, t)
+            storage_manager.add_table(name, t, encode=True)
         return tables
 
     # ------------------------------------------------------------- tables

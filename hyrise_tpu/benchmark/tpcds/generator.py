@@ -127,7 +127,7 @@ class TPCDSTableGenerator:
         for name, t in tables.items():
             if storage_manager.has_table(name):
                 storage_manager.drop_table(name)
-            storage_manager.add_table(name, t)
+            storage_manager.add_table(name, t, encode=True)
         return tables
 
     # ------------------------------------------------------------- tables

@@ -58,6 +58,12 @@ class Database:
                 self.set_scheduler(ImmediateExecutionScheduler())
 
         self.settings_manager.register(Setting(
+            "storage.packed_encoding", "on",
+            "FOR/bit-packed device encoding for bulk-loaded tables: on | off "
+            "(ref: frame_of_reference_segment.hpp:39, "
+            "vector_compression/compressed_vector_type.hpp:28)",
+        ))
+        self.settings_manager.register(Setting(
             "scheduler.mode", "immediate",
             "operator task scheduler: immediate | node_queue "
             "(per-node queues + work stealing)",

@@ -181,13 +181,17 @@ class MetaTableManager:
                 rows["column_name"].append(cname)
                 rows["data_type"].append(col.data_type.value)
                 rows["encoding_type"].append(
-                    "Dictionary" if col.dictionary is not None else "Unencoded"
+                    ("FrameOfReference" if col.is_packed else "Dictionary")
+                    if col.dictionary is not None or col.is_packed
+                    else "Unencoded"
                 )
                 rows["distinct_value_count"].append(
                     len(col.dictionary) if col.dictionary is not None else -1
                 )
                 rows["estimated_size_in_bytes"].append(
-                    int(col.data.size * col.data.dtype.itemsize)
+                    col.data.nbytes
+                    if col.is_packed
+                    else int(col.data.size * col.data.dtype.itemsize)
                 )
                 rows["access_count"].append(t.access_counters.get(cname, 0))
         return Table.from_dict(

@@ -91,7 +91,7 @@ def table_signature(table: Table) -> tuple:
         tuple(
             (
                 c.data_type,
-                str(c.data.dtype),
+                c.data.signature() if c.is_packed else str(c.data.dtype),
                 c.validity is not None,
                 id(c.dictionary) if c.dictionary is not None else None,
                 c.dict_sorted,
@@ -102,7 +102,16 @@ def table_signature(table: Table) -> tuple:
 
 
 def _flatten(table: Table):
-    datas = [c.data for c in table.columns]
+    # packed columns ship (uint32 words, FOR reference scalar); decode
+    # happens inside the traced stage (_rebuild) so XLA fuses the
+    # shift+mask into consumers, and the traced reference keeps the
+    # executable reusable across datasets with different minima
+    datas = [
+        (c.data.words, jnp.asarray(c.data.reference, dtype=jnp.int64))
+        if c.is_packed
+        else c.data
+        for c in table.columns
+    ]
     valids = [c.validity for c in table.columns]
     sel = table.selection
     nr = jnp.asarray(table.num_rows, dtype=jnp.int64)
@@ -110,8 +119,16 @@ def _flatten(table: Table):
 
 
 def _rebuild(table: Table, datas, valids, sel, nr) -> Table:
+    from hyrise_tpu.storage.compression import unpack_device
+
     cols = [
-        Column(c.data_type, d, v, c.dictionary, c.dict_sorted)
+        Column(
+            c.data_type,
+            unpack_device(d[0], c.data, reference=d[1]) if c.is_packed else d,
+            v,
+            c.dictionary,
+            c.dict_sorted,
+        )
         for c, d, v in zip(table.columns, datas, valids)
     ]
     t = Table(table.column_names, cols, 0, sel)

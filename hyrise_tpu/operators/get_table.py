@@ -93,8 +93,13 @@ class GetTable(AbstractReadOnlyOperator):
         kept_idx = np.flatnonzero(keep)
         B = stats.block_rows
         if len(kept_idx) == 0:
+            # keep one lane of capacity: zero-capacity arrays break any
+            # downstream stage that gathers with static-size index vectors
+            # (e.g. a join expansion sized from the other side)
+            from hyrise_tpu.types import LANE
+
             empty = Table(out.column_names,
-                          [c.take(jnp.zeros(0, dtype=jnp.int32)) for c in
+                          [c.take(jnp.zeros(LANE, dtype=jnp.int32)) for c in
                            out.columns], 0)
             return empty
         rows = (jnp.asarray(kept_idx.astype(np.int64))[:, None] * B

@@ -50,10 +50,18 @@ class Insert(AbstractReadWriteOperator):
 
     def _on_execute(self) -> Optional[Table]:
         src = self.input_table_left().materialize()
+        if any(c.is_packed for c in src.columns):
+            # INSERT ... SELECT straight off a packed base table
+            src = Table(src.column_names,
+                        [c.decoded() for c in src.columns], src.num_rows)
         target = Database.get().storage_manager.get_table(self.table_name)
         self._target = target
         mvcc = ensure_mvcc(target)
         with _global_append_lock:
+            # packed (encoded) columns are immutable — decode before append
+            # (ref: encoded chunks never take writes; inserts go to a new
+            # mutable chunk.  One padded array per column here, so unpack.)
+            target.decode_packed()
             old_n = target.num_rows
             n_new = src.num_rows
             new_n = old_n + n_new

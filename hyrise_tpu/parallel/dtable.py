@@ -144,6 +144,7 @@ def partition_base(table: Table, qmesh: QueryMesh,
     sharding = qmesh.sharding(P(SHARD_AXIS, None))
     cols: List[DColumn] = []
     for col in table.columns:
+        col = col.decoded()  # shards ship raw; per-shard packing is future work
         data = jnp.take(col.data, take_idx).reshape(ndev, rows_per_shard)
         data = jax.device_put(data, sharding)
         validity = None

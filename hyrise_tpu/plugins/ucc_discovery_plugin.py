@@ -79,7 +79,7 @@ class UccDiscoveryPlugin(AbstractPlugin):
         n = table.num_rows
         if n == 0 or col.validity is not None:
             return False  # nullable columns cannot be keys
-        data = np.asarray(col.data)[:n]
+        data = col.host_raw(n)
         if len(np.unique(data)) != n:
             return False
         table.key_constraints.append(TableKeyConstraint((column,), False))

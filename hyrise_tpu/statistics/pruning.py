@@ -85,7 +85,7 @@ def ensure_column(stats: BlockStatistics, table: Table, name: str) -> bool:
     n = stats.row_count
     block_rows = stats.block_rows
     nb = stats.n_blocks
-    data = np.asarray(col.data)[:n].astype(np.float64)
+    data = col.host_raw(n).astype(np.float64)
     valid = (np.asarray(col.validity)[:n] if col.validity is not None
              else np.ones(n, dtype=bool))
     mins = np.full(nb, np.inf)

@@ -80,7 +80,7 @@ def get_table_statistics(table: Table) -> TableStatistics:
 def _column_statistics(col: Column, n: int) -> ColumnStatistics:
     if n == 0:
         return ColumnStatistics(col.data_type, 0, 0.0, 0.0, None, None)
-    data = np.asarray(col.data)[:n]
+    data = col.host_raw(n)
     valid = (
         np.asarray(col.validity)[:n] if col.validity is not None
         else None

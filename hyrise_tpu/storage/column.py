@@ -18,6 +18,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hyrise_tpu.storage.compression import (
+    PackedArray,
+    decode_numpy,
+    encode_numpy,
+    take_packed,
+    unpack_device,
+)
 from hyrise_tpu.types import DataType, LANE, padded_size, physical_dtype
 from hyrise_tpu.utils.dates import date_str_to_days, days_to_date_str
 
@@ -119,10 +126,38 @@ class Column:
     ) -> "Column":
         return Column(data_type, data, validity, dictionary, dict_sorted)
 
+    # ------------------------------------------------------------ compression
+
+    @property
+    def is_packed(self) -> bool:
+        return isinstance(self.data, PackedArray)
+
+    def encode_packed(self, n_rows: int) -> "Column":
+        """FOR/bit-pack this column's device payload if profitable (the
+        ChunkEncoder analogue; ref: storage/chunk_encoder.hpp — encoding
+        applied after a chunk is filled).  Float columns and already-packed
+        columns return self unchanged."""
+        if self.is_packed or self.data_type in (DataType.FLOAT, DataType.DOUBLE):
+            return self
+        values = np.asarray(self.data)
+        valid = np.asarray(self.validity) if self.validity is not None else None
+        packed = encode_numpy(values, valid, n_rows)
+        if packed is None:
+            return self
+        return replace(self, data=packed)
+
+    def decoded(self) -> "Column":
+        """Raw (unpacked) copy of a packed column; self when already raw."""
+        if not self.is_packed:
+            return self
+        return replace(self, data=unpack_device(self.data.words, self.data))
+
     # ------------------------------------------------------------- transforms
 
     @property
     def capacity(self) -> int:
+        if self.is_packed:
+            return self.data.capacity
         return int(self.data.shape[0])
 
     def take(self, indices: jax.Array, null_where_negative: bool = False) -> "Column":
@@ -132,7 +167,10 @@ class Column:
         If `null_where_negative`, indices < 0 produce NULL rows (used by
         outer joins for unmatched sides)."""
         safe = jnp.maximum(indices, 0)
-        data = jnp.take(self.data, safe, axis=0)
+        if self.is_packed:
+            data = take_packed(self.data, safe)
+        else:
+            data = jnp.take(self.data, safe, axis=0)
         validity = None
         if self.validity is not None:
             validity = jnp.take(self.validity, safe, axis=0)
@@ -148,16 +186,26 @@ class Column:
         """Boolean validity over the full capacity (padding not excluded)."""
         if self.validity is not None:
             return self.validity
-        return jnp.ones(self.data.shape[0], dtype=bool)
+        return jnp.ones(self.capacity, dtype=bool)
 
     # ------------------------------------------------------------------ host
+
+    def host_raw(self, n: Optional[int] = None) -> np.ndarray:
+        """Physical values (dict codes / day numbers, NOT decoded) on host;
+        unpacks packed columns.  The statistics/index-build accessor."""
+        data = decode_numpy(self.data) if self.is_packed else np.asarray(self.data)
+        return data if n is None else data[:n]
 
     def to_numpy(self, n: int):
         """Return (values, valid) host arrays for the first n rows; STRING
         columns are decoded through the dictionary.  Conversion happens
         numpy-first so it stays legal on concrete arrays even while an
         outer jit trace is active."""
-        data = np.asarray(self.data)[:n]
+        data = (
+            decode_numpy(self.data)[:n]
+            if self.is_packed
+            else np.asarray(self.data)[:n]
+        )
         valid = (
             np.asarray(self.validity)[:n]
             if self.validity is not None
@@ -196,6 +244,7 @@ def recode_to_dictionary(
     """Map a STRING column's codes into another dictionary's code space.
     Codes absent from `target_dict` map to -1 (used for joins/comparisons
     across tables with different dictionaries)."""
+    col = col.decoded()
     src = col.dictionary
     pos = np.searchsorted(target_dict, src)
     pos_clipped = np.clip(pos, 0, max(len(target_dict) - 1, 0))

@@ -31,7 +31,7 @@ class OrderedIndex:
         self.column_name = column_name
         col = table.column(column_name)
         n = table.num_rows
-        keys = joink.normalize_key(col.data)
+        keys = joink.normalize_key(col.decoded().data)
         valid = table.row_mask()
         if col.validity is not None:
             valid = valid & col.validity
@@ -76,7 +76,7 @@ class HashIndex:
     def __init__(self, table: Table, column_names: Sequence[str]):
         self.column_names = tuple(column_names)
         n = table.num_rows
-        cols = [np.asarray(table.column(c).data)[:n] for c in column_names]
+        cols = [table.column(c).host_raw(n) for c in column_names]
         self._map: Dict[tuple, List[int]] = {}
         for i in range(n):
             key = tuple(int(c[i]) for c in cols)

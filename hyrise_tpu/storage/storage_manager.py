@@ -33,6 +33,19 @@ class PreparedPlan:
         self.statement = statement
 
 
+def packed_encoding_enabled() -> bool:
+    """Consult the `storage.packed_encoding` setting (default on)."""
+    try:
+        from hyrise_tpu.database import Database
+
+        sm = Database.get().settings_manager
+        if sm.has_setting("storage.packed_encoding"):
+            return sm.get_setting("storage.packed_encoding").get() != "off"
+    except Exception:
+        pass
+    return True
+
+
 class StorageManager:
     def __init__(self):
         self._tables: Dict[str, Table] = {}
@@ -45,10 +58,17 @@ class StorageManager:
         self._lock = threading.RLock()
 
     # -------------------------------------------------------------- tables
-    def add_table(self, name: str, table: Table) -> None:
+    def add_table(self, name: str, table: Table, encode: bool = False) -> None:
+        """Register a table.  `encode=True` (bulk-load paths: benchmark
+        generators, file import) applies FOR/bit-packed device encoding to
+        eligible columns, mirroring the reference's encode-after-generate
+        step (ref: abstract_table_generator.cpp — generate then
+        ChunkEncoder::encode_chunks per EncodingConfig)."""
         with self._lock:
             if name in self._tables or name in self._views:
                 raise ValueError(f"table or view {name!r} already exists")
+            if encode and packed_encoding_enabled():
+                table.encode_packed()
             self._tables[name] = table
 
     def drop_table(self, name: str) -> None:

@@ -195,6 +195,22 @@ class Table:
         out.mvcc = None
         return out
 
+    def encode_packed(self) -> int:
+        """FOR/bit-pack eligible columns in place (the ChunkEncoder analogue;
+        ref: storage/chunk_encoder.hpp:28-67 — encoding runs after chunks
+        fill).  Only safe on dense tables (no pending selection); mutation
+        paths decode first (reference: encoded chunks are immutable).
+        Returns the number of columns packed."""
+        if self.selection is not None:
+            return 0
+        self.columns = [c.encode_packed(self.num_rows) for c in self.columns]
+        return sum(1 for c in self.columns if c.is_packed)
+
+    def decode_packed(self) -> None:
+        """Unpack any packed columns in place (pre-mutation hook)."""
+        if any(c.is_packed for c in self.columns):
+            self.columns = [c.decoded() for c in self.columns]
+
     def rename(self, names: Sequence[str]) -> "Table":
         t = Table(list(names), self.columns, self.num_rows, self.selection)
         t.sorted_by = self.sorted_by

@@ -217,7 +217,7 @@ def save_binary(table: Table, path: str) -> None:
     payload = {"__names__": np.array(table.column_names, dtype=str),
                "__nrows__": np.array([table.num_rows])}
     for i, (n, c) in enumerate(zip(table.column_names, table.columns)):
-        payload[f"data_{i}"] = np.asarray(c.data[: table.num_rows])
+        payload[f"data_{i}"] = c.host_raw(table.num_rows)
         payload[f"type_{i}"] = np.array([_TYPE_NAMES_REV[c.data_type]])
         if c.validity is not None:
             payload[f"valid_{i}"] = np.asarray(c.validity[: table.num_rows])

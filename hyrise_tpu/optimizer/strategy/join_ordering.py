@@ -81,8 +81,10 @@ class JoinOrderingRule(AbstractRule):
             return out
 
         from hyrise_tpu.statistics.cardinality import CardinalityEstimator
+        from hyrise_tpu.statistics.cost_model import CostEstimator
 
         est = CardinalityEstimator()
+        cost_est = CostEstimator(est)
         vert_cols: List[Set[tuple]] = [
             {e.key() for e in v.output_expressions()} for v in vertices
         ]
@@ -106,7 +108,7 @@ class JoinOrderingRule(AbstractRule):
         # DpCcp under a size limit, greedy above)
         if 2 <= len(vertices) <= DP_MAX_VERTICES:
             dp_result = _dp_join_order(
-                vertices, vert_cols, sizes, remaining, est
+                vertices, vert_cols, sizes, remaining, est, cost_est
             )
             if dp_result is not None:
                 current, leftover = dp_result
@@ -134,12 +136,14 @@ class JoinOrderingRule(AbstractRule):
                     and _separates(p, current_cols, vert_cols[i])
                 ]
                 if join_preds:
-                    cost = est.join_output_rows(current_size, sizes[i], join_preds)
+                    out = est.join_output_rows(current_size, sizes[i], join_preds)
                 else:
-                    cost = current_size * sizes[i]
+                    out = current_size * sizes[i]
+                cost = cost_est.join_cost(current_size, sizes[i], out)
                 if best_cost is None or cost < best_cost:
                     best_cost = cost
                     best = i
+                    best_out = out
             i = best
             unused.discard(i)
             join_preds = [
@@ -156,7 +160,7 @@ class JoinOrderingRule(AbstractRule):
             else:
                 current = L.JoinNode(JoinMode.CROSS, [], current, vertices[i])
             current_cols = new_cols
-            current_size = max(best_cost or current_size, 1.0)
+            current_size = max(best_out, 1.0)
             # predicates that became evaluable only with the merged set
             for p in list(remaining):
                 refs = {c.key() for c in p.referenced_columns()}
@@ -178,10 +182,12 @@ class JoinOrderingRule(AbstractRule):
 DP_MAX_VERTICES = 10
 
 
-def _dp_join_order(vertices, vert_cols, sizes, preds, est):
+def _dp_join_order(vertices, vert_cols, sizes, preds, est, cost_est):
     """Optimal bushy join order via DP over vertex subsets (the DpCcp
-    equivalent; ref: optimizer/join_ordering/dp_ccp.hpp:26).  Cost = sum of
-    estimated intermediate cardinalities.  Returns (plan, leftover_preds)
+    equivalent; ref: optimizer/join_ordering/dp_ccp.hpp:26).  Cost = the
+    logical cost model's per-node cost summed over the subtree
+    (statistics/cost_model.py; ref: DpCcp minimizing an
+    AbstractCostEstimator's plan cost).  Returns (plan, leftover_preds)
     or None when the graph is disconnected (greedy handles cross joins)."""
     n = len(vertices)
     full = (1 << n) - 1
@@ -244,6 +250,7 @@ def _dp_join_order(vertices, vert_cols, sizes, preds, est):
             rows = est.join_output_rows(ra, rb, join_preds)
             applied = applied_a | applied_b | set(join_pred_ids)
             plan = L.JoinNode(JoinMode.INNER, join_preds, pa, pb)
+            step_cost = cost_est.join_cost(ra, rb, rows)
             # apply newly-covered non-separable predicates
             extra = [
                 i for i, p in enumerate(preds)
@@ -252,9 +259,13 @@ def _dp_join_order(vertices, vert_cols, sizes, preds, est):
             ]
             for i in extra:
                 plan = L.PredicateNode(preds[i], plan)
-                rows = max(rows * est.predicate_selectivity(preds[i], rows), 1.0)
+                rows_out = max(
+                    rows * est.predicate_selectivity(preds[i], rows), 1.0
+                )
+                step_cost += cost_est.predicate_cost(rows, preds[i], rows_out)
+                rows = rows_out
                 applied = applied | {i}
-            cost = ca + cb + rows
+            cost = ca + cb + step_cost
             if entry is None or cost < entry[1]:
                 entry = (rows, cost, plan, frozenset(applied))
         if entry is not None:

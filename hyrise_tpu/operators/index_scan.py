@@ -84,3 +84,44 @@ def _encode(col, value):
 
         return single_date_to_days(value), True
     return int(value), True
+
+
+class CompositeIndexScan(AbstractReadOnlyOperator):
+    """Conjunctive-equality lookup through a CompositeOrderedIndex (ref:
+    composite_group_key_index.hpp:43 — multi-column point probes).  Covers
+    the whole equality conjunction in ONE binary search; the translator
+    only emits it when an index on exactly that column set exists."""
+
+    def __init__(self, in_op, table_name: str, column_names, values):
+        super().__init__(in_op)
+        self.table_name = table_name
+        self.column_names = tuple(column_names)
+        self.values = tuple(values)
+        self.output_expressions = list(in_op.output_expressions)
+
+    def _on_execute(self) -> Table:
+        table = self.input_table_left()
+        self.output_expressions = list(self._left.output_expressions)
+        registry = Database.get().index_registry
+        index = registry.composite_index(self.table_name, self.column_names)
+        if index is None:
+            base = Database.get().storage_manager.get_table(self.table_name)
+            index = registry.create_composite_index(
+                self.table_name, base, self.column_names
+            )
+        codes = []
+        for name, value in zip(self.column_names, self.values):
+            code, exact = _encode(table.column(name), value)
+            if not exact:
+                return Table(table.column_names, table.columns,
+                             table.num_rows,
+                             selection=jnp.zeros(table.capacity, dtype=bool))
+            codes.append(code)
+        mask = index.row_mask_for_equals(codes, table.capacity)
+        return Table(table.column_names, table.columns, table.num_rows,
+                     selection=mask & table.row_mask())
+
+    def _describe_self(self):
+        pairs = ", ".join(f"{c} = {v!r}" for c, v in
+                          zip(self.column_names, self.values))
+        return f"CompositeIndexScan({self.table_name}: {pairs})"

@@ -85,7 +85,9 @@ class LQPTranslator:
             op.output_expressions = []
             return op
         if t is L.PredicateNode:
-            idx_op = self._try_index_scan(node, cache)
+            idx_op = self._try_composite_index_scan(node, cache)
+            if idx_op is None:
+                idx_op = self._try_index_scan(node, cache)
             if idx_op is not None:
                 return idx_op
             left = self._translate(node.left, cache)
@@ -199,6 +201,81 @@ class LQPTranslator:
         raise LQPTranslationError(f"cannot translate {t.__name__}")
 
     # ------------------------------------------------------------------
+
+    def _try_composite_index_scan(self, node: L.PredicateNode, cache):
+        """Fuse a chain of >=2 equality predicates over one base table into
+        a single CompositeOrderedIndex probe (ref: the reference picks a
+        CompositeGroupKeyIndex for multi-predicate scans,
+        index_scan_rule.cpp + composite_group_key_index.hpp:43).  Non-equi
+        predicates in the chain stay as TableScans above the probe."""
+        from hyrise_tpu.database import Database
+        from hyrise_tpu.expression import ast as A
+        from hyrise_tpu.operators.index_scan import CompositeIndexScan
+        from hyrise_tpu.operators.table_scan import TableScan
+        from hyrise_tpu.types import DataType
+
+        chain: list = []
+        walk = node
+        while isinstance(walk, L.PredicateNode):
+            chain.append(walk)
+            walk = walk.left
+        base_walk = walk
+        while isinstance(base_walk, L.ValidateNode):
+            base_walk = base_walk.left
+        if not isinstance(base_walk, L.StoredTableNode):
+            return None
+        tname = base_walk.table_name
+
+        def conjuncts(e):
+            if isinstance(e, A.Logical) and e.op == "and":
+                return conjuncts(e.children[0]) + conjuncts(e.children[1])
+            return [e]
+
+        eq = {}
+        rest = []
+        for pn in chain:
+            for p in conjuncts(pn.predicate):
+                if (
+                    isinstance(p, A.Predicate)
+                    and p.condition == PredicateCondition.EQUALS
+                    and len(p.children) == 2
+                    and isinstance(p.children[0], A.ColumnRef)
+                    and p.children[0].origin == tname
+                    and p.children[0].data_type() in (
+                        DataType.INT, DataType.LONG, DataType.DATE,
+                        DataType.STRING,
+                    )
+                    and isinstance(p.children[1], A.Literal)
+                    and p.children[0].display_name not in eq
+                ):
+                    eq[p.children[0].display_name] = (p.children[1].value, p)
+                else:
+                    rest.append(p)
+        if len(eq) < 2:
+            return None
+        db = Database.get()
+        found = db.index_registry.composite_index_for_set(tname, eq.keys())
+        if found is None:
+            return None
+        cols, index = found
+        try:
+            base = db.storage_manager.get_table(tname)
+        except KeyError:
+            return None
+        if index._row_count_at_build != base.num_rows:
+            return None  # stale: appended rows would be missed
+        # equality conjuncts beyond the indexed columns remain as filters
+        rest.extend(expr for name, (_, expr) in eq.items() if name not in cols)
+        left = self._translate(walk, cache)
+        op = CompositeIndexScan(left, tname, cols,
+                                [eq[c][0] for c in cols])
+        if rest:
+            residual = rest[0]
+            for p in rest[1:]:
+                residual = A.Logical("and", residual, p)
+            op = TableScan(op, residual)
+            self._wire_subqueries(op, [residual], cache)
+        return op
 
     def _try_index_scan(self, node: L.PredicateNode, cache):
         """Route a point/range predicate over an INDEXED base-table column

@@ -69,6 +69,86 @@ class OrderedIndex:
         return False  # rebuilt on DML via Table.invalidate_indexes
 
 
+class CompositeOrderedIndex:
+    """Multi-column sorted projection (ref: composite_group_key_index.hpp:43
+    — concatenated dictionary codes searched lexicographically).  Each
+    column's key is offset to zero and bit-shifted into one int64, so the
+    packed order IS the lexicographic column order and lookups stay one
+    binary search.  Requires the cumulative key width to fit 63 bits —
+    always true for dictionary codes, dates and TPC-style ids."""
+
+    def __init__(self, table: Table, column_names: Sequence[str]):
+        self.column_names = tuple(column_names)
+        n = table.num_rows
+        valid = table.row_mask()
+        offsets: List[int] = []
+        widths: List[int] = []
+        cols = []
+        for name in column_names:
+            col = table.column(name)
+            data = col.host_raw()
+            if data.dtype.kind not in ("i", "u"):
+                raise ValueError(
+                    f"composite index needs integer-keyed columns, "
+                    f"{name} is {data.dtype}"
+                )
+            live = data[:n]
+            lo = int(live.min()) if n else 0
+            hi = int(live.max()) if n else 0
+            offsets.append(lo)
+            widths.append(max((hi - lo).bit_length(), 1))
+            cols.append(data)
+            if col.validity is not None:
+                valid = valid & col.validity
+        if sum(widths) > 63:
+            raise ValueError("composite key exceeds 63 bits")
+        self.offsets = offsets
+        self.widths = widths
+        packed = np.zeros(cols[0].shape[0], dtype=np.int64)
+        shift = 0
+        for data, lo, w in zip(reversed(cols), reversed(offsets),
+                               reversed(widths)):
+            field = np.clip(data.astype(np.int64) - lo, 0,
+                            (1 << w) - 1)
+            packed |= field << shift
+            shift += w
+        self.sorted_keys, self.perm, self.n_valid = joink.build_sorted(
+            jnp.asarray(packed), valid
+        )
+        self._row_count_at_build = n
+
+    def key_for(self, values: Sequence[int]) -> Optional[int]:
+        """Pack one lookup tuple; None when any value falls outside the
+        built key domain (no row can match)."""
+        packed = 0
+        shift = 0
+        fields = list(zip(values, self.offsets, self.widths))
+        for v, lo, w in reversed(fields):
+            f = int(v) - lo
+            if f < 0 or f >= (1 << w):
+                return None
+            packed |= f << shift
+            shift += w
+        return packed
+
+    def row_mask_for_equals(self, values: Sequence[int],
+                            capacity: int) -> jax.Array:
+        key = self.key_for(values)
+        if key is None:
+            return jnp.zeros(capacity, dtype=bool)
+        left = jnp.minimum(
+            jnp.searchsorted(self.sorted_keys, key, side="left"), self.n_valid
+        )
+        right = jnp.minimum(
+            jnp.searchsorted(self.sorted_keys, key, side="right"), self.n_valid
+        )
+        pos = jnp.arange(self.perm.shape[0])
+        in_range = (pos >= left) & (pos < right)
+        mask = jnp.zeros(capacity, dtype=bool)
+        rows = jnp.clip(self.perm, 0, capacity - 1)
+        return mask.at[rows].max(in_range[: self.perm.shape[0]])
+
+
 class HashIndex:
     """Host-side exact-match index (ref: partial_hash_index.hpp:19) — used
     by the control plane for point lookups (primary-key probes)."""
@@ -96,6 +176,7 @@ class IndexRegistry:
     def __init__(self):
         self._ordered: Dict[Tuple[str, str], OrderedIndex] = {}
         self._hash: Dict[Tuple[str, tuple], HashIndex] = {}
+        self._composite: Dict[Tuple[str, tuple], CompositeOrderedIndex] = {}
 
     def create_ordered_index(self, table_name: str, table: Table,
                              column_name: str) -> OrderedIndex:
@@ -109,8 +190,33 @@ class IndexRegistry:
         self._hash[(table_name, tuple(column_names))] = idx
         return idx
 
+    def create_composite_index(self, table_name: str, table: Table,
+                               column_names: Sequence[str]
+                               ) -> CompositeOrderedIndex:
+        idx = CompositeOrderedIndex(table, column_names)
+        self._composite[(table_name, tuple(column_names))] = idx
+        return idx
+
     def ordered_index(self, table_name: str, column_name: str):
         return self._ordered.get((table_name, column_name))
+
+    def composite_index(self, table_name: str, column_names: Sequence[str]):
+        return self._composite.get((table_name, tuple(column_names)))
+
+    def composite_index_for_set(self, table_name: str, names) -> Optional[
+            Tuple[tuple, "CompositeOrderedIndex"]]:
+        """The widest composite index on `table_name` whose columns are a
+        subset of the equality-column SET `names` (order-insensitive —
+        every indexed column gets an exact probe value; surplus equalities
+        stay as residual filters).  Returns (stored column order, index)
+        or None."""
+        want = frozenset(names)
+        best = None
+        for (t, cols), idx in self._composite.items():
+            if t == table_name and frozenset(cols) <= want:
+                if best is None or len(cols) > len(best[0]):
+                    best = (cols, idx)
+        return best
 
     def hash_index(self, table_name: str, column_names: Sequence[str]):
         return self._hash.get((table_name, tuple(column_names)))
@@ -120,9 +226,13 @@ class IndexRegistry:
             k: v for k, v in self._ordered.items() if k[0] != table_name
         }
         self._hash = {k: v for k, v in self._hash.items() if k[0] != table_name}
+        self._composite = {
+            k: v for k, v in self._composite.items() if k[0] != table_name
+        }
 
     def list_indexes(self) -> List[tuple]:
         return (
             [("ordered", t, (c,)) for (t, c) in self._ordered]
             + [("hash", t, cols) for (t, cols) in self._hash]
+            + [("composite", t, cols) for (t, cols) in self._composite]
         )

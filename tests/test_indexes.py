@@ -105,3 +105,101 @@ def test_index_scan_auto_selection():
     ops = plan_ops("SELECT b FROM it WHERE a = 99999")
     assert "IndexScan" not in ops and "TableScan" in ops
     assert sql("SELECT b FROM it WHERE a = 99999").to_pylist() == [(7,)]
+
+
+def test_composite_index_lookup_and_auto_selection():
+    """CompositeOrderedIndex (ref: composite_group_key_index.hpp:43): one
+    packed binary search answers a multi-column equality conjunction; the
+    translator fuses the predicate chain onto it and leftovers stay as
+    TableScans."""
+    import numpy as np
+
+    from hyrise_tpu.operators.index_scan import CompositeIndexScan
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder, SQLPipelineStatement
+    from hyrise_tpu.storage.index import CompositeOrderedIndex
+    from hyrise_tpu.types import DataType
+
+    db = Database.get()
+    n = 4000
+    t = Table.from_numpy(
+        {"w": np.arange(n) % 7, "d": np.arange(n) % 11,
+         "v": np.arange(n, dtype=np.float64)},
+        {"w": DataType.INT, "d": DataType.INT, "v": DataType.DOUBLE},
+    )
+    db.storage_manager.add_table("ct", t)
+    idx = CompositeOrderedIndex(t, ["w", "d"])
+    # direct probe: rows where w=3 AND d=5
+    mask = idx.row_mask_for_equals([3, 5], t.capacity)
+    expect = [i for i in range(n) if i % 7 == 3 and i % 11 == 5]
+    got = [i for i in range(n) if bool(mask[i])]
+    assert got == expect
+    # out-of-domain probe returns empty, not wraparound
+    assert not bool(idx.row_mask_for_equals([99, 5], t.capacity).any())
+
+    db.index_registry.create_composite_index("ct", t, ["w", "d"])
+
+    def plan_ops(q):
+        ps = SQLPipelineBuilder(q).create_pipeline()
+        st_ = SQLPipelineStatement(q, ps.statements[0])
+        ops = []
+        stack = [st_.get_physical_plan()]
+        while stack:
+            op = stack.pop()
+            ops.append(type(op).__name__)
+            stack.extend(op.inputs())
+        return ops
+
+    ops = plan_ops("SELECT v FROM ct WHERE w = 3 AND d = 5")
+    assert "CompositeIndexScan" in ops
+    rows = sql("SELECT v FROM ct WHERE w = 3 AND d = 5").to_pylist()
+    assert sorted(r[0] for r in rows) == [float(i) for i in expect]
+    # extra non-equality predicate stays as a TableScan above the probe
+    ops2 = plan_ops("SELECT v FROM ct WHERE w = 3 AND d = 5 AND v > 100")
+    assert "CompositeIndexScan" in ops2 and "TableScan" in ops2
+    rows2 = sql(
+        "SELECT COUNT(*) FROM ct WHERE w = 3 AND d = 5 AND v > 100"
+    ).to_pylist()
+    assert rows2 == [(sum(1 for i in expect if i > 100),)]
+    # stale after insert: falls back, stays correct
+    sql("INSERT INTO ct VALUES (3, 5, -1.0)")
+    ops3 = plan_ops("SELECT v FROM ct WHERE w = 3 AND d = 5")
+    assert "CompositeIndexScan" not in ops3
+    rows3 = sql("SELECT COUNT(*) FROM ct WHERE w = 3 AND d = 5").to_pylist()
+    assert rows3 == [(len(expect) + 1,)]
+
+
+def test_composite_index_subset_match():
+    """An index on a SUBSET of the equality conjunction still serves the
+    probe; surplus equalities become residual filters."""
+    import numpy as np
+
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder, SQLPipelineStatement
+    from hyrise_tpu.types import DataType
+
+    db = Database.get()
+    n = 3000
+    t = Table.from_numpy(
+        {"w": np.arange(n) % 5, "d": np.arange(n) % 9,
+         "c": np.arange(n) % 4},
+        {"w": DataType.INT, "d": DataType.INT, "c": DataType.INT},
+    )
+    db.storage_manager.add_table("ct2", t)
+    db.index_registry.create_composite_index("ct2", t, ["w", "d"])
+
+    def plan_ops(q):
+        ps = SQLPipelineBuilder(q).create_pipeline()
+        st_ = SQLPipelineStatement(q, ps.statements[0])
+        ops = []
+        stack = [st_.get_physical_plan()]
+        while stack:
+            op = stack.pop()
+            ops.append(type(op).__name__)
+            stack.extend(op.inputs())
+        return ops
+
+    q = "SELECT COUNT(*) FROM ct2 WHERE w = 2 AND d = 3 AND c = 1"
+    ops = plan_ops(q)
+    assert "CompositeIndexScan" in ops and "TableScan" in ops
+    expect = sum(1 for i in range(n)
+                 if i % 5 == 2 and i % 9 == 3 and i % 4 == 1)
+    assert sql(q).to_pylist() == [(expect,)]

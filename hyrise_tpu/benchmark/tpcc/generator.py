@@ -62,6 +62,10 @@ class TPCCTableGenerator:
             t.mvcc = MvccData(t.capacity, t.num_rows, initial_cid=0)
             if storage_manager.has_table(name):
                 storage_manager.drop_table(name)
+            # OLTP tables stay unencoded: TPC-C writes immediately, and the
+            # first INSERT would decode (and re-key every compiled stage of)
+            # a packed table anyway — mirrors the reference encoding only
+            # full immutable chunks (ref: chunk_encoder.hpp:28)
             storage_manager.add_table(name, t)
         return tables
 

@@ -1,7 +1,14 @@
 """TPC-C benchmark binary (ref: benchmark/tpcc_benchmark.cpp /
 hyriseBenchmarkTPCC): run the weighted transaction mix, report tps.
 
-Run: python -m hyrise_tpu.benchmark.tpcc_benchmark -w 1 --seconds 10
+`--baseline` additionally runs the IDENTICAL transaction mix (same
+procedures, same statements, same RNG schedule) against an in-memory
+sqlite on the same host and reports both throughputs — the reference
+publishes no TPC-C numbers (README.md:35), so a locally-measured host
+engine on identical data is the recorded baseline, matching bench.py's
+TPC-H methodology.
+
+Run: python -m hyrise_tpu.benchmark.tpcc_benchmark -w 1 --seconds 10 --baseline
 """
 
 from __future__ import annotations
@@ -13,6 +20,69 @@ import sys
 import time
 
 
+def _run_mix(make_proc, seconds: float, seed: int):
+    """Drive the weighted mix for `seconds`; returns (counts, aborts, tps).
+    `make_proc(name, rng) -> procedure` so engine and baseline runs share
+    the exact transaction schedule (same seed, same weights)."""
+    from hyrise_tpu.benchmark.tpcc.procedures import PROCEDURES
+
+    rng = random.Random(seed)
+    names = list(PROCEDURES.keys())
+    counts = {n: 0 for n in names}
+    aborts = 0
+    start = time.perf_counter()
+    while time.perf_counter() - start < seconds:
+        r = rng.random()
+        acc = 0.0
+        for name, (cls, w) in PROCEDURES.items():
+            acc += w
+            if r <= acc or name == names[-1]:
+                ok = make_proc(name, rng).run()
+                counts[name] += 1
+                if not ok:
+                    aborts += 1
+                break
+    elapsed = time.perf_counter() - start
+    return counts, aborts, sum(counts.values()) / elapsed
+
+
+def _sqlite_env(gen, tables):
+    """Load the generated tables into an in-memory sqlite and build
+    procedure subclasses whose statements execute there.  The statement
+    text is reused VERBATIM (both engines take `?` placeholders)."""
+    import sqlite3
+
+    sys.path.insert(0, ".")
+    from tests.sqlite_oracle import SQLiteOracle
+
+    oracle = SQLiteOracle()
+    for name, t in tables.items():
+        oracle.load_table(name, t)
+    conn = oracle.conn
+
+    from hyrise_tpu.benchmark.tpcc.procedures import PROCEDURES
+
+    made = {}
+    for name, (cls, w) in PROCEDURES.items():
+
+        class SqliteProc(cls):  # type: ignore[valid-type, misc]
+            def _exec(self, pname, text, params, ctx):
+                cur = conn.execute(text, tuple(params))
+                return [tuple(r) for r in cur.fetchall()]
+
+            def run(self) -> bool:
+                try:
+                    self._execute(None)
+                    conn.commit()
+                    return True
+                except sqlite3.Error:
+                    conn.rollback()
+                    return False
+
+        made[name] = SqliteProc
+    return made
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description="hyrise_tpu TPC-C benchmark")
     ap.add_argument("-w", "--warehouses", type=int, default=1)
@@ -20,6 +90,8 @@ def main(argv=None) -> None:
                     help="per-warehouse row-count scale (1.0 = spec)")
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--baseline", action="store_true",
+                    help="also run the identical mix on in-memory sqlite")
     args = ap.parse_args(argv)
 
     from hyrise_tpu.benchmark.tpcc.generator import TPCCTableGenerator
@@ -30,38 +102,54 @@ def main(argv=None) -> None:
     gen = TPCCTableGenerator(args.warehouses, density=args.density)
     print(f"- generating TPC-C ({args.warehouses} warehouses, "
           f"density {args.density}) ...", file=sys.stderr)
-    gen.generate_into(db.storage_manager)
+    tables = gen.generate_into(db.storage_manager)
 
-    rng = random.Random(args.seed)
-    weights = [(cls, w) for cls, w in PROCEDURES.values()]
-    names = list(PROCEDURES.keys())
-    counts = {n: 0 for n in names}
-    aborts = 0
-    start = time.perf_counter()
-    while time.perf_counter() - start < args.seconds:
-        r = rng.random()
-        acc = 0.0
-        for name, (cls, w) in PROCEDURES.items():
-            acc += w
-            if r <= acc or name == names[-1]:
-                proc = cls(rng, args.warehouses, gen.n_items,
-                           gen.districts_per_w, gen.customers_per_d)
-                ok = proc.run()
-                counts[name] += 1
-                if not ok:
-                    aborts += 1
-                break
-    elapsed = time.perf_counter() - start
-    total = sum(counts.values())
+    sqlite_procs = None
+    if args.baseline:
+        # snapshot into sqlite BEFORE the engine run mutates the tables,
+        # so both engines start from identical state
+        print("- loading sqlite baseline ...", file=sys.stderr)
+        sqlite_procs = _sqlite_env(gen, tables)
+
+    def make_engine_proc(name, rng):
+        cls = PROCEDURES[name][0]
+        return cls(rng, args.warehouses, gen.n_items,
+                   gen.districts_per_w, gen.customers_per_d)
+
+    # warmup pass: compile every statement shape once so the timed window
+    # measures steady-state OLTP latency, not XLA compiles (the reference
+    # similarly caches per-procedure PQPs before its timed runs)
+    warm_rng = random.Random(args.seed + 1)
+    for name in PROCEDURES:
+        try:
+            make_engine_proc(name, warm_rng).run()
+        except Exception as exc:  # pragma: no cover - diagnostics only
+            print(f"- warmup {name} failed: {exc}", file=sys.stderr)
+
+    counts, aborts, tps = _run_mix(make_engine_proc, args.seconds, args.seed)
     report = {
         "warehouses": args.warehouses,
         "density": args.density,
-        "seconds": round(elapsed, 2),
+        "seconds": args.seconds,
         "transactions": counts,
-        "total": total,
+        "total": sum(counts.values()),
         "aborts": aborts,
-        "tps": round(total / elapsed, 2),
+        "tps": round(tps, 2),
     }
+
+    if args.baseline:
+
+        def make_sqlite_proc(name, rng):
+            return sqlite_procs[name](rng, args.warehouses, gen.n_items,
+                                      gen.districts_per_w, gen.customers_per_d)
+
+        b_counts, b_aborts, b_tps = _run_mix(
+            make_sqlite_proc, args.seconds, args.seed
+        )
+        report["sqlite_tps"] = round(b_tps, 2)
+        report["sqlite_total"] = sum(b_counts.values())
+        report["vs_sqlite"] = round(tps / b_tps, 4) if b_tps else None
+
     print(json.dumps(report, indent=2))
 
 

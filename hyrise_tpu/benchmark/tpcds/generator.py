@@ -123,7 +123,15 @@ class TPCDSTableGenerator:
         return tables
 
     def generate_into(self, storage_manager) -> Dict[str, Table]:
-        tables = self.generate()
+        from contextlib import nullcontext
+
+        from hyrise_tpu.storage.column import bulk_encode
+        from hyrise_tpu.storage.storage_manager import packed_encoding_enabled
+
+        # pack host-side during generation (one upload per column, already
+        # encoded) instead of re-pulling device columns in add_table
+        with bulk_encode() if packed_encoding_enabled() else nullcontext():
+            tables = self.generate()
         for name, t in tables.items():
             if storage_manager.has_table(name):
                 storage_manager.drop_table(name)

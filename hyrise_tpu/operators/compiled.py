@@ -107,15 +107,34 @@ def _flatten(table: Table):
     # shift+mask into consumers, and the traced reference keeps the
     # executable reusable across datasets with different minima
     datas = [
-        (c.data.words, jnp.asarray(c.data.reference, dtype=jnp.int64))
-        if c.is_packed
-        else c.data
+        (c.data.words, c.data.reference_scalar()) if c.is_packed else c.data
         for c in table.columns
     ]
     valids = [c.validity for c in table.columns]
     sel = table.selection
-    nr = jnp.asarray(table.num_rows, dtype=jnp.int64)
+    nr = _nr_scalar(table.num_rows)
     return datas, valids, sel, nr
+
+
+# row-count scalars repeat across dispatches; reusing the device array
+# avoids one tiny host->device transfer per stage run
+_NR_CACHE: Dict[object, jax.Array] = {}
+
+
+def _nr_scalar(n) -> jax.Array:
+    if isinstance(n, jax.Array) or hasattr(n, "aval"):
+        # already on device (deferred counts) or traced — forcing int(n)
+        # here would introduce the very sync the deferred-count design
+        # removes
+        return jnp.asarray(n, dtype=jnp.int64)
+    key = int(n)
+    a = _NR_CACHE.get(key)
+    if a is None:
+        if len(_NR_CACHE) > 8192:
+            _NR_CACHE.clear()
+        a = jnp.asarray(key, dtype=jnp.int64)
+        _NR_CACHE[key] = a
+    return a
 
 
 def _rebuild(table: Table, datas, valids, sel, nr) -> Table:

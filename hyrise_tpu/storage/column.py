@@ -11,6 +11,7 @@ code-order == value-order so range predicates run on codes).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, replace
 from typing import Any, Optional, Sequence
 
@@ -27,6 +28,27 @@ from hyrise_tpu.storage.compression import (
 )
 from hyrise_tpu.types import DataType, LANE, padded_size, physical_dtype
 from hyrise_tpu.utils.dates import date_str_to_days, days_to_date_str
+
+# Bulk-load scope: while active, Column.from_numpy applies FOR/bit-packing
+# HOST-SIDE before the device upload.  Generators wrap their generate()
+# in this instead of threading an `encode` flag through every table
+# builder; packing after upload would round-trip each column through the
+# device tunnel (seconds per column on remote TPU backends).
+_BULK_ENCODE_DEPTH = 0
+
+
+@contextmanager
+def bulk_encode():
+    global _BULK_ENCODE_DEPTH
+    _BULK_ENCODE_DEPTH += 1
+    try:
+        yield
+    finally:
+        _BULK_ENCODE_DEPTH -= 1
+
+
+def bulk_encode_active() -> bool:
+    return _BULK_ENCODE_DEPTH > 0
 
 
 @dataclass
@@ -93,15 +115,21 @@ class Column:
         data_type: DataType,
         validity: Optional[np.ndarray] = None,
         capacity: Optional[int] = None,
+        encode: bool = False,
     ) -> "Column":
-        """Build from a numpy array (no None entries; use `validity`)."""
+        """Build from a numpy array (no None entries; use `validity`).
+
+        `encode=True` applies FOR/bit-packing HOST-SIDE before the device
+        upload (bulk-load path) — packing after upload costs a full
+        device->host->device round trip per column, which through a remote
+        TPU tunnel dominates generation time."""
         n = len(arr)
         cap = capacity if capacity is not None else padded_size(n)
+        dictionary = None
         if data_type == DataType.STRING:
             dictionary, codes = _encode_dictionary(np.asarray(arr, dtype=str))
             data = np.zeros(cap, dtype=np.int32)
             data[:n] = codes
-            col = Column(data_type, jnp.asarray(data), None, dictionary, True)
         else:
             np_dtype = physical_dtype(data_type)
             values = np.asarray(arr)
@@ -109,10 +137,20 @@ class Column:
                 values = date_str_to_days(values.astype(str))
             data = np.zeros(cap, dtype=np_dtype)
             data[:n] = values.astype(np_dtype)
-            col = Column(data_type, jnp.asarray(data))
+        valid = None
         if validity is not None and not validity.all():
             valid = np.ones(cap, dtype=bool)
             valid[:n] = validity
+        payload = None
+        if (encode or bulk_encode_active()) and data_type not in (
+            DataType.FLOAT, DataType.DOUBLE
+        ):
+            payload = encode_numpy(data, valid, n)
+        if payload is None:
+            payload = jnp.asarray(data)
+        col = Column(data_type, payload, None, dictionary,
+                     dictionary is not None)
+        if valid is not None:
             col.validity = jnp.asarray(valid)
         return col
 

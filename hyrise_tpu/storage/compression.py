@@ -40,8 +40,25 @@ class PackedArray:
     words: jax.Array  # uint32, shape (capacity // k,)
     bit_width: int
     reference: int  # frame of reference (subtracted before packing)
-    logical_dtype: str  # e.g. "int32", "int64"
+    logical_dtype: str  # e.g. "int32", "int64" (host round-trip dtype)
     capacity: int  # logical element count (multiple of 32 // bit_width)
+    # Device decode dtype: the NARROWEST int dtype holding the value range.
+    # Decoding an int64 column whose live values fit int32 must yield int32
+    # — TPU emulates 64-bit integers as pairs, so a widened join/sort key
+    # pays a 2x sort/search tax that erases the bandwidth win.
+    out_dtype: str = "int64"
+    # The FOR reference as a PRE-UPLOADED 0-d device array: stages take it
+    # as a traced input, and materializing it per dispatch would add one
+    # tiny host->device transfer per packed column per stage (ruinous
+    # through a remote TPU tunnel).
+    reference_device: Optional[jax.Array] = None
+
+    def reference_scalar(self) -> jax.Array:
+        ref = self.reference_device
+        if ref is None:
+            ref = jnp.asarray(self.reference, dtype=jnp.dtype(self.out_dtype))
+            object.__setattr__(self, "reference_device", ref)
+        return ref
 
     @property
     def values_per_word(self) -> int:
@@ -56,7 +73,7 @@ class PackedArray:
         reference is NOT part of the key: it enters compiled stages as a
         traced scalar, so re-generated tables (new min values) reuse the
         same executables."""
-        return ("packed", self.bit_width, self.logical_dtype, self.capacity)
+        return ("packed", self.bit_width, self.out_dtype, self.capacity)
 
 
 def choose_bit_width(span: int) -> Optional[int]:
@@ -105,12 +122,18 @@ def encode_numpy(
     words = np.zeros(cap // k, dtype=np.uint64)
     for j in range(k):
         words |= lanes[:, j] << np.uint64(j * bw)
+    i32 = np.iinfo(np.int32)
+    out_dtype = (
+        "int32" if ref >= i32.min and ref + span <= i32.max
+        else str(values.dtype)
+    )
     return PackedArray(
         words=jnp.asarray(words.astype(np.uint32)),
         bit_width=bw,
         reference=ref,
         logical_dtype=str(values.dtype),
         capacity=cap,
+        out_dtype=out_dtype,
     )
 
 
@@ -120,8 +143,11 @@ def unpack_device(words: jax.Array, packed: PackedArray,
     is passed separately so this works on the traced stand-in inside a
     jitted stage while `packed` supplies the static constants.  `reference`
     may be a traced scalar (compiled stages pass it as an input so the
-    executable is reference-independent); defaults to the baked value."""
-    out_dtype = jnp.dtype(packed.logical_dtype)
+    executable is reference-independent); defaults to the baked value.
+    Yields `packed.out_dtype` (value-correct narrowing): shifted values
+    are bounded by span <= iinfo(out).max - ref, so the int-out add never
+    overflows."""
+    out_dtype = jnp.dtype(packed.out_dtype)
     ref = packed.reference if reference is None else reference
     bw = packed.bit_width
     if bw == 32:
@@ -131,15 +157,17 @@ def unpack_device(words: jax.Array, packed: PackedArray,
         mask = jnp.uint32((1 << bw) - 1)
         shifts = (jnp.arange(k, dtype=jnp.uint32) * jnp.uint32(bw))
         flat = ((words[:, None] >> shifts[None, :]) & mask).reshape(-1)
-    if out_dtype == jnp.int64:
-        return flat.astype(jnp.int64) + ref
-    return (flat.astype(jnp.int64) + ref).astype(out_dtype)
+    # uint32->int32 converts modularly and the int add wraps; since the
+    # true value (ref + shifted) fits out_dtype, mod-2^32 arithmetic lands
+    # exactly on it — no 64-bit intermediate needed.
+    return flat.astype(out_dtype) + jnp.asarray(ref, dtype=out_dtype)
 
 
 def take_packed(packed: PackedArray, indices: jax.Array) -> jax.Array:
     """Point decode-gather: values at `indices` (negative -> clamped 0)."""
     idx = jnp.maximum(indices, 0)
     bw = packed.bit_width
+    out_dtype = jnp.dtype(packed.out_dtype)
     if bw == 32:
         flat = jnp.take(packed.words, idx, axis=0)
     else:
@@ -147,10 +175,8 @@ def take_packed(packed: PackedArray, indices: jax.Array) -> jax.Array:
         w = jnp.take(packed.words, idx // k, axis=0)
         sh = (idx % k).astype(jnp.uint32) * jnp.uint32(bw)
         flat = (w >> sh) & jnp.uint32((1 << bw) - 1)
-    out_dtype = jnp.dtype(packed.logical_dtype)
-    if out_dtype == jnp.int64:
-        return flat.astype(jnp.int64) + jnp.int64(packed.reference)
-    return (flat.astype(jnp.int64) + packed.reference).astype(out_dtype)
+    return flat.astype(out_dtype) + jnp.asarray(packed.reference,
+                                                dtype=out_dtype)
 
 
 def decode_numpy(packed: PackedArray) -> np.ndarray:

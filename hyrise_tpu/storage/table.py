@@ -136,15 +136,25 @@ class Table:
         data: Dict[str, np.ndarray],
         types: Dict[str, DataType],
         num_rows: Optional[int] = None,
+        encode: bool = False,
     ) -> "Table":
+        """`encode=True` packs eligible columns host-side BEFORE upload
+        (bulk-load path; post-upload encoding would round-trip every
+        column through the device tunnel)."""
         names = list(data.keys())
         n = num_rows if num_rows is not None else len(next(iter(data.values())))
         cap = padded_size(n)
         cols = [
-            Column.from_numpy(np.asarray(data[name]), types[name], capacity=cap)
+            Column.from_numpy(np.asarray(data[name]), types[name],
+                              capacity=cap, encode=encode)
             for name in names
         ]
-        return Table(names, cols, n)
+        t = Table(names, cols, n)
+        from hyrise_tpu.storage.column import bulk_encode_active
+
+        if encode or bulk_encode_active():
+            t.encode_attempted = True  # add_table(encode=True) skips re-pull
+        return t
 
     @staticmethod
     def empty(definitions: Sequence[ColumnDefinition]) -> "Table":
@@ -201,9 +211,11 @@ class Table:
         fill).  Only safe on dense tables (no pending selection); mutation
         paths decode first (reference: encoded chunks are immutable).
         Returns the number of columns packed."""
-        if self.selection is not None:
-            return 0
+        if self.selection is not None or getattr(self, "encode_attempted",
+                                                 False):
+            return sum(1 for c in self.columns if c.is_packed)
         self.columns = [c.encode_packed(self.num_rows) for c in self.columns]
+        self.encode_attempted = True
         return sum(1 for c in self.columns if c.is_packed)
 
     def decode_packed(self) -> None:

@@ -19,7 +19,11 @@ import sys
 
 
 def load_tables_from_dir(table_dir: str) -> dict:
+    from contextlib import nullcontext
+
     from hyrise_tpu.database import Database
+    from hyrise_tpu.storage.column import bulk_encode
+    from hyrise_tpu.storage.storage_manager import packed_encoding_enabled
     from hyrise_tpu.utils.load_table import load_table
 
     db = Database.get()
@@ -30,7 +34,8 @@ def load_tables_from_dir(table_dir: str) -> dict:
         + glob.glob(os.path.join(table_dir, "*.npz"))
     ):
         name = os.path.basename(path).rsplit(".", 1)[0]
-        table = load_table(path)
+        with bulk_encode() if packed_encoding_enabled() else nullcontext():
+            table = load_table(path)
         if db.storage_manager.has_table(name):
             db.storage_manager.replace_table(name, table)
         else:

@@ -237,15 +237,27 @@ def load_binary(path: str) -> Table:
             raw = z[f"data_{i}"]
             import jax.numpy as jnp
 
+            from hyrise_tpu.storage.column import bulk_encode_active
+            from hyrise_tpu.storage.compression import encode_numpy
+            from hyrise_tpu.types import DataType
+
             data = np.zeros(cap, dtype=raw.dtype)
             data[:n] = raw
+            valid_np = None
             validity = None
             if f"valid_{i}" in z:
-                v = np.ones(cap, dtype=bool)
-                v[:n] = z[f"valid_{i}"]
-                validity = jnp.asarray(v)
+                valid_np = np.ones(cap, dtype=bool)
+                valid_np[:n] = z[f"valid_{i}"]
+                validity = jnp.asarray(valid_np)
             dictionary = z[f"dict_{i}"] if f"dict_{i}" in z else None
-            cols.append(
-                Column(dt, jnp.asarray(data), validity, dictionary, True)
-            )
-        return Table(names, cols, n)
+            payload = None
+            if bulk_encode_active() and dt not in (DataType.FLOAT,
+                                                   DataType.DOUBLE):
+                payload = encode_numpy(data, valid_np, n)
+            if payload is None:
+                payload = jnp.asarray(data)
+            cols.append(Column(dt, payload, validity, dictionary, True))
+        t = Table(names, cols, n)
+        if bulk_encode_active():
+            t.encode_attempted = True
+        return t

@@ -57,6 +57,7 @@ from hyrise_tpu.parallel.dtable import (
     run_dstage,
 )
 from hyrise_tpu.parallel.mesh import SHARD_AXIS
+from hyrise_tpu.parallel.multihost import sync_scalar_int
 from hyrise_tpu.plan import lqp as L
 from hyrise_tpu.plan.lqp_translator import _side_of, _to_join_predicate
 from hyrise_tpu.storage.column import merge_dictionaries
@@ -564,8 +565,8 @@ def _inner_join(probe: DTable, build: DTable, pk_e, bk_e,
 
         (out_d, out_v, pair_valid, s_over, j_over), _ = run_dstage(
             sig, build_stage, p_args + b_args)
-        s_over_i = int(np.asarray(s_over)[0])
-        j_over_i = int(np.asarray(j_over)[0])
+        s_over_i = sync_scalar_int(s_over)
+        j_over_i = sync_scalar_int(j_over)
         if s_over_i == 0 and j_over_i == 0:
             break
         STATS["shuffle_retries"] += 1
@@ -663,7 +664,7 @@ def _semi_anti_join(probe: DTable, build: DTable, pk_e, bk_e,
 
         (out_d, out_v, rv2, s_over), _ = run_dstage(
             sig, build_stage, p_args + b_args)
-        if int(np.asarray(s_over)[0]) == 0:
+        if sync_scalar_int(s_over) == 0:
             break
         STATS["shuffle_retries"] += 1
         bucket_cap *= 2
@@ -842,8 +843,11 @@ def _global_aggregate(dt: DTable, node: L.AggregateNode) -> DTable:
 
     (out_d, out_v), metas = run_dstage(sig, build, (datas, valids, rv))
     # every shard holds the identical reduced row; keep shard 0's copy
-    rv_out = jnp.zeros((mesh.n, 1), dtype=bool).at[0, 0].set(True)
-    rv_out = jax.device_put(rv_out, mesh.sharding(_PS))
+    # (built host-side: under multi-process, device_put of a host array
+    # onto a cross-process sharding places only local shards)
+    rv_np = np.zeros((mesh.n, 1), dtype=bool)
+    rv_np[0, 0] = True
+    rv_out = jax.device_put(rv_np, mesh.sharding(_PS))
     cols = [
         DColumn(d, v, m[0], m[1], m[2])
         for d, v, m in zip(out_d, out_v, metas)
@@ -1019,7 +1023,7 @@ def _grouped_aggregate(dt: DTable, node: L.AggregateNode) -> DTable:
 
         (out_d, out_v, rv_out, over), metas = run_dstage(
             sig, build, (datas, valids, rv))
-        if int(np.asarray(over)[0]) == 0:
+        if sync_scalar_int(over) == 0:
             break
         STATS["shuffle_retries"] += 1
         bucket_cap *= 2

@@ -26,6 +26,7 @@ from jax.sharding import PartitionSpec as P
 
 from hyrise_tpu.expression import ast
 from hyrise_tpu.parallel.mesh import QueryMesh, SHARD_AXIS
+from hyrise_tpu.parallel.multihost import host_fetch
 from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import DataType, LANE, padded_size
@@ -138,18 +139,20 @@ def partition_base(table: Table, qmesh: QueryMesh,
     if rows_per_shard is None:
         rows_per_shard = padded_size(-(-max(n, 1) // ndev), LANE)
     cap = ndev * rows_per_shard
-    idx = jnp.arange(cap)
+    # host-side slicing: under multi-process execution each process holds
+    # the same full host copy and device_put places only its local shards
+    idx = np.arange(cap)
     take_max = max(table.capacity - 1, 0)
-    take_idx = jnp.clip(idx, 0, take_max)
+    take_idx = np.clip(idx, 0, take_max)
     sharding = qmesh.sharding(P(SHARD_AXIS, None))
     cols: List[DColumn] = []
     for col in table.columns:
         col = col.decoded()  # shards ship raw; per-shard packing is future work
-        data = jnp.take(col.data, take_idx).reshape(ndev, rows_per_shard)
+        data = np.asarray(col.data)[take_idx].reshape(ndev, rows_per_shard)
         data = jax.device_put(data, sharding)
         validity = None
         if col.validity is not None:
-            validity = jnp.take(col.validity, take_idx).reshape(
+            validity = np.asarray(col.validity)[take_idx].reshape(
                 ndev, rows_per_shard)
             validity = jax.device_put(validity, sharding)
         cols.append(DColumn(data, validity, col.data_type, col.dictionary,
@@ -163,19 +166,19 @@ def gather_dtable(dt: DTable) -> Table:
     """Collect a DTable to one host Table (the distributed→single-chip
     boundary; the remainder of the plan continues on the padded-1-D
     engine).  Compaction happens host-side in numpy."""
-    valid = np.asarray(dt.row_valid).reshape(-1)
+    valid = host_fetch(dt.row_valid).reshape(-1)
     keep = np.flatnonzero(valid)
     n = int(keep.size)
     cap = padded_size(max(n, 1))
     names = _unique_names(dt.exprs)
     cols: List[Column] = []
     for dc in dt.columns:
-        flat = np.asarray(dc.data).reshape(-1)
+        flat = host_fetch(dc.data).reshape(-1)
         data = np.zeros(cap, dtype=flat.dtype)
         data[:n] = flat[keep]
         validity = None
         if dc.validity is not None:
-            vflat = np.asarray(dc.validity).reshape(-1)
+            vflat = host_fetch(dc.validity).reshape(-1)
             v = np.ones(cap, dtype=bool)
             v[:n] = vflat[keep]
             validity = jnp.asarray(v)

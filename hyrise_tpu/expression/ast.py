@@ -519,10 +519,14 @@ class WindowExpression(Expression):
     def __init__(self, function: AggregateFunction,
                  argument: Optional[Expression],
                  partition_by: Sequence[Expression],
-                 order_by: Sequence[Tuple[Expression, SortMode]]):
+                 order_by: Sequence[Tuple[Expression, SortMode]],
+                 extra: Tuple = ()):
         self.function = function
         self.partition_by = list(partition_by)
         self.order_by = list(order_by)
+        # host-side literal parameters: (offset, default) for LAG/LEAD,
+        # (n,) for NTILE — not expressions, they must be constants
+        self.extra = tuple(extra)
         self.children = (
             ([argument] if argument is not None else [])
             + list(partition_by)
@@ -540,6 +544,12 @@ class WindowExpression(Expression):
         return ("window", self.uid)
 
     def data_type(self):
+        if self.function == AggregateFunction.NTILE:
+            return DataType.LONG
+        if self.function in (AggregateFunction.LAG, AggregateFunction.LEAD,
+                             AggregateFunction.FIRST_VALUE,
+                             AggregateFunction.LAST_VALUE):
+            return self._argument.data_type()
         return AggregateExpression(self.function, self._argument).data_type()
 
     def description(self):

@@ -63,8 +63,12 @@ class WindowOperator(AbstractReadOnlyOperator):
             modes = [SortMode.ASC_NULLS_FIRST]
         perm = sort_permutation(keys, modes, n)
 
-        # partition boundaries in sorted order
+        # partition boundaries in sorted order; padding rows (sorted last)
+        # are fenced into their own partition so position-based ends
+        # (LAST_VALUE/LEAD/CUME_DIST) never bleed past row n-1
         part_new = jnp.zeros(cap, dtype=bool).at[0].set(True)
+        if n < cap:
+            part_new = part_new.at[n].set(True)
         for e in w.partition_by:
             r = ev.evaluate(e)
             k = joink.normalize_key(r.data)
@@ -97,6 +101,8 @@ class WindowOperator(AbstractReadOnlyOperator):
         fn = w.function
         sorted_vals = None
         sorted_valid = None
+        arg_dict = None
+        arg_dict_sorted = True
         if w.argument is not None:
             r = ev.evaluate(w.argument)
             sorted_vals = jnp.take(r.data, perm)
@@ -105,6 +111,8 @@ class WindowOperator(AbstractReadOnlyOperator):
                 else jnp.ones(cap, bool)
             )
             arg_dtype = r.dtype
+            arg_dict = r.dictionary
+            arg_dict_sorted = r.dict_sorted
 
         if fn == AF.ROW_NUMBER:
             out_sorted = row_in_part + 1
@@ -161,6 +169,53 @@ class WindowOperator(AbstractReadOnlyOperator):
                     fn, vals, valid, part_id, cap,
                     arg_dtype if w.argument is not None else DataType.LONG,
                 )
+        elif fn in (AF.LAG, AF.LEAD):
+            offset, default = (w.extra + (1, None))[:2] if w.extra else (1, None)
+            src = jnp.where(
+                pos < n, pos + (offset if fn == AF.LEAD else -offset), pos
+            )
+            part_end = _partition_end_positions(part_new, cap)
+            inbounds = (src >= part_start) & (src <= part_end) & (pos < n)
+            src_c = jnp.clip(src, 0, cap - 1)
+            out_sorted = jnp.take(sorted_vals, src_c)
+            out_valid_sorted = inbounds & jnp.take(sorted_valid, src_c)
+            if default is not None:
+                if arg_dtype == DataType.STRING:
+                    raise NotImplementedError(
+                        "lag/lead string defaults not supported")
+                dv = jnp.asarray(default, dtype=sorted_vals.dtype)
+                out_sorted = jnp.where(inbounds, out_sorted, dv)
+                out_valid_sorted = jnp.where(
+                    inbounds, jnp.take(sorted_valid, src_c), True)
+            out_dt = arg_dtype
+        elif fn in (AF.FIRST_VALUE, AF.LAST_VALUE):
+            # default frame: RANGE UNBOUNDED PRECEDING .. CURRENT ROW —
+            # FIRST_VALUE reads the partition start, LAST_VALUE the last
+            # peer of the current row (SQL standard / sqlite semantics)
+            if fn == AF.FIRST_VALUE:
+                src = part_start
+            else:
+                src = _peer_end_positions(peer_new, cap) if w.order_by \
+                    else _partition_end_positions(part_new, cap)
+            src_c = jnp.clip(src, 0, cap - 1)
+            out_sorted = jnp.take(sorted_vals, src_c)
+            out_valid_sorted = jnp.take(sorted_valid, src_c)
+            out_dt = arg_dtype
+        elif fn == AF.NTILE:
+            nt = int(w.extra[0]) if w.extra else 1
+            if nt < 1:
+                raise ValueError("ntile(n) requires n >= 1")
+            part_size = _partition_sizes(part_new, cap)
+            q = part_size // nt
+            rem = part_size % nt
+            cut = rem * (q + 1)  # rows in the (q+1)-sized leading buckets
+            out_sorted = jnp.where(
+                row_in_part < cut,
+                row_in_part // jnp.maximum(q + 1, 1),
+                rem + (row_in_part - cut) // jnp.maximum(q, 1),
+            ) + 1
+            out_dt = DataType.LONG
+            out_valid_sorted = None
         else:
             raise NotImplementedError(f"window function {fn}")
 
@@ -172,7 +227,9 @@ class WindowOperator(AbstractReadOnlyOperator):
         out_valid = (
             jnp.take(out_valid_sorted, inv) if out_valid_sorted is not None else None
         )
-        col = Column(out_dt, out.astype(physical_dtype(out_dt)), out_valid)
+        dict_out = arg_dict if out_dt == DataType.STRING else None
+        col = Column(out_dt, out.astype(physical_dtype(out_dt)), out_valid,
+                     dict_out, arg_dict_sorted if dict_out is not None else True)
         return Table(
             table.column_names + [w.name()],
             table.columns + [col],
@@ -185,6 +242,14 @@ def _running_last_true(flags: jax.Array) -> jax.Array:
     pos = jnp.arange(flags.shape[0], dtype=jnp.int64)
     marked = jnp.where(flags, pos, jnp.int64(-1))
     return jax.lax.cummax(marked)
+
+
+def _partition_end_positions(part_new, cap):
+    """Last position of each row's partition."""
+    pos = jnp.arange(cap, dtype=jnp.int64)
+    part_id = jnp.cumsum(part_new.astype(jnp.int64)) - 1
+    ends = jax.ops.segment_max(pos, part_id, num_segments=cap)
+    return jnp.take(ends, part_id)
 
 
 def _partition_sizes(part_new, cap):

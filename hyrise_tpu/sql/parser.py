@@ -831,6 +831,7 @@ class Parser:
     _RANKING_NAMES = {
         "rank", "dense_rank", "row_number", "cume_dist", "percent_rank",
     }
+    _NAV_NAMES = {"lag", "lead", "first_value", "last_value", "ntile"}
 
     def _parse_identifier_primary(self) -> ast.Expression:
         name = self.advance().value
@@ -852,6 +853,8 @@ class Parser:
                 if win is None or not isinstance(win, ast.WindowExpression):
                     raise ParserError(f"{low}() requires an OVER clause")
                 return win
+            if low in self._NAV_NAMES:
+                return self._parse_nav_window(low)
             args = []
             if not self.at_op(")"):
                 args.append(self.parse_expression())
@@ -885,7 +888,53 @@ class Parser:
         agg = ast.AggregateExpression(fn, arg, distinct)
         return self._maybe_window(agg, fn, arg, [], [])
 
-    def _maybe_window(self, agg, fn, arg, partition, order):
+    def _parse_nav_window(self, low: str) -> ast.Expression:
+        """LAG(x[,offset[,default]]) / LEAD(...) / FIRST_VALUE(x) /
+        LAST_VALUE(x) / NTILE(n), each requiring an OVER clause.  Offset,
+        default and n must be literal constants (they parameterize the
+        compiled kernel, they are not per-row expressions)."""
+        from hyrise_tpu.types import AggregateFunction as AF
+
+        fn = {
+            "lag": AF.LAG, "lead": AF.LEAD, "first_value": AF.FIRST_VALUE,
+            "last_value": AF.LAST_VALUE, "ntile": AF.NTILE,
+        }[low]
+        args = [self.parse_expression()]
+        while self.accept_op(","):
+            args.append(self.parse_expression())
+        self.expect_op(")")
+        extra: tuple = ()
+        if low == "ntile":
+            if len(args) != 1 or not isinstance(args[0], ast.Literal) \
+                    or not isinstance(args[0].value, int):
+                raise ParserError("ntile(n) requires an integer literal")
+            extra = (args[0].value,)
+            arg = None
+        elif low in ("lag", "lead"):
+            arg = args[0]
+            offset, default = 1, None
+            if len(args) >= 2:
+                if not isinstance(args[1], ast.Literal) \
+                        or not isinstance(args[1].value, int):
+                    raise ParserError(f"{low} offset must be an int literal")
+                offset = args[1].value
+            if len(args) >= 3:
+                if not isinstance(args[2], ast.Literal):
+                    raise ParserError(f"{low} default must be a literal")
+                default = args[2].value
+            if len(args) > 3:
+                raise ParserError(f"{low} takes at most 3 arguments")
+            extra = (offset, default)
+        else:  # first_value / last_value
+            if len(args) != 1:
+                raise ParserError(f"{low} takes exactly 1 argument")
+            arg = args[0]
+        win = self._maybe_window(None, fn, arg, [], [], extra=extra)
+        if not isinstance(win, ast.WindowExpression):
+            raise ParserError(f"{low}() requires an OVER clause")
+        return win
+
+    def _maybe_window(self, agg, fn, arg, partition, order, extra=()):
         if not (self.cur.kind == "id" and self.cur.value.lower() == "over"):
             return agg
         self.advance()
@@ -906,7 +955,7 @@ class Parser:
                 item = self._parse_order_item()
                 order_by.append((item.expr, item.sort_mode))
         self.expect_op(")")
-        return ast.WindowExpression(fn, arg, partition_by, order_by)
+        return ast.WindowExpression(fn, arg, partition_by, order_by, extra)
 
 
 def parse_sql(sql: str) -> List[st.Statement]:

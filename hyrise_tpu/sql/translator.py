@@ -614,7 +614,8 @@ def _rebuild(expr: ast.Expression, children: List[ast.Expression]) -> ast.Expres
             (children[n_arg + np_ + i], m)
             for i, (_, m) in enumerate(expr.order_by)
         ]
-        return ast.WindowExpression(expr.function, arg, part, order)
+        return ast.WindowExpression(expr.function, arg, part, order,
+                                    expr.extra)
     raise TranslationError(f"cannot rebuild {type(expr).__name__}")
 
 

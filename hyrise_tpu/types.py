@@ -164,6 +164,13 @@ class AggregateFunction(enum.Enum):
     ROW_NUMBER = "row_number"
     CUME_DIST = "cume_dist"
     PERCENT_RANK = "percent_rank"
+    # Navigation window functions (beyond the reference, which has no
+    # executable window layer at all):
+    LAG = "lag"
+    LEAD = "lead"
+    FIRST_VALUE = "first_value"
+    LAST_VALUE = "last_value"
+    NTILE = "ntile"
 
 
 class SetOperationMode(enum.Enum):

@@ -63,3 +63,62 @@ def test_window_running_sum(env):
 def test_global_window(env):
     check_query(env, "SELECT v, ROW_NUMBER() OVER (ORDER BY v, ord) FROM t "
                      "ORDER BY v, ord")
+
+
+def test_lag_lead(env):
+    check_query(
+        env,
+        "SELECT g, ord, LAG(v) OVER (PARTITION BY g ORDER BY ord) FROM t "
+        "ORDER BY g, ord",
+    )
+    check_query(
+        env,
+        "SELECT g, ord, LEAD(v) OVER (PARTITION BY g ORDER BY ord) FROM t "
+        "ORDER BY g, ord",
+    )
+    check_query(
+        env,
+        "SELECT g, ord, LAG(v, 2, -1) OVER (PARTITION BY g ORDER BY ord) "
+        "FROM t ORDER BY g, ord",
+    )
+    check_query(
+        env,
+        "SELECT g, ord, LEAD(v, 2, 0) OVER (PARTITION BY g ORDER BY ord) "
+        "FROM t ORDER BY g, ord",
+    )
+
+
+def test_lag_string(env):
+    check_query(
+        env,
+        "SELECT ord, LAG(g) OVER (ORDER BY ord) FROM t ORDER BY ord",
+    )
+
+
+def test_first_last_value(env):
+    check_query(
+        env,
+        "SELECT g, ord, FIRST_VALUE(v) OVER (PARTITION BY g ORDER BY ord) "
+        "FROM t ORDER BY g, ord",
+    )
+    check_query(
+        env,
+        "SELECT g, ord, LAST_VALUE(v) OVER (PARTITION BY g ORDER BY ord) "
+        "FROM t ORDER BY g, ord",
+    )
+
+
+def test_ntile(env):
+    check_query(
+        env,
+        "SELECT ord, NTILE(2) OVER (ORDER BY ord) FROM t ORDER BY ord",
+    )
+    check_query(
+        env,
+        "SELECT ord, NTILE(4) OVER (ORDER BY ord) FROM t ORDER BY ord",
+    )
+    check_query(
+        env,
+        "SELECT g, ord, NTILE(2) OVER (PARTITION BY g ORDER BY ord) FROM t "
+        "ORDER BY g, ord",
+    )

@@ -181,8 +181,9 @@ class MetaTableManager:
                 rows["column_name"].append(cname)
                 rows["data_type"].append(col.data_type.value)
                 rows["encoding_type"].append(
-                    ("FrameOfReference" if col.is_packed else "Dictionary")
-                    if col.dictionary is not None or col.is_packed
+                    "FrameOfReference" if col.is_packed
+                    else "RunLength" if col.is_rle
+                    else "Dictionary" if col.dictionary is not None
                     else "Unencoded"
                 )
                 rows["distinct_value_count"].append(
@@ -190,7 +191,7 @@ class MetaTableManager:
                 )
                 rows["estimated_size_in_bytes"].append(
                     col.data.nbytes
-                    if col.is_packed
+                    if col.is_encoded
                     else int(col.data.size * col.data.dtype.itemsize)
                 )
                 rows["access_count"].append(t.access_counters.get(cname, 0))

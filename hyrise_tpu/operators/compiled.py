@@ -91,7 +91,7 @@ def table_signature(table: Table) -> tuple:
         tuple(
             (
                 c.data_type,
-                c.data.signature() if c.is_packed else str(c.data.dtype),
+                c.data.signature() if c.is_encoded else str(c.data.dtype),
                 c.validity is not None,
                 id(c.dictionary) if c.dictionary is not None else None,
                 c.dict_sorted,
@@ -102,12 +102,14 @@ def table_signature(table: Table) -> tuple:
 
 
 def _flatten(table: Table):
-    # packed columns ship (uint32 words, FOR reference scalar); decode
-    # happens inside the traced stage (_rebuild) so XLA fuses the
-    # shift+mask into consumers, and the traced reference keeps the
-    # executable reusable across datasets with different minima
+    # encoded columns ship their payload arrays; decode happens inside
+    # the traced stage (_rebuild) so XLA fuses the shift+mask (packed) or
+    # searchsorted+gather (RLE) into consumers.  The traced FOR reference
+    # keeps packed executables reusable across datasets w/ different minima
     datas = [
-        (c.data.words, c.data.reference_scalar()) if c.is_packed else c.data
+        (c.data.words, c.data.reference_scalar()) if c.is_packed
+        else (c.data.values, c.data.run_ends) if c.is_rle
+        else c.data
         for c in table.columns
     ]
     valids = [c.validity for c in table.columns]
@@ -138,12 +140,14 @@ def _nr_scalar(n) -> jax.Array:
 
 
 def _rebuild(table: Table, datas, valids, sel, nr) -> Table:
-    from hyrise_tpu.storage.compression import unpack_device
+    from hyrise_tpu.storage.compression import unpack_device, unrle_device
 
     cols = [
         Column(
             c.data_type,
-            unpack_device(d[0], c.data, reference=d[1]) if c.is_packed else d,
+            unpack_device(d[0], c.data, reference=d[1]) if c.is_packed
+            else unrle_device(d[0], d[1], c.data) if c.is_rle
+            else d,
             v,
             c.dictionary,
             c.dict_sorted,

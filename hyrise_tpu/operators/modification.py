@@ -50,8 +50,8 @@ class Insert(AbstractReadWriteOperator):
 
     def _on_execute(self) -> Optional[Table]:
         src = self.input_table_left().materialize()
-        if any(c.is_packed for c in src.columns):
-            # INSERT ... SELECT straight off a packed base table
+        if any(c.is_encoded for c in src.columns):
+            # INSERT ... SELECT straight off an encoded base table
             src = Table(src.column_names,
                         [c.decoded() for c in src.columns], src.num_rows)
         target = Database.get().storage_manager.get_table(self.table_name)

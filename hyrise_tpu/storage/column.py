@@ -21,10 +21,15 @@ import numpy as np
 
 from hyrise_tpu.storage.compression import (
     PackedArray,
+    RLEArray,
     decode_numpy,
+    decode_rle_numpy,
     encode_numpy,
+    encode_rle_numpy,
     take_packed,
+    take_rle,
     unpack_device,
+    unrle_device,
 )
 from hyrise_tpu.types import DataType, LANE, padded_size, physical_dtype
 from hyrise_tpu.utils.dates import date_str_to_days, days_to_date_str
@@ -142,10 +147,8 @@ class Column:
             valid = np.ones(cap, dtype=bool)
             valid[:n] = validity
         payload = None
-        if (encode or bulk_encode_active()) and data_type not in (
-            DataType.FLOAT, DataType.DOUBLE
-        ):
-            payload = encode_numpy(data, valid, n)
+        if encode or bulk_encode_active():
+            payload = _choose_encoding(data, valid, n, data_type)
         if payload is None:
             payload = jnp.asarray(data)
         col = Column(data_type, payload, None, dictionary,
@@ -170,31 +173,43 @@ class Column:
     def is_packed(self) -> bool:
         return isinstance(self.data, PackedArray)
 
+    @property
+    def is_rle(self) -> bool:
+        return isinstance(self.data, RLEArray)
+
+    @property
+    def is_encoded(self) -> bool:
+        return self.is_packed or self.is_rle
+
     def encode_packed(self, n_rows: int) -> "Column":
-        """FOR/bit-pack this column's device payload if profitable (the
+        """Compress this column's device payload if profitable (the
         ChunkEncoder analogue; ref: storage/chunk_encoder.hpp — encoding
-        applied after a chunk is filled).  Float columns and already-packed
-        columns return self unchanged."""
-        if self.is_packed or self.data_type in (DataType.FLOAT, DataType.DOUBLE):
+        applied after a chunk is filled).  Chooses between FOR/bit-packing
+        (integer domains) and run-length encoding (sorted/clustered
+        columns, incl. floats); already-encoded columns return self."""
+        if self.is_encoded:
             return self
         values = np.asarray(self.data)
         valid = np.asarray(self.validity) if self.validity is not None else None
-        packed = encode_numpy(values, valid, n_rows)
-        if packed is None:
+        payload = _choose_encoding(values, valid, n_rows, self.data_type)
+        if payload is None or isinstance(payload, jax.Array):
             return self
-        return replace(self, data=packed)
+        return replace(self, data=payload)
 
     def decoded(self) -> "Column":
-        """Raw (unpacked) copy of a packed column; self when already raw."""
-        if not self.is_packed:
-            return self
-        return replace(self, data=unpack_device(self.data.words, self.data))
+        """Raw (decoded) copy of an encoded column; self when already raw."""
+        if self.is_packed:
+            return replace(self, data=unpack_device(self.data.words, self.data))
+        if self.is_rle:
+            return replace(self, data=unrle_device(
+                self.data.values, self.data.run_ends, self.data))
+        return self
 
     # ------------------------------------------------------------- transforms
 
     @property
     def capacity(self) -> int:
-        if self.is_packed:
+        if self.is_packed or self.is_rle:
             return self.data.capacity
         return int(self.data.shape[0])
 
@@ -207,6 +222,8 @@ class Column:
         safe = jnp.maximum(indices, 0)
         if self.is_packed:
             data = take_packed(self.data, safe)
+        elif self.is_rle:
+            data = take_rle(self.data, safe)
         else:
             data = jnp.take(self.data, safe, axis=0)
         validity = None
@@ -231,7 +248,7 @@ class Column:
     def host_raw(self, n: Optional[int] = None) -> np.ndarray:
         """Physical values (dict codes / day numbers, NOT decoded) on host;
         unpacks packed columns.  The statistics/index-build accessor."""
-        data = decode_numpy(self.data) if self.is_packed else np.asarray(self.data)
+        data = _decode_host(self.data)
         return data if n is None else data[:n]
 
     def to_numpy(self, n: int):
@@ -239,11 +256,7 @@ class Column:
         columns are decoded through the dictionary.  Conversion happens
         numpy-first so it stays legal on concrete arrays even while an
         outer jit trace is active."""
-        data = (
-            decode_numpy(self.data)[:n]
-            if self.is_packed
-            else np.asarray(self.data)[:n]
-        )
+        data = _decode_host(self.data)[:n]
         valid = (
             np.asarray(self.validity)[:n]
             if self.validity is not None
@@ -265,6 +278,29 @@ class Column:
 
 
 # ----------------------------------------------------------------- dictionary
+
+
+def _choose_encoding(data: np.ndarray, valid, n: int, data_type: DataType):
+    """Pick the smaller profitable device encoding for a host column:
+    FOR/bit-packing for integer domains, RLE for sorted/clustered columns
+    (the only option for floats).  None when raw wins (the per-column
+    SegmentEncodingSpec decision; ref: segment_encoding_utils.*)."""
+    packed = None
+    if data_type not in (DataType.FLOAT, DataType.DOUBLE):
+        packed = encode_numpy(data, valid, n)
+    rle = encode_rle_numpy(data, valid, n)
+    if packed is not None and rle is not None:
+        return packed if packed.nbytes <= rle.nbytes else rle
+    return packed if packed is not None else rle
+
+
+def _decode_host(payload) -> np.ndarray:
+    """Host decode of any column payload (raw/packed/RLE)."""
+    if isinstance(payload, PackedArray):
+        return decode_numpy(payload)
+    if isinstance(payload, RLEArray):
+        return decode_rle_numpy(payload)
+    return np.asarray(payload)
 
 
 def _encode_dictionary(arr: np.ndarray):

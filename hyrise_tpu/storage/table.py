@@ -213,14 +213,14 @@ class Table:
         Returns the number of columns packed."""
         if self.selection is not None or getattr(self, "encode_attempted",
                                                  False):
-            return sum(1 for c in self.columns if c.is_packed)
+            return sum(1 for c in self.columns if c.is_encoded)
         self.columns = [c.encode_packed(self.num_rows) for c in self.columns]
         self.encode_attempted = True
-        return sum(1 for c in self.columns if c.is_packed)
+        return sum(1 for c in self.columns if c.is_encoded)
 
     def decode_packed(self) -> None:
-        """Unpack any packed columns in place (pre-mutation hook)."""
-        if any(c.is_packed for c in self.columns):
+        """Decode any encoded columns in place (pre-mutation hook)."""
+        if any(c.is_encoded for c in self.columns):
             self.columns = [c.decoded() for c in self.columns]
 
     def rename(self, names: Sequence[str]) -> "Table":

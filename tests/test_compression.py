@@ -195,7 +195,7 @@ def test_meta_segments_reports_encoding():
     )
     enc = dict(rows)
     assert enc["a"] == "FrameOfReference"
-    assert enc["f"] == "Unencoded"
+    assert enc["f"] == "RunLength"  # constant float column: 1 run
 
 
 def test_distributed_partition_of_packed_table():
@@ -208,3 +208,85 @@ def test_distributed_partition_of_packed_table():
     qmesh = QueryMesh()
     sb = partition_base(t, qmesh)
     assert sb.num_rows == 1024
+
+
+# --------------------------------------------------------------------- RLE
+
+
+def test_rle_roundtrip():
+    from hyrise_tpu.storage.compression import decode_rle_numpy, encode_rle_numpy
+
+    cap, n = 8192, 8000
+    v = np.zeros(cap, dtype=np.int64)
+    v[:n] = np.repeat(np.arange(20, dtype=np.int64) * 7 - 50, 400)
+    r = encode_rle_numpy(v, None, n)
+    assert r is not None and r.n_runs == 20
+    d = decode_rle_numpy(r)
+    assert (d[:n] == v[:n]).all()
+    # floats RLE-encode too (packing can't)
+    f = np.zeros(cap, dtype=np.float64)
+    f[:n] = np.repeat(np.linspace(0, 1, 16), 500)
+    rf = encode_rle_numpy(f, None, n)
+    assert rf is not None and rf.n_runs == 16
+    assert (decode_rle_numpy(rf)[:n] == f[:n]).all()
+
+
+def test_rle_declines_high_run_count_and_nulls():
+    from hyrise_tpu.storage.compression import encode_rle_numpy
+
+    v = np.arange(4096, dtype=np.int64)  # all distinct: runs == rows
+    assert encode_rle_numpy(v, None, 4096) is None
+    w = np.repeat(np.arange(8, dtype=np.int64), 512)
+    valid = np.ones(4096, dtype=bool)
+    valid[7] = False
+    assert encode_rle_numpy(w, valid, 4096) is None  # NULLs decline
+    assert encode_rle_numpy(w, None, 4096) is not None
+
+
+def test_rle_column_take_and_decode():
+    import jax.numpy as jnp
+
+    from hyrise_tpu.storage.column import Column
+    from hyrise_tpu.types import DataType
+
+    n = 4096
+    host = np.repeat(np.arange(4, dtype=np.float64) * 1.5, n // 4)
+    col = Column.from_device(jnp.asarray(host), DataType.DOUBLE)
+    enc = col.encode_packed(n)
+    assert enc.is_rle and not enc.is_packed
+    taken = enc.take(jnp.asarray([0, 1024, 2048, 4095]))
+    assert not taken.is_rle
+    assert taken.to_pylist(4) == [0.0, 1.5, 3.0, 4.5]
+    assert (enc.host_raw(n) == host).all()
+    dec = enc.decoded()
+    assert not dec.is_rle
+    assert np.allclose(np.asarray(dec.data), host)
+
+
+def test_sql_parity_on_rle_sorted_column():
+    """A clustered (sorted) float fact column RLE-encodes and every SQL
+    shape over it matches sqlite."""
+    db = Database.reset()
+    n = 4096
+    data = {
+        "k": list(range(n)),
+        # 8 long runs: the classic sorted/clustered-column shape
+        "price": [float(10 * (i // 512)) for i in range(n)],
+        "qty": [i % 7 for i in range(n)],
+    }
+    t = Table.from_dict(data)
+    assert t.encode_packed() >= 1
+    assert any(c.is_rle for c in t.columns), "price should RLE-encode"
+    db.storage_manager.add_table("facts", t)
+    oracle = SQLiteOracle()
+    oracle.load_table("facts", t)
+    for q in [
+        "SELECT SUM(price) FROM facts",
+        "SELECT price, COUNT(*) FROM facts GROUP BY price",
+        "SELECT SUM(qty) FROM facts WHERE price >= 20.0 AND price < 40.0",
+        "SELECT k FROM facts WHERE price = 30.0 AND qty = 3",
+        "SELECT price * 2 + qty FROM facts WHERE k < 10",
+    ]:
+        got = run_sql(q)
+        exp = oracle.execute(q)
+        assert rows_match(got, exp, ordered=False), q

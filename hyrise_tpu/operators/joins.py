@@ -583,12 +583,48 @@ def _build_key_unique(build_exprs, build_op=None) -> bool:
     """True when the build-side equi key(s) are a declared unique key of
     their base table AND the build subtree cannot have duplicated that
     table's rows (ref: join_graph uniqueness reasoning in
-    join_to_semi_join_rule.cpp / UCC validation)."""
+    join_to_semi_join_rule.cpp / UCC validation) — or when the build side
+    is an aggregate/distinct keyed by the join columns (GROUP BY columns
+    form a UCC of the output; ref: the FD the reference derives in
+    aggregate_node.cpp unique_column_combinations)."""
+    if build_op is not None and _derived_unique(build_exprs, build_op):
+        return True
     if not _declared_unique(build_exprs):
         return False
     if build_op is None:
         return True
     return _rows_unique_for(build_op, build_exprs[0].origin)
+
+
+def _derived_unique(build_exprs, op) -> bool:
+    """Walk through row-preserving unary operators (filters, projections,
+    sorts, limits never INCREASE multiplicity); True when the subtree
+    bottoms out in an Aggregate whose group-by keys — or a Distinct whose
+    full column set — are covered by the join keys."""
+    from hyrise_tpu.operators.aggregate import Aggregate
+    from hyrise_tpu.operators.projection import Projection
+    from hyrise_tpu.operators.set_ops import Distinct
+    from hyrise_tpu.operators.sort import Sort
+    from hyrise_tpu.operators.table_scan import TableScan
+    from hyrise_tpu.operators.validate import Validate
+
+    keys = {e.key() for e in build_exprs if isinstance(e, ast.Expression)}
+    while op is not None:
+        if isinstance(op, Aggregate):
+            gb = {e.key() for e in op.group_by}
+            return bool(gb) and gb <= keys
+        if isinstance(op, Distinct):
+            cols = {e.key() for e in op.output_expressions}
+            return bool(cols) and cols <= keys
+        from hyrise_tpu.operators.alias import AliasOperator
+        from hyrise_tpu.operators.limit import Limit
+
+        if isinstance(op, (TableScan, Projection, Validate, Sort, Limit,
+                           AliasOperator)):
+            op = op._left
+            continue
+        return False
+    return False
 
 
 def _anti_nat_mask(matched, probe_key_valid_masked, build_key_valid_raw, bt):

@@ -254,3 +254,37 @@ def test_scan_after_aggregate_having():
     agg = Aggregate(src, [c["g"]], [s])
     having = TableScan(agg, ast.gt(s, ast.lit(5)))
     assert run(having) == [(1, 10)]
+
+
+def test_aggregate_keyed_build_is_unique(monkeypatch):
+    """Joins whose build side is a GROUP BY on the join key must take the
+    sync-free unique-expansion path (group-by keys are a UCC of the
+    aggregate output; ref: the FD aggregate_node.cpp derives) — the
+    TPC-H Q2/Q15/Q17 correlated-subquery shape."""
+    import numpy as np
+
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.kernels import joins as joink
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+    from hyrise_tpu.storage.table import Table
+
+    db = Database.reset()
+    rng = np.random.default_rng(3)
+    n = 4000
+    db.storage_manager.add_table("fact", Table.from_dict({
+        "k": [int(x) for x in rng.integers(0, 200, n)],
+        "v": [float(x) for x in rng.random(n)],
+    }))
+
+    def boom(*a, **k):
+        raise AssertionError("non-unique expansion used for aggregate build")
+
+    monkeypatch.setattr(joink, "expand_matches", boom)
+    rows = (
+        SQLPipelineBuilder(
+            "SELECT f.k, f.v FROM fact f, "
+            "(SELECT k, MAX(v) AS mv FROM fact GROUP BY k) m "
+            "WHERE f.k = m.k AND f.v = m.mv"
+        ).create_pipeline().get_result_table().to_pylist()
+    )
+    assert len(rows) >= 200  # one max row per key (ties may add more)

@@ -340,7 +340,12 @@ def merge_dictionaries(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     # identity-preserving: compiled-stage cache keys use id(dictionary), so
     # appends whose values already exist must NOT mint a new dictionary
     # object (OLTP inserts would re-key — and recompile — every stage
-    # touching the table)
-    if len(a) and np.isin(b, a).all():
-        return a
+    # touching the table).  `a` is sorted by invariant, so membership is a
+    # binary search — np.isin's O(|a| log |a|) sort per insert dominated
+    # TPC-C insert latency.
+    if len(a):
+        pos = np.searchsorted(a, b)
+        pos_c = np.minimum(pos, len(a) - 1)
+        if (a[pos_c] == b).all():
+            return a
     return np.unique(np.concatenate([a, b]))

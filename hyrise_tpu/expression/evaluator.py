@@ -699,8 +699,17 @@ class ExpressionEvaluator:
                 jnp.zeros(self.capacity, bool),
                 DataType.NULL,
             )
-        vals = col.to_pylist(1)
-        return self._literal(ast.Literal(vals[0], col.data_type if vals[0] is not None else DataType.NULL))
+        # broadcast the DEVICE value (no host extraction): inside a traced
+        # stage the subquery result is a traced input, so the compiled
+        # executable is value-independent and caches across executions
+        # (the Q11/Q17/Q22 HAVING/WHERE-scalar shape used to recompile —
+        # through the TPU tunnel — on every run)
+        data = jnp.broadcast_to(col.data[0], (self.capacity,))
+        validity = None
+        if col.validity is not None:
+            validity = jnp.broadcast_to(col.validity[0], (self.capacity,))
+        return ExprResult(data, validity, col.data_type, col.dictionary,
+                          col.dict_sorted)
 
     def _in_subquery(self, expr: ast.InSubquery) -> ExprResult:
         (col, n) = self._subquery_result_column(expr.subquery)
@@ -730,21 +739,21 @@ class ExpressionEvaluator:
         member = joink.contains(sk, nv, keys, kvalid)
         # SQL null semantics for IN: if no match but the set has NULLs or
         # the operand is NULL -> result is NULL (matters for NOT IN).
-        # (numpy-side check: the subquery result is concrete even inside
-        # an active jit trace)
-        has_null_in_set = bool(
-            col.validity is not None
-            and bool((~np.asarray(col.validity)[:n]).any())
-        )
+        # Computed device-side so the subquery result may be a traced
+        # stage input (n is static — the subquery executed before the
+        # stage was dispatched).
         validity = None
-        if has_null_in_set or operand.validity is not None:
+        if col.validity is not None or operand.validity is not None:
             opv = (
                 operand.validity if operand.validity is not None
                 else jnp.ones(self.capacity, bool)
             )
-            # valid when matched (TRUE) or (no match and no nulls anywhere)
-            no_null_path = jnp.logical_and(opv, not has_null_in_set)
-            validity = member | no_null_path
+            if col.validity is not None:
+                set_has_null = jnp.any(~col.validity[:n]) if n else jnp.asarray(False)
+                # valid when matched, or no match and no nulls anywhere
+                validity = member | (opv & ~set_has_null)
+            else:
+                validity = member | opv
         vals = ~member if expr.negated else member
         return ExprResult(vals, validity, DataType.INT)
 

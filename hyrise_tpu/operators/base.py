@@ -136,8 +136,9 @@ class AbstractOperator:
         return {e.key(): i for i, e in enumerate(op.output_expressions)}
 
     def make_evaluator(self, table: Table, column_map: Dict[tuple, int],
-                       parameters=None) -> ExpressionEvaluator:
-        sub_results = getattr(self, "_sub_results", None)
+                       parameters=None, sub_results=None) -> ExpressionEvaluator:
+        if sub_results is None:
+            sub_results = getattr(self, "_sub_results", None)
         if sub_results is None:
             sub_results = {
                 key: plan.get_output().materialize()

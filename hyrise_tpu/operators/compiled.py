@@ -159,6 +159,42 @@ def _rebuild(table: Table, datas, valids, sel, nr) -> Table:
     return t
 
 
+def flatten_subs(subs: Dict[tuple, Table]):
+    """Uncorrelated-subquery result tables as traced stage inputs.
+
+    Data/validity arrays are traced (per-execution values flow through the
+    SAME executable); num_rows, capacity, dtypes and dictionaries are
+    static key material.  -> (ordered_items, traced_vals, key)."""
+    items = sorted(subs.items(), key=lambda kv: repr(kv[0]))
+    traced = []
+    key = []
+    for k, t in items:
+        datas, valids, sel, _ = _flatten(t)
+        traced.append((datas, valids))
+        key.append((k, table_signature(t), t.num_rows))
+    return items, tuple(traced), tuple(key)
+
+
+def rebuild_subs(items, traced) -> Dict[tuple, Table]:
+    """Rebuild the sub-result dict from traced stand-ins inside a stage
+    (num_rows stays the concrete host value — evaluator branches on it)."""
+    out: Dict[tuple, Table] = {}
+    for (k, t), (datas, valids) in zip(items, traced):
+        out[k] = _rebuild(t, datas, valids, t.selection, t.num_rows)
+    return out
+
+
+def subs_traceable(subs: Optional[Dict[tuple, Table]]) -> bool:
+    """String results carry per-execution dictionary objects (host
+    metadata, id() is key material) — caching those executables would
+    grow the cache without hits, so they keep the uncached path."""
+    if not subs:
+        return False
+    return all(
+        c.dictionary is None for t in subs.values() for c in t.columns
+    )
+
+
 def run_stage(
     tag: str,
     table: Table,
@@ -166,6 +202,7 @@ def run_stage(
     extra_key: tuple = (),
     cacheable: bool = True,
     params: Optional[Dict[int, object]] = None,
+    subs: Optional[Dict[tuple, Table]] = None,
 ):
     """Run `builder(traced_table) -> (arrays_pytree, static_meta)` as one
     jitted stage; returns (arrays, meta).
@@ -187,6 +224,10 @@ def run_stage(
     bound, pvals, pkey = split_params(params)
     if params is not None:
         extra_key = extra_key + (pkey,)
+    sub_items, svals, skey = (None, (), ())
+    if subs:
+        sub_items, svals, skey = flatten_subs(subs)
+        extra_key = extra_key + (skey,)
     key: Optional[tuple] = None
     if cacheable:
         key = (tag, extra_key, table_signature(table))
@@ -194,24 +235,27 @@ def run_stage(
         if hit is not None:
             fn, meta = hit
             t0 = time.perf_counter()
-            out = fn(datas, valids, sel, nr, pvals)
+            out = fn(datas, valids, sel, nr, pvals, svals)
             _record(tag, out, t0)
             return out, meta
 
     meta_cell = {}
 
     @jax.jit
-    def fn(datas, valids, sel, nr, pvals):
+    def fn(datas, valids, sel, nr, pvals, svals):
         t = _rebuild(table, datas, valids, sel, nr)
+        kw = {}
+        if sub_items is not None:
+            kw["subs"] = rebuild_subs(sub_items, svals)
         if params is not None:
-            arrays, meta = builder(t, rebind_params(bound, pvals))
+            arrays, meta = builder(t, rebind_params(bound, pvals), **kw)
         else:
-            arrays, meta = builder(t)
+            arrays, meta = builder(t, **kw)
         meta_cell["meta"] = meta
         return arrays
 
     t0 = time.perf_counter()
-    out = fn(datas, valids, sel, nr, pvals)
+    out = fn(datas, valids, sel, nr, pvals, svals)
     _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:

@@ -33,8 +33,9 @@ class Projection(AbstractReadOnlyOperator):
         computed = [e for e in self.expressions if e.key() not in cmap]
 
         if computed:
-            def build(t: Table, bound=None):
-                ev = self.make_evaluator(t, cmap, parameters=bound)
+            def build(t: Table, bound=None, subs=None):
+                ev = self.make_evaluator(t, cmap, parameters=bound,
+                                         sub_results=subs)
                 arrays = []
                 meta = []
                 for e in computed:
@@ -46,11 +47,16 @@ class Projection(AbstractReadOnlyOperator):
                     meta.append((r.dtype, r.dictionary, r.dict_sorted))
                 return arrays, meta
 
+            from hyrise_tpu.operators.compiled import subs_traceable
+
+            sub_results = getattr(self, "_sub_results", None)
+            traceable = subs_traceable(sub_results)
             arrays, meta = run_stage(
                 "project", table, build,
                 extra_key=tuple(e.key() for e in computed),
-                cacheable=not self.uncorrelated_subquery_plans,
+                cacheable=traceable or not self.uncorrelated_subquery_plans,
                 params=self.parameters if self.parameters else None,
+                subs=sub_results if traceable else None,
             )
             computed_cols = {
                 e.key(): Column(dtype, data, validity, dictionary, ds)

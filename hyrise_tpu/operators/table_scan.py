@@ -27,15 +27,23 @@ class TableScan(AbstractReadOnlyOperator):
         self.output_expressions = list(self._left.output_expressions)
         cmap = self._column_map(self._left)
 
-        def build(t: Table, bound=None):
-            ev = self.make_evaluator(t, cmap, parameters=bound)
+        def build(t: Table, bound=None, subs=None):
+            ev = self.make_evaluator(t, cmap, parameters=bound,
+                                     sub_results=subs)
             return ev.selection_mask(self.predicate) & t.row_mask(), None
 
+        # numeric subquery results enter the stage as traced inputs, so
+        # re-execution with new subquery values reuses the executable
+        from hyrise_tpu.operators.compiled import subs_traceable
+
+        sub_results = getattr(self, "_sub_results", None)
+        traceable = subs_traceable(sub_results)
         mask, _ = run_stage(
             "scan", table, build,
             extra_key=(self.predicate.key(),),
-            cacheable=not self.uncorrelated_subquery_plans,
+            cacheable=traceable or not self.uncorrelated_subquery_plans,
             params=self.parameters if self.parameters else None,
+            subs=sub_results if traceable else None,
         )
         out = Table(table.column_names, table.columns, table.num_rows,
                     selection=mask)

@@ -508,6 +508,11 @@ def _inner_join(probe: DTable, build: DTable, pk_e, bk_e,
                     pcols_d, pcols_v = pd_f, pv_f
                     pk_s, pv_s = pkeys, pvalid
                 else:
+                    # bloom semi-join pruning: probe rows whose key cannot
+                    # be in the (global) build side skip the shuffle
+                    # (ref: join_hash_steps.hpp:252 bloom before probing)
+                    bloom = shf.bloom_build(bkeys, bvalid)
+                    pvalid = pvalid & shf.bloom_probe(bloom, pkeys)
                     p_pay = tuple(pd_f) + tuple(
                         v for v in pv_f if v is not None)
                     b_pay = tuple(bd_f) + tuple(
@@ -620,7 +625,13 @@ def _semi_anti_join(probe: DTable, build: DTable, pk_e, bk_e,
                     # kept in the output); key validity travels as payload
                     p_pay = tuple(pd_f) + tuple(
                         v for v in pv_f if v is not None) + (pvalid, prv_f)
-                    route_valid = pvalid if mode == JoinMode.SEMI else prv_f
+                    if mode == JoinMode.SEMI:
+                        # bloom pruning (safe for SEMI only: ANTI keeps
+                        # the non-matching rows a bloom would drop)
+                        bloom = shf.bloom_build(bkeys, bvalid)
+                        route_valid = pvalid & shf.bloom_probe(bloom, pkeys)
+                    else:
+                        route_valid = prv_f
                     pk_s, _, rp, p_over = shf.shuffle_rows(
                         pkeys, route_valid, p_pay, n, bucket_cap)
                     bk_all, bv_all, _, b_over = shf.shuffle_rows(

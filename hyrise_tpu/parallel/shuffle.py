@@ -105,6 +105,40 @@ def shuffle_rows(keys, valid, payload, n_shards: int, bucket_cap: int):
     return rk, rv, rp, overflow
 
 
+# ------------------------------------------------------------ bloom filter
+
+BLOOM_LOG2 = 20  # 2^20 bits, matching the reference (join_hash_steps.hpp:252)
+
+
+def _bloom_hash(keys: jax.Array) -> jax.Array:
+    h = keys.astype(jnp.uint64) * jnp.uint64(0xBF58476D1CE4E5B9)
+    return (h >> jnp.uint64(64 - BLOOM_LOG2)).astype(jnp.int32)
+
+
+def bloom_build(keys: jax.Array, valid: jax.Array) -> jax.Array:
+    """Global build-side bloom filter: per-shard bit sets OR-combined over
+    the mesh (psum of int8 + threshold — 1 MiB over ICI).  Bit indices are
+    deduplicated by a sort so the scatter stays provably unique (XLA:TPU
+    serializes scatters it cannot prove unique)."""
+    n = keys.shape[0]
+    bits = jnp.where(valid, _bloom_hash(keys), jnp.int32(1 << BLOOM_LOG2))
+    sorted_bits = jnp.sort(bits)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), sorted_bits[1:] != sorted_bits[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.where(first, sorted_bits, jnp.int32(1 << BLOOM_LOG2) + pos)
+    local = jnp.zeros(1 << BLOOM_LOG2, jnp.int8).at[idx].set(
+        1, mode="drop", unique_indices=True)
+    return jax.lax.psum(local, SHARD_AXIS) > 0
+
+
+def bloom_probe(bloom: jax.Array, keys: jax.Array) -> jax.Array:
+    """True for keys that MAY be in the build side (no false negatives);
+    probe rows failing it skip the shuffle entirely (the semi-join
+    pruning BASELINE.md names for the SSB/shuffle path)."""
+    return jnp.take(bloom, _bloom_hash(keys))
+
+
 # ----------------------------------------------------------- local kernels
 # (shard-local join/aggregate used after a shuffle; mirror kernels/joins.py
 # but usable inside shard_map)

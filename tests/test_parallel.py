@@ -80,3 +80,42 @@ def test_distributed_join_agg(qmesh):
         sel = matched & (p_slot == g)
         assert abs(float(sums[g]) - p_val[sel].sum()) < 1e-9
         assert int(counts[g]) == int(sel.sum())
+
+
+def test_bloom_build_probe():
+    """No false negatives; most absent keys filtered (2^20 bits)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from hyrise_tpu.parallel import shuffle as shf
+    from hyrise_tpu.parallel.mesh import QueryMesh, SHARD_AXIS
+
+    mesh = QueryMesh()
+    n = mesh.n
+    per = 256
+    build = np.arange(n * per, dtype=np.int64).reshape(n, per) * 7
+    probe = np.concatenate([build.reshape(-1)[:512],
+                            np.arange(10**6, 10**6 + 512 * 7, 7)])
+    probe = np.resize(probe, n * per).reshape(n, per)
+
+    def local(bk, pk):
+        bloom = shf.bloom_build(bk.reshape(-1),
+                                jnp.ones(per, dtype=bool))
+        return shf.bloom_probe(bloom, pk.reshape(-1)).reshape(1, -1)
+
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh.mesh,
+        in_specs=(P(SHARD_AXIS, None), P(SHARD_AXIS, None)),
+        out_specs=P(SHARD_AXIS, None), check_vma=False,
+    ))
+    sb = jax.device_put(build, mesh.sharding(P(SHARD_AXIS, None)))
+    sp = jax.device_put(probe, mesh.sharding(P(SHARD_AXIS, None)))
+    hit = np.asarray(fn(sb, sp)).reshape(-1)
+    present = np.isin(probe.reshape(-1), build.reshape(-1))
+    assert (hit[present]).all(), "bloom false negative"
+    absent = ~present
+    # overwhelming majority of absent keys must be pruned (2^20 bits,
+    # ~2k entries -> false-positive rate well under 1%)
+    assert hit[absent].mean() < 0.05

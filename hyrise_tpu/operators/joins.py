@@ -243,6 +243,9 @@ class Join(AbstractReadOnlyOperator):
         from hyrise_tpu.operators.base import _sync_is_expensive
 
         est_out = getattr(self, "estimated_rows", None)
+        probe_unique = _build_key_unique(
+            [side_exprs(p)[0] for p in equi[:used]], probe_op
+        )
         if build_unique and (
             _sync_is_expensive()  # padded gathers cost << one sync RTT
             or est_out is None
@@ -251,6 +254,15 @@ class Join(AbstractReadOnlyOperator):
             # <=1 match per probe row: the expansion fits probe capacity,
             # so the expansion-size sync can be skipped entirely
             out_cap = probe_t.capacity
+        elif probe_unique and (
+            _sync_is_expensive()
+            or est_out is None
+            or size_bucket(max(int(est_out), 1)) * 4 > build_t.capacity
+        ):
+            # <=1 match per BUILD row (the preserved probe side owns the
+            # unique key — the Q13 LEFT-join orientation): total matches
+            # are bounded by the build side, sync skipped
+            out_cap = build_t.capacity
         else:
             total = int(total_dev)
             out_cap = size_bucket(total)

@@ -291,12 +291,15 @@ def _append_column(tcol: Column, scol: Column, old_n: int, n_new: int,
                    new_cap: int) -> Column:
     same_cap = new_cap == tcol.capacity
     if tcol.data_type == DataType.STRING:
-        merged = merge_dictionaries(tcol.dictionary, scol.dictionary)
-        src_codes = recode_to_dictionary(scol, merged)
+        from hyrise_tpu.storage.column import merge_with_luts
+
+        merged, lut_old, lut_src = merge_with_luts(
+            tcol.dictionary, scol.dictionary)
+        src_codes = recode_to_dictionary(scol, merged, lut=lut_src)
         if same_cap and merged is tcol.dictionary:
             data = _place(tcol.data, src_codes[:n_new], old_n)
         else:
-            old_codes = recode_to_dictionary(tcol, merged)
+            old_codes = recode_to_dictionary(tcol, merged, lut=lut_old)
             data = jnp.zeros(new_cap, dtype=jnp.int32)
             data = data.at[: old_codes.shape[0]].set(old_codes)
             data = data.at[old_n:old_n + n_new].set(src_codes[:n_new])

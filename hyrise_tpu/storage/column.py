@@ -313,25 +313,45 @@ def _encode_dictionary(arr: np.ndarray):
 
 
 def recode_to_dictionary(
-    col: Column, target_dict: np.ndarray
+    col: Column, target_dict: np.ndarray, lut: Optional[np.ndarray] = None
 ) -> jax.Array:
     """Map a STRING column's codes into another dictionary's code space.
     Codes absent from `target_dict` map to -1 (used for joins/comparisons
-    across tables with different dictionaries)."""
+    across tables with different dictionaries).  `lut` (old code -> new
+    code) skips the string binary search when the caller already has it
+    (merge_with_luts produces both sides' LUTs in one pass)."""
     col = col.decoded()
-    src = col.dictionary
-    pos = np.searchsorted(target_dict, src)
-    pos_clipped = np.clip(pos, 0, max(len(target_dict) - 1, 0))
-    found = (
-        (pos < len(target_dict))
-        & (target_dict[pos_clipped] == src)
-        if len(target_dict)
-        else np.zeros(len(src), dtype=bool)
-    )
-    lut = np.where(found, pos_clipped, -1).astype(np.int32)
+    if lut is None:
+        src = col.dictionary
+        pos = np.searchsorted(target_dict, src)
+        pos_clipped = np.clip(pos, 0, max(len(target_dict) - 1, 0))
+        found = (
+            (pos < len(target_dict))
+            & (target_dict[pos_clipped] == src)
+            if len(target_dict)
+            else np.zeros(len(src), dtype=bool)
+        )
+        lut = np.where(found, pos_clipped, -1).astype(np.int32)
     if len(lut) == 0:
         return jnp.full(col.data.shape, -1, dtype=jnp.int32)
     return jnp.take(jnp.asarray(lut), jnp.clip(col.data, 0, len(lut) - 1), axis=0)
+
+
+def merge_with_luts(a: np.ndarray, b: np.ndarray):
+    """Merge two sorted dictionaries AND both recode LUTs in one string
+    pass (np.unique inverse indices) — the append-with-new-values path
+    paid three separate string binary searches.  Returns (merged, lut_a,
+    lut_b); merged is `a` itself (luts None) when b adds nothing."""
+    if not len(b):
+        return a, None, None
+    if len(a):
+        pos = np.searchsorted(a, b)
+        pos_c = np.minimum(pos, len(a) - 1)
+        if (a[pos_c] == b).all():
+            return a, None, pos_c.astype(np.int32)
+    merged, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    inv = inv.astype(np.int32)
+    return merged, inv[: len(a)], inv[len(a):]
 
 
 def merge_dictionaries(a: np.ndarray, b: np.ndarray) -> np.ndarray:

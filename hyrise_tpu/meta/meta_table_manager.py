@@ -36,6 +36,7 @@ class MetaTableManager:
             "transactions": self._meta_transactions,
             "plan_cache": self._meta_plan_cache,
             "indexes": self._meta_indexes,
+            "shards": self._meta_shards,
         }
 
     def table_names(self) -> List[str]:
@@ -329,6 +330,32 @@ class MetaTableManager:
                 "table_name": DataType.STRING,
                 "column_names": DataType.STRING,
             },
+        )
+
+    def _meta_shards(self) -> Table:
+        """Distributed layout + executor counters (the scale-out layer's
+        observability surface; no reference counterpart — single node)."""
+        from hyrise_tpu.parallel import dexec
+
+        sm = self._db.storage_manager
+        rows = {"table_name": [], "n_shards": [], "rows_per_shard": [],
+                "num_rows": []}
+        for name in sm.table_names():
+            if sm.is_sharded(name):
+                sb = sm.get_sharded_table(name)
+                rows["table_name"].append(name)
+                rows["n_shards"].append(int(sb.row_valid.shape[0]))
+                rows["rows_per_shard"].append(int(sb.row_valid.shape[1]))
+                rows["num_rows"].append(int(sb.num_rows))
+        for stat, val in sorted(dexec.STATS.items()):
+            rows["table_name"].append(f"__stat_{stat}")
+            rows["n_shards"].append(0)
+            rows["rows_per_shard"].append(0)
+            rows["num_rows"].append(int(val))
+        return Table.from_dict(
+            rows,
+            types={"table_name": DataType.STRING, "n_shards": DataType.INT,
+                   "rows_per_shard": DataType.INT, "num_rows": DataType.LONG},
         )
 
     def _meta_plan_cache(self) -> Table:

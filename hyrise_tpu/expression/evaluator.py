@@ -482,6 +482,16 @@ class ExpressionEvaluator:
         target = expr.target
         if r.dtype == target:
             return r
+        if r.dtype == DataType.NULL:
+            # typed all-NULL column (grouping-sets branches project these)
+            validity = jnp.zeros(self.capacity, bool)
+            if target == DataType.STRING:
+                return ExprResult(jnp.zeros(self.capacity, jnp.int32),
+                                  validity, target,
+                                  np.array([], dtype=str), True)
+            return ExprResult(
+                jnp.zeros(self.capacity, physical_dtype(target)),
+                validity, target)
         if target == DataType.STRING:
             # host-side render through values (small dictionaries only for
             # dates; numeric cast-to-string goes through host formatting)

@@ -235,9 +235,7 @@ class Parser:
                 stmt.where = self.parse_expression()
             if self.accept_kw("group"):
                 self.expect_kw("by")
-                stmt.group_by = [self.parse_expression()]
-                while self.accept_op(","):
-                    stmt.group_by.append(self.parse_expression())
+                self._parse_group_by(stmt)
             if self.accept_kw("having"):
                 stmt.having = self.parse_expression()
         # set operations bind here (left-assoc)
@@ -887,6 +885,81 @@ class Parser:
         }[low]
         agg = ast.AggregateExpression(fn, arg, distinct)
         return self._maybe_window(agg, fn, arg, [], [])
+
+    def _parse_group_by(self, stmt) -> None:
+        """GROUP BY list | ROLLUP(...) | CUBE(...) | GROUPING SETS((..),..).
+        Extended forms record `grouping_sets` (index lists into group_by);
+        the translator desugars them into a UNION ALL of aggregates."""
+        import itertools
+
+        low = self.cur.value.lower() if self.cur.kind == "id" else ""
+        if low in ("rollup", "cube") and self.peek().kind == "op" \
+                and self.peek().value == "(":
+            self.advance()
+            self.expect_op("(")
+            exprs = [self.parse_expression()]
+            while self.accept_op(","):
+                exprs.append(self.parse_expression())
+            self.expect_op(")")
+            stmt.group_by = exprs
+            n = len(exprs)
+            if low == "rollup":
+                stmt.grouping_sets = [list(range(k))
+                                      for k in range(n, -1, -1)]
+            else:  # cube: all subsets, largest first
+                sets = []
+                for k in range(n, -1, -1):
+                    sets.extend(sorted(c) for c in
+                                itertools.combinations(range(n), k))
+                stmt.grouping_sets = [list(s) for s in sets]
+            return
+        if low == "grouping" and self.peek().kind == "id" \
+                and self.peek().value.lower() == "sets":
+            self.advance()
+            self.advance()
+            self.expect_op("(")
+            raw_sets = []
+            while True:
+                if self.at_op("("):
+                    self.advance()
+                    one = []
+                    if not self.at_op(")"):
+                        one.append(self.parse_expression())
+                        while self.accept_op(","):
+                            one.append(self.parse_expression())
+                    self.expect_op(")")
+                else:
+                    one = [self.parse_expression()]
+                raw_sets.append(one)
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            # flatten to a deduped group_by + index lists
+            group_by = []
+            keys = []
+
+            def key_of(e):
+                if isinstance(e, st.UnresolvedColumn):
+                    return ("col", e.parts)
+                return ("desc", repr(e.__dict__.get("parts", id(e))))
+
+            stmt.grouping_sets = []
+            for one in raw_sets:
+                idxs = []
+                for e in one:
+                    k = key_of(e)
+                    if k in keys:
+                        idxs.append(keys.index(k))
+                    else:
+                        keys.append(k)
+                        group_by.append(e)
+                        idxs.append(len(group_by) - 1)
+                stmt.grouping_sets.append(idxs)
+            stmt.group_by = group_by
+            return
+        stmt.group_by = [self.parse_expression()]
+        while self.accept_op(","):
+            stmt.group_by.append(self.parse_expression())
 
     def _parse_nav_window(self, low: str) -> ast.Expression:
         """LAG(x[,offset[,default]]) / LEAD(...) / FIRST_VALUE(x) /

@@ -134,6 +134,9 @@ class SelectStatement:
     offset: Optional[ast.Expression] = None
     with_clauses: List[WithClause] = field(default_factory=list)
     set_op: Optional[Tuple[str, bool, "SelectStatement"]] = None  # (kind, all, rhs)
+    # GROUP BY ROLLUP/CUBE/GROUPING SETS: index lists into group_by, one
+    # per grouping set (None = plain GROUP BY)
+    grouping_sets: Optional[List[List[int]]] = None
 
 
 @dataclass

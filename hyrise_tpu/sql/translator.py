@@ -172,6 +172,82 @@ class SQLTranslator:
         finally:
             self._withs = saved_withs
 
+    def _translate_grouping_sets(self, stmt, outer_scope):
+        """Desugar GROUP BY ROLLUP/CUBE/GROUPING SETS into a UNION ALL of
+        per-set aggregates: each branch groups by its subset and projects
+        typed NULLs for the suppressed keys (beyond the reference, which
+        excludes rollup queries; standard SQL semantics minus GROUPING()).
+        ORDER BY / LIMIT apply once on top of the union."""
+        import copy as _copy
+
+        # typing pre-pass: translate with the FULL key list to learn every
+        # select item's output type (NULL literals must cast to it)
+        if any(isinstance(e, st.Star) for e, _ in stmt.select_list):
+            raise TranslationError("SELECT * with GROUPING SETS/ROLLUP")
+        probe = _copy.copy(stmt)
+        probe.grouping_sets = None
+        probe.order_by = []
+        probe.limit = None
+        probe.offset = None
+        probe_root, names = self._translate_select_core(probe, outer_scope)
+        out_types = [e.data_type() for e in probe_root.output_expressions()]
+
+        def matches(ge, item_expr, alias):
+            if isinstance(ge, st.UnresolvedColumn):
+                if isinstance(item_expr, st.UnresolvedColumn):
+                    if ge.parts == item_expr.parts:
+                        return True
+                    if (len(ge.parts) == 1 and len(item_expr.parts) == 2
+                            and ge.parts[0] == item_expr.parts[1]):
+                        return True
+                if alias and len(ge.parts) == 1 and ge.parts[0] == alias:
+                    return True
+            return ge is item_expr
+
+        roots = []
+        for s in stmt.grouping_sets:
+            branch = _copy.copy(stmt)
+            branch.grouping_sets = None
+            branch.order_by = []
+            branch.limit = None
+            branch.offset = None
+            branch.group_by = [stmt.group_by[i] for i in s]
+            suppressed = [g for i, g in enumerate(stmt.group_by)
+                          if i not in s]
+            new_list = []
+            for pos, (expr, alias) in enumerate(stmt.select_list):
+                if any(matches(g, expr, alias) for g in suppressed):
+                    if alias:
+                        name = alias
+                    elif isinstance(expr, st.UnresolvedColumn):
+                        name = expr.parts[-1]
+                    else:
+                        name = names[pos]
+                    new_list.append(
+                        (ast.Cast(ast.Literal(None), out_types[pos]), name)
+                    )
+                else:
+                    new_list.append((expr, alias))
+            branch.select_list = new_list
+            root, _ = self._translate_select_core(branch, outer_scope)
+            roots.append(root)
+
+        node = roots[0]
+        for r in roots[1:]:
+            node = L.UnionNode(SetOperationMode.ALL, node, r)
+        root: L.LQPNode = node
+        if stmt.order_by:
+            scope = Scope()
+            scope.add_relation(
+                Relation(None, names, root.output_expressions()))
+            items = []
+            for item in stmt.order_by:
+                e = self._resolve_expr(item.expr, scope)
+                items.append((e, item.sort_mode))
+            root = L.SortNode(items, root)
+        root = self._apply_limit(stmt, root)
+        return root, names
+
     def _translate_set_op(self, stmt, outer_scope):
         kind, all_mode, rhs = stmt.set_op
         left_stmt = getattr(stmt, "_set_op_left")
@@ -197,6 +273,8 @@ class SQLTranslator:
         return root, lnames
 
     def _translate_select_core(self, stmt, outer_scope):
+        if getattr(stmt, "grouping_sets", None):
+            return self._translate_grouping_sets(stmt, outer_scope)
         scope = Scope(outer_scope)
 
         # ---- FROM

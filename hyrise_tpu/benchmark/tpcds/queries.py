@@ -1264,3 +1264,62 @@ GROUP BY SUBSTR(w_warehouse_name, 1, 20), sm_type, cc_name
 ORDER BY wh, sm_type, cc_name
 LIMIT 100
 """
+
+# ---------------------------------------------------------------------------
+# ROLLUP queries (the reference EXCLUDES these — query_excludelist.cfg;
+# this engine desugars ROLLUP to a union of grouping sets and runs them).
+
+TPCDS_QUERIES[22] = """
+SELECT i_product_name, i_brand, i_class, i_category,
+       AVG(inv_quantity_on_hand) AS qoh
+FROM inventory, date_dim, item
+WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+  AND d_month_seq BETWEEN 24 AND 35
+GROUP BY ROLLUP(i_product_name, i_brand, i_class, i_category)
+ORDER BY qoh, i_product_name, i_brand, i_class, i_category
+LIMIT 100
+"""
+
+TPCDS_QUERIES[18] = """
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       AVG(cs_quantity) AS agg1, AVG(cs_list_price) AS agg2,
+       AVG(cs_coupon_amt) AS agg3, AVG(cs_sales_price) AS agg4,
+       AVG(cs_net_profit) AS agg5, AVG(c_birth_year) AS agg6,
+       AVG(cd_dep_count) AS agg7
+FROM catalog_sales, customer_demographics, customer, customer_address,
+     date_dim, item
+WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk
+  AND cs_cdemo_sk = cd_demo_sk AND cs_bill_customer_sk = c_customer_sk
+  AND cd_gender = 'F' AND c_current_addr_sk = ca_address_sk
+  AND d_year = 2000
+GROUP BY ROLLUP(i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country, ca_state, ca_county, i_item_id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[67] = """
+SELECT * FROM (
+  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+         d_moy, s_store_id, sumsales,
+         RANK() OVER (PARTITION BY i_category ORDER BY sumsales DESC)
+           AS rk
+  FROM (
+    SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+           d_moy, s_store_id,
+           SUM(ss_sales_price * ss_quantity) AS sumsales
+    FROM store_sales, date_dim, store, item
+    WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 24 AND 35
+    GROUP BY ROLLUP(i_category, i_class, i_brand, i_product_name, d_year,
+                    d_qoy, d_moy, s_store_id)
+  ) dw1
+) dw2
+WHERE rk <= 10
+ORDER BY i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+         d_moy, s_store_id, sumsales, rk
+LIMIT 100
+"""
+
+# ROLLUP cannot run on the sqlite oracle directly; tests desugar to the
+# equivalent UNION ALL text for verification (tests/test_tpcds.py).
+ROLLUP_QIDS = (18, 22, 67)

@@ -28,7 +28,12 @@ def tpcds_env():
     return oracle
 
 
-@pytest.mark.parametrize("qid", sorted(TPCDS_QUERIES))
+from hyrise_tpu.benchmark.tpcds.queries import ROLLUP_QIDS
+
+
+@pytest.mark.parametrize(
+    "qid", [q for q in sorted(TPCDS_QUERIES) if q not in ROLLUP_QIDS]
+)
 def test_tpcds_query(tpcds_env, qid):
     sql = TPCDS_QUERIES[qid]
     ours = SQLPipelineBuilder(sql).create_pipeline().get_result_table().to_pylist()
@@ -36,4 +41,71 @@ def test_tpcds_query(tpcds_env, qid):
     assert rows_match(ours, theirs, ordered=False), (
         f"TPC-DS {qid}: ours={len(ours)} sqlite={len(theirs)}\n"
         f"{ours[:5]}\n{theirs[:5]}"
+    )
+
+
+def _rollup_union(select_keys, aggs, from_where, order_limit):
+    """sqlite has no ROLLUP: build the equivalent UNION ALL over key
+    prefixes (keys beyond the prefix project as NULL)."""
+    branches = []
+    n = len(select_keys)
+    for k in range(n, -1, -1):
+        cols = select_keys[:k] + [f"NULL AS {c.split('.')[-1]}"
+                                  for c in select_keys[k:]]
+        gb = f" GROUP BY {', '.join(select_keys[:k])}" if k else ""
+        branches.append(
+            f"SELECT {', '.join(cols + aggs)} {from_where}{gb}"
+        )
+    return " UNION ALL ".join(branches) + " " + order_limit
+
+
+@pytest.mark.parametrize("qid", sorted(ROLLUP_QIDS))
+def test_tpcds_rollup_query(tpcds_env, qid):
+    ours = (SQLPipelineBuilder(TPCDS_QUERIES[qid]).create_pipeline()
+            .get_result_table().to_pylist())
+    if qid == 22:
+        theirs = tpcds_env.execute(_rollup_union(
+            ["i_product_name", "i_brand", "i_class", "i_category"],
+            ["AVG(inv_quantity_on_hand) AS qoh"],
+            "FROM inventory, date_dim, item "
+            "WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk "
+            "AND d_month_seq BETWEEN 24 AND 35",
+            "ORDER BY qoh, i_product_name, i_brand, i_class, i_category "
+            "LIMIT 100",
+        ))
+    elif qid == 18:
+        theirs = tpcds_env.execute(_rollup_union(
+            ["i_item_id", "ca_country", "ca_state", "ca_county"],
+            ["AVG(cs_quantity)", "AVG(cs_list_price)", "AVG(cs_coupon_amt)",
+             "AVG(cs_sales_price)", "AVG(cs_net_profit)",
+             "AVG(c_birth_year)", "AVG(cd_dep_count)"],
+            "FROM catalog_sales, customer_demographics, customer, "
+            "customer_address, date_dim, item "
+            "WHERE cs_sold_date_sk = d_date_sk AND cs_item_sk = i_item_sk "
+            "AND cs_cdemo_sk = cd_demo_sk "
+            "AND cs_bill_customer_sk = c_customer_sk AND cd_gender = 'F' "
+            "AND c_current_addr_sk = ca_address_sk AND d_year = 2000",
+            "ORDER BY ca_country, ca_state, ca_county, i_item_id LIMIT 100",
+        ))
+    else:  # 67
+        inner = _rollup_union(
+            ["i_category", "i_class", "i_brand", "i_product_name",
+             "d_year", "d_qoy", "d_moy", "s_store_id"],
+            ["SUM(ss_sales_price * ss_quantity) AS sumsales"],
+            "FROM store_sales, date_dim, store, item "
+            "WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk "
+            "AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 24 AND 35",
+            "",
+        )
+        theirs = tpcds_env.execute(
+            "SELECT * FROM (SELECT i_category, i_class, i_brand, "
+            "i_product_name, d_year, d_qoy, d_moy, s_store_id, sumsales, "
+            "RANK() OVER (PARTITION BY i_category ORDER BY sumsales DESC) "
+            f"AS rk FROM ({inner}) dw1) dw2 WHERE rk <= 10 "
+            "ORDER BY i_category, i_class, i_brand, i_product_name, d_year,"
+            " d_qoy, d_moy, s_store_id, sumsales, rk LIMIT 100"
+        )
+    assert rows_match(ours, theirs, ordered=False), (
+        f"TPC-DS rollup {qid}: ours={len(ours)} sqlite={len(theirs)}\n"
+        f"{ours[:4]}\n{theirs[:4]}"
     )

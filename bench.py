@@ -58,6 +58,7 @@ def main() -> None:
         pass
 
     sf = float(os.environ.get("HYRISE_TPU_BENCH_SF", "0.1"))
+    skewed = os.environ.get("HYRISE_TPU_BENCH_SKEW", "0") == "1"  # JCC-H
     runs = int(os.environ.get("HYRISE_TPU_BENCH_RUNS", "3"))
     budget_s = float(os.environ.get("HYRISE_TPU_BENCH_BUDGET", "480"))
     qids_env = os.environ.get("HYRISE_TPU_BENCH_QUERIES", "1,3,5,6,10,12,14,19")
@@ -83,7 +84,7 @@ def main() -> None:
 
     db = Database.get()
     gen_start = time.perf_counter()
-    gen = TPCHTableGenerator(scale_factor=sf, keep_host=True)
+    gen = TPCHTableGenerator(scale_factor=sf, keep_host=True, skewed=skewed)
     tables = gen.generate_into(db.storage_manager)
     gen_s = time.perf_counter() - gen_start
     total_rows = sum(t.num_rows for t in tables.values())

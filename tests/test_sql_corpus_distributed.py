@@ -32,6 +32,9 @@ ALL_SHAPES = (
 
 @pytest.fixture(scope="module")
 def denv(corpus_tables):
+    # the per-test reset is disabled for this module, so clear whatever
+    # the previous module left behind before building the shared env
+    Database.reset()
     oracle = make_env(corpus_tables)
     Database.get().distribute(["a", "b"])
     yield oracle

@@ -24,7 +24,7 @@ from hyrise_tpu.concurrency.mvcc import MvccData
 from hyrise_tpu.database import Database
 from hyrise_tpu.expression import ast
 from hyrise_tpu.operators.base import AbstractReadWriteOperator
-from hyrise_tpu.storage.column import Column, merge_dictionaries, recode_to_dictionary
+from hyrise_tpu.storage.column import Column, recode_to_dictionary
 from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import DataType, padded_size, physical_dtype
 
@@ -247,10 +247,10 @@ def _batched_append(tcols, src, name_to_src, old_n: int, n_new: int,
         if tcol.data_type == DataType.STRING:
             if scol.data_type != DataType.STRING:
                 return None
-            merged = merge_dictionaries(tcol.dictionary, scol.dictionary)
+            merged, tgt_codes = _src_string_codes(tcol, scol, n_new)
             if merged is not tcol.dictionary:
-                return None
-            s = recode_to_dictionary(scol, merged)
+                return None  # dictionary growth: general path
+            s = jnp.asarray(tgt_codes)
         elif scol.data_type == DataType.STRING:
             if tcol.data_type != DataType.DATE:
                 return None
@@ -270,6 +270,25 @@ def _batched_append(tcols, src, name_to_src, old_n: int, n_new: int,
         Column(c.data_type, d, None, c.dictionary, c.dict_sorted)
         for c, d in zip(rebuild, out)
     ]
+
+
+def _src_string_codes(tcol, scol, n_new: int):
+    """Target-dictionary codes for the first n_new rows of a STRING source
+    column, merging ONLY the values those rows reference.  An UPDATE's
+    projection carries the full table dictionary for a 1-row insert, so
+    merging whole dictionaries binary-searched thousands of long strings
+    per statement.  Returns (merged_dict, np.int32 codes of length n_new);
+    merged_dict is tcol.dictionary itself when nothing new appears."""
+    from hyrise_tpu.storage.column import merge_with_luts
+
+    if scol.dictionary is None or len(scol.dictionary) == 0:
+        return tcol.dictionary, np.zeros(n_new, dtype=np.int32)
+    codes = np.clip(np.asarray(scol.data[:n_new]), 0,
+                    len(scol.dictionary) - 1)
+    vals = scol.dictionary[codes]
+    merged, _, _ = merge_with_luts(tcol.dictionary, np.unique(vals))
+    tgt = np.searchsorted(merged, vals).astype(np.int32)
+    return merged, tgt
 
 
 @partial(jax.jit, static_argnames=("n_new",))
@@ -293,16 +312,18 @@ def _append_column(tcol: Column, scol: Column, old_n: int, n_new: int,
     if tcol.data_type == DataType.STRING:
         from hyrise_tpu.storage.column import merge_with_luts
 
-        merged, lut_old, lut_src = merge_with_luts(
-            tcol.dictionary, scol.dictionary)
-        src_codes = recode_to_dictionary(scol, merged, lut=lut_src)
+        merged, tgt_codes = _src_string_codes(tcol, scol, n_new)
+        src_codes = jnp.asarray(tgt_codes)
         if same_cap and merged is tcol.dictionary:
-            data = _place(tcol.data, src_codes[:n_new], old_n)
+            data = _place(tcol.data, src_codes, old_n)
         else:
+            # old codes keep their positions for values already in the
+            # dictionary only if merged preserves order — recompute LUT
+            _, lut_old, _ = merge_with_luts(tcol.dictionary, merged)
             old_codes = recode_to_dictionary(tcol, merged, lut=lut_old)
             data = jnp.zeros(new_cap, dtype=jnp.int32)
             data = data.at[: old_codes.shape[0]].set(old_codes)
-            data = data.at[old_n:old_n + n_new].set(src_codes[:n_new])
+            data = data.at[old_n:old_n + n_new].set(src_codes)
         new_col = Column(DataType.STRING, data, None, merged, True)
     else:
         np_dt = physical_dtype(tcol.data_type)

@@ -176,21 +176,13 @@ class SQLTranslator:
         """Desugar GROUP BY ROLLUP/CUBE/GROUPING SETS into a UNION ALL of
         per-set aggregates: each branch groups by its subset and projects
         typed NULLs for the suppressed keys (beyond the reference, which
-        excludes rollup queries; standard SQL semantics minus GROUPING()).
+        excludes rollup queries; GROUPING(key) folds to a per-branch
+        0/1 constant).
         ORDER BY / LIMIT apply once on top of the union."""
         import copy as _copy
 
-        # typing pre-pass: translate with the FULL key list to learn every
-        # select item's output type (NULL literals must cast to it)
         if any(isinstance(e, st.Star) for e, _ in stmt.select_list):
             raise TranslationError("SELECT * with GROUPING SETS/ROLLUP")
-        probe = _copy.copy(stmt)
-        probe.grouping_sets = None
-        probe.order_by = []
-        probe.limit = None
-        probe.offset = None
-        probe_root, names = self._translate_select_core(probe, outer_scope)
-        out_types = [e.data_type() for e in probe_root.output_expressions()]
 
         def matches(ge, item_expr, alias):
             if isinstance(ge, st.UnresolvedColumn):
@@ -204,6 +196,34 @@ class SQLTranslator:
                     return True
             return ge is item_expr
 
+        def subst_grouping(expr, suppressed):
+            # GROUPING(key) is a per-branch constant under the desugar:
+            # 1 when the key is suppressed in this grouping set, else 0
+            if (isinstance(expr, ast.Function)
+                    and expr.fname.lower() == "grouping"
+                    and len(expr.children) == 1):
+                inner = expr.children[0]
+                val = 1 if any(matches(g, inner, None) for g in suppressed) \
+                    else 0
+                return ast.Literal(val)
+            kids = [subst_grouping(c, suppressed) for c in expr.children]
+            return _rebuild(expr, kids)
+
+        # typing pre-pass: translate with the FULL key list to learn every
+        # select item's output type (NULL literals must cast to it);
+        # GROUPING() is 0 everywhere in the full set
+        probe = _copy.copy(stmt)
+        probe.grouping_sets = None
+        probe.order_by = []
+        probe.limit = None
+        probe.offset = None
+        probe.select_list = [(subst_grouping(e, []), a)
+                             for e, a in stmt.select_list]
+        if stmt.having is not None:
+            probe.having = subst_grouping(stmt.having, [])
+        probe_root, names = self._translate_select_core(probe, outer_scope)
+        out_types = [e.data_type() for e in probe_root.output_expressions()]
+
         roots = []
         for s in stmt.grouping_sets:
             branch = _copy.copy(stmt)
@@ -214,8 +234,11 @@ class SQLTranslator:
             branch.group_by = [stmt.group_by[i] for i in s]
             suppressed = [g for i, g in enumerate(stmt.group_by)
                           if i not in s]
+            if stmt.having is not None:
+                branch.having = subst_grouping(stmt.having, suppressed)
             new_list = []
             for pos, (expr, alias) in enumerate(stmt.select_list):
+                expr = subst_grouping(expr, suppressed)
                 if any(matches(g, expr, alias) for g in suppressed):
                     if alias:
                         name = alias

@@ -98,3 +98,31 @@ def test_rollup_numeric_key(env):
         "UNION ALL SELECT NULL, COUNT(*) FROM s ORDER BY amt"
     )
     assert rows_match(got, exp, ordered=True)
+
+
+def test_grouping_function(env):
+    # GROUPING() folds per branch; ORDER BY references it via its alias
+    # (the sort runs above the union, where the constant no longer exists)
+    got = run_sql(
+        "SELECT region, GROUPING(region) AS gr, SUM(amt) FROM s "
+        "GROUP BY ROLLUP(region) ORDER BY gr, region"
+    )
+    exp = env.execute(
+        "SELECT region, 0, SUM(amt) FROM s GROUP BY region "
+        "UNION ALL SELECT NULL, 1, SUM(amt) FROM s ORDER BY 2, region"
+    )
+    assert rows_match(got, exp, ordered=True)
+
+
+def test_grouping_in_having(env):
+    # keep only the subtotal rows
+    got = run_sql(
+        "SELECT region, prod, SUM(amt) FROM s "
+        "GROUP BY ROLLUP(region, prod) HAVING GROUPING(prod) = 1 "
+        "ORDER BY region, prod"
+    )
+    exp = env.execute(
+        "SELECT region, NULL, SUM(amt) FROM s GROUP BY region "
+        "UNION ALL SELECT NULL, NULL, SUM(amt) FROM s ORDER BY region"
+    )
+    assert rows_match(got, exp, ordered=True)

@@ -268,3 +268,25 @@ ARITH_SHAPES = [
 @pytest.mark.parametrize("q", ARITH_SHAPES)
 def test_corpus_arithmetic(env, q):
     check_query(env, q)
+
+
+# windows: verified vs sqlite's window implementation (sqlite 3.25+);
+# the reference cannot execute ANY of these (lqp_translator.cpp:523)
+WINDOW_SHAPES = [
+    "SELECT id, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) FROM a "
+    "ORDER BY id",
+    "SELECT id, RANK() OVER (ORDER BY grp) FROM a ORDER BY id",
+    "SELECT id, SUM(val) OVER (PARTITION BY grp ORDER BY id) FROM a "
+    "ORDER BY id",
+    "SELECT id, LAG(val) OVER (PARTITION BY grp ORDER BY id) FROM a "
+    "ORDER BY id",
+    "SELECT id, LEAD(id, 2, -1) OVER (ORDER BY id) FROM a ORDER BY id",
+    "SELECT id, FIRST_VALUE(txt) OVER (PARTITION BY grp ORDER BY id) "
+    "FROM a ORDER BY id",
+    "SELECT id, NTILE(3) OVER (ORDER BY id) FROM a ORDER BY id",
+]
+
+
+@pytest.mark.parametrize("q", WINDOW_SHAPES)
+def test_corpus_windows(env, q):
+    check_query(env, q)

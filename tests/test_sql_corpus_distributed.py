@@ -20,6 +20,7 @@ from tests.test_sql_corpus import (
     OUTER_SHAPES,
     PREDICATES,
     SETOP_SHAPES,
+    WINDOW_SHAPES,
 )
 from tests.test_sql_corpus import corpus_tables  # noqa: F401
 
@@ -27,6 +28,7 @@ ALL_SHAPES = (
     [f"SELECT id, grp, val FROM a WHERE {p}" for p in PREDICATES]
     + AGG_SHAPES + JOIN_SHAPES + ORDER_SHAPES + EXPR_SHAPES + SETOP_SHAPES
     + NESTED_SHAPES + CORRELATED_SHAPES + OUTER_SHAPES + DISTINCT_SHAPES
+    + WINDOW_SHAPES
 )
 
 

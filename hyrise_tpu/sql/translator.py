@@ -177,8 +177,10 @@ class SQLTranslator:
         per-set aggregates: each branch groups by its subset and projects
         typed NULLs for the suppressed keys (beyond the reference, which
         excludes rollup queries; GROUPING(key) folds to a per-branch
-        0/1 constant).
-        ORDER BY / LIMIT apply once on top of the union."""
+        0/1 constant).  Window functions evaluate per grouping set —
+        equivalent to the standard whenever the window partitions by the
+        grouping level (the Q86 pattern), since partitions then never
+        span sets.  ORDER BY / LIMIT apply once on top of the union."""
         import copy as _copy
 
         if any(isinstance(e, st.Star) for e, _ in stmt.select_list):
@@ -196,9 +198,13 @@ class SQLTranslator:
                     return True
             return ge is item_expr
 
-        def subst_grouping(expr, suppressed):
+        def subst_grouping(expr, suppressed, nested=False):
             # GROUPING(key) is a per-branch constant under the desugar:
-            # 1 when the key is suppressed in this grouping set, else 0
+            # 1 when the key is suppressed in this grouping set, else 0.
+            # A suppressed key referenced INSIDE a composite expression is
+            # NULL in that branch (standard ROLLUP semantics — Q86's
+            # CASE WHEN GROUPING(c)=0 THEN category END); top-level select
+            # items instead get a typed cast (union column alignment).
             if (isinstance(expr, ast.Function)
                     and expr.fname.lower() == "grouping"
                     and len(expr.children) == 1):
@@ -206,7 +212,11 @@ class SQLTranslator:
                 val = 1 if any(matches(g, inner, None) for g in suppressed) \
                     else 0
                 return ast.Literal(val)
-            kids = [subst_grouping(c, suppressed) for c in expr.children]
+            if (nested and isinstance(expr, st.UnresolvedColumn)
+                    and any(matches(g, expr, None) for g in suppressed)):
+                return ast.Literal(None)
+            kids = [subst_grouping(c, suppressed, nested=True)
+                    for c in expr.children]
             return _rebuild(expr, kids)
 
         # typing pre-pass: translate with the FULL key list to learn every

@@ -59,7 +59,7 @@ def _rollup_union(select_keys, aggs, from_where, order_limit):
     return " UNION ALL ".join(branches) + " " + order_limit
 
 
-@pytest.mark.parametrize("qid", sorted(ROLLUP_QIDS))
+@pytest.mark.parametrize("qid", [q for q in sorted(ROLLUP_QIDS) if q != 86])
 def test_tpcds_rollup_query(tpcds_env, qid):
     ours = (SQLPipelineBuilder(TPCDS_QUERIES[qid]).create_pipeline()
             .get_result_table().to_pylist())
@@ -108,4 +108,35 @@ def test_tpcds_rollup_query(tpcds_env, qid):
     assert rows_match(ours, theirs, ordered=False), (
         f"TPC-DS rollup {qid}: ours={len(ours)} sqlite={len(theirs)}\n"
         f"{ours[:4]}\n{theirs[:4]}"
+    )
+
+
+def test_tpcds_q86_rollup_window(tpcds_env):
+    """Q86: ROLLUP + GROUPING() inside the RANK window's partition."""
+    ours = (SQLPipelineBuilder(TPCDS_QUERIES[86]).create_pipeline()
+            .get_result_table().to_pylist())
+    base = (
+        "SELECT SUM(ws_net_paid) AS total_sum, {cat} AS i_category, "
+        "{cls} AS i_class, {loch} AS lochierarchy "
+        "FROM web_sales, date_dim, item "
+        "WHERE d_month_seq BETWEEN 24 AND 35 "
+        "AND d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk {gb}"
+    )
+    union = " UNION ALL ".join([
+        base.format(cat="i_category", cls="i_class", loch=0,
+                    gb="GROUP BY i_category, i_class"),
+        base.format(cat="i_category", cls="NULL", loch=1,
+                    gb="GROUP BY i_category"),
+        base.format(cat="NULL", cls="NULL", loch=2, gb=""),
+    ])
+    theirs = tpcds_env.execute(
+        "SELECT total_sum, i_category, i_class, lochierarchy, "
+        "RANK() OVER (PARTITION BY lochierarchy, "
+        "CASE WHEN lochierarchy = 0 THEN i_category END "
+        "ORDER BY total_sum DESC) AS rank_within_parent "
+        f"FROM ({union}) u "
+        "ORDER BY lochierarchy DESC, rank_within_parent LIMIT 100"
+    )
+    assert rows_match(ours, theirs, ordered=False), (
+        f"Q86: ours={len(ours)} sqlite={len(theirs)}\n{ours[:4]}\n{theirs[:4]}"
     )

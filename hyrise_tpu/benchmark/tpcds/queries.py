@@ -1322,7 +1322,7 @@ LIMIT 100
 
 # ROLLUP cannot run on the sqlite oracle directly; tests desugar to the
 # equivalent UNION ALL text for verification (tests/test_tpcds.py).
-ROLLUP_QIDS = (18, 22, 67, 86)
+ROLLUP_QIDS = (18, 22, 36, 67, 86)
 
 TPCDS_QUERIES[86] = """
 SELECT SUM(ws_net_paid) AS total_sum, i_category, i_class,
@@ -1334,6 +1334,23 @@ SELECT SUM(ws_net_paid) AS total_sum, i_category, i_class,
 FROM web_sales, date_dim, item
 WHERE d_month_seq BETWEEN 24 AND 35
   AND d_date_sk = ws_sold_date_sk AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP(i_category, i_class)
+ORDER BY lochierarchy DESC, rank_within_parent
+LIMIT 100
+"""
+
+TPCDS_QUERIES[36] = """
+SELECT SUM(ss_net_profit) / SUM(ss_ext_sales_price) AS gross_margin,
+       i_category, i_class,
+       GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                      CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+         ORDER BY SUM(ss_net_profit) / SUM(ss_ext_sales_price) ASC)
+         AS rank_within_parent
+FROM store_sales, date_dim, item, store
+WHERE d_year = 2000 AND d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
 GROUP BY ROLLUP(i_category, i_class)
 ORDER BY lochierarchy DESC, rank_within_parent
 LIMIT 100

@@ -59,8 +59,8 @@ def _rollup_union(select_keys, aggs, from_where, order_limit):
     return " UNION ALL ".join(branches) + " " + order_limit
 
 
-@pytest.mark.parametrize("qid", [q for q in sorted(ROLLUP_QIDS) if q != 86])
-def test_tpcds_rollup_query(tpcds_env, qid):
+@pytest.mark.parametrize("qid", [q for q in sorted(ROLLUP_QIDS) if q not in (36, 86)])
+def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
     ours = (SQLPipelineBuilder(TPCDS_QUERIES[qid]).create_pipeline()
             .get_result_table().to_pylist())
     if qid == 22:
@@ -139,4 +139,36 @@ def test_tpcds_q86_rollup_window(tpcds_env):
     )
     assert rows_match(ours, theirs, ordered=False), (
         f"Q86: ours={len(ours)} sqlite={len(theirs)}\n{ours[:4]}\n{theirs[:4]}"
+    )
+
+
+def test_tpcds_q36_rollup_window(tpcds_env):
+    """Q36: store-channel gross-margin rollup + grouping-level RANK."""
+    ours = (SQLPipelineBuilder(TPCDS_QUERIES[36]).create_pipeline()
+            .get_result_table().to_pylist())
+    base = (
+        "SELECT SUM(ss_net_profit)*1.0 / SUM(ss_ext_sales_price) "
+        "AS gross_margin, {cat} AS i_category, {cls} AS i_class, "
+        "{loch} AS lochierarchy "
+        "FROM store_sales, date_dim, item, store "
+        "WHERE d_year = 2000 AND d_date_sk = ss_sold_date_sk "
+        "AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk {gb}"
+    )
+    union = " UNION ALL ".join([
+        base.format(cat="i_category", cls="i_class", loch=0,
+                    gb="GROUP BY i_category, i_class"),
+        base.format(cat="i_category", cls="NULL", loch=1,
+                    gb="GROUP BY i_category"),
+        base.format(cat="NULL", cls="NULL", loch=2, gb=""),
+    ])
+    theirs = tpcds_env.execute(
+        "SELECT gross_margin, i_category, i_class, lochierarchy, "
+        "RANK() OVER (PARTITION BY lochierarchy, "
+        "CASE WHEN lochierarchy = 0 THEN i_category END "
+        "ORDER BY gross_margin ASC) AS rank_within_parent "
+        f"FROM ({union}) u "
+        "ORDER BY lochierarchy DESC, rank_within_parent LIMIT 100"
+    )
+    assert rows_match(ours, theirs, ordered=False), (
+        f"Q36: ours={len(ours)} sqlite={len(theirs)}\n{ours[:4]}\n{theirs[:4]}"
     )

@@ -88,14 +88,16 @@ class Join(AbstractReadOnlyOperator):
         mode = self.mode
 
         if mode == JoinMode.CROSS:
-            return _cross_product(self, L.materialize(), R.materialize())
+            return _cross_product(self, L.materialize().decoded(),
+                                  R.materialize().decoded())
 
         equi = [p for p in self.predicates
                 if p.condition == PredicateCondition.EQUALS]
         non_equi = [p for p in self.predicates
                     if p.condition != PredicateCondition.EQUALS]
         if not equi:
-            return self._nested_loop(L.materialize(), R.materialize())
+            return self._nested_loop(L.materialize().decoded(),
+                                     R.materialize().decoded())
 
         # probe side is the "outer"-preserved side; build side gets sorted
         swap = mode == JoinMode.RIGHT
@@ -454,8 +456,8 @@ class Product(AbstractReadOnlyOperator):
         )
         return _cross_product(
             self,
-            self.input_table_left().materialize(),
-            self.input_table_right().materialize(),
+            self.input_table_left().materialize().decoded(),
+            self.input_table_right().materialize().decoded(),
         )
 
     def _describe_self(self) -> str:

@@ -68,13 +68,24 @@ class Insert(AbstractReadWriteOperator):
             new_cap = max(target.capacity, padded_size(new_n))
             if new_cap > target.capacity:
                 new_cap = max(new_cap, padded_size(target.capacity * 2))
-            src_names = self.column_names or list(src.column_names)
-            name_to_src = {n: i for i, n in enumerate(src_names)}
             tcols = [
                 (tname, tcol)
                 for tname, tcol in zip(target.column_names, target.columns)
                 if tname != ROWID_COLUMN
             ]
+            # SQL maps INSERT source columns POSITIONALLY: the i-th select
+            # item feeds the i-th target column (or the i-th name in an
+            # explicit column list) regardless of the select item's name
+            if self.column_names:
+                src_names = self.column_names
+            else:
+                if src.num_columns != len(tcols):
+                    raise ValueError(
+                        f"INSERT into {self.table_name!r}: {src.num_columns}"
+                        f" source columns for {len(tcols)} target columns"
+                    )
+                src_names = [tname for tname, _ in tcols]
+            name_to_src = {n: i for i, n in enumerate(src_names)}
             batch = _batched_append(
                 tcols, src, name_to_src, old_n, n_new, new_cap
             )

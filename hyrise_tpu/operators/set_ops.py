@@ -30,8 +30,8 @@ class UnionAll(AbstractReadOnlyOperator):
     def _on_execute(self) -> Table:
         self.output_expressions = list(self._left.output_expressions)
         return concat_tables([
-            self.input_table_left().materialize(),
-            self.input_table_right().materialize(),
+            self.input_table_left().materialize().decoded(),
+            self.input_table_right().materialize().decoded(),
         ])
 
     def _describe_self(self):
@@ -51,8 +51,8 @@ class _SetOpBase(AbstractReadOnlyOperator):
 
     def _on_execute(self) -> Table:
         self.output_expressions = list(self._left.output_expressions)
-        L = self.input_table_left().materialize()
-        R = self.input_table_right().materialize()
+        L = self.input_table_left().materialize().decoded()
+        R = self.input_table_right().materialize().decoded()
         combined = concat_tables([L, R])
         cap = combined.capacity
         n_mask = combined.row_mask()
@@ -128,7 +128,7 @@ class Distinct(_SetOpBase):
 
     def _on_execute(self) -> Table:
         self.output_expressions = list(self._left.output_expressions)
-        L = self.input_table_left().materialize()
+        L = self.input_table_left().materialize().decoded()
         cap = L.capacity
         n_mask = L.row_mask()
         key_data = tuple(joink.normalize_key(c.data) for c in L.columns)

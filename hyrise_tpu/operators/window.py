@@ -37,7 +37,7 @@ class WindowOperator(AbstractReadOnlyOperator):
         self.output_expressions = (
             list(self._left.output_expressions) + [self.window_expr]
         )
-        table = self.input_table_left().materialize()
+        table = self.input_table_left().materialize().decoded()
         w = self.window_expr
         cap = table.capacity
         n = table.num_rows

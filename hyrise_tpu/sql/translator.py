@@ -187,16 +187,55 @@ class SQLTranslator:
             raise TranslationError("SELECT * with GROUPING SETS/ROLLUP")
 
         def matches(ge, item_expr, alias):
+            if ge is item_expr:
+                return True
             if isinstance(ge, st.UnresolvedColumn):
                 if isinstance(item_expr, st.UnresolvedColumn):
                     if ge.parts == item_expr.parts:
                         return True
-                    if (len(ge.parts) == 1 and len(item_expr.parts) == 2
-                            and ge.parts[0] == item_expr.parts[1]):
+                    # qualified vs unqualified reference to the same
+                    # column: resolvable queries are unambiguous, so the
+                    # last part decides when either side is bare
+                    if (ge.parts[-1] == item_expr.parts[-1]
+                            and (len(ge.parts) == 1
+                                 or len(item_expr.parts) == 1)):
                         return True
                 if alias and len(ge.parts) == 1 and ge.parts[0] == alias:
                     return True
-            return ge is item_expr
+                return False
+            if isinstance(item_expr, st.UnresolvedColumn):
+                return False
+            # expression keys (a || b, EXTRACT(...)): structural match
+            try:
+                return (type(ge) is type(item_expr)
+                        and ge.description() == item_expr.description())
+            except Exception:
+                return False
+
+        def contains_grouping(expr) -> bool:
+            if (isinstance(expr, ast.Function)
+                    and expr.fname.lower() == "grouping"):
+                return True
+            return any(contains_grouping(c) for c in expr.children)
+
+        # windows evaluate per grouping set; that equals the standard only
+        # when every window partitions by the grouping level (its
+        # partition keys include a GROUPING() term) — reject the
+        # non-equivalent shape loudly instead of returning wrong ranks
+        def check_windows(expr):
+            for sub in expr.walk():
+                if isinstance(sub, ast.WindowExpression):
+                    if not any(contains_grouping(p)
+                               for p in sub.partition_by):
+                        raise TranslationError(
+                            "window functions combined with ROLLUP/"
+                            "GROUPING SETS must PARTITION BY the grouping"
+                            " level (a GROUPING() expression); other"
+                            " shapes would rank across grouping sets"
+                        )
+
+        for e, _ in stmt.select_list:
+            check_windows(e)
 
         def subst_grouping(expr, suppressed, nested=False):
             # GROUPING(key) is a per-branch constant under the desugar:
@@ -271,11 +310,19 @@ class SQLTranslator:
         root: L.LQPNode = node
         if stmt.order_by:
             scope = Scope()
-            scope.add_relation(
-                Relation(None, names, root.output_expressions()))
+            out_exprs = root.output_expressions()
+            scope.add_relation(Relation(None, names, out_exprs))
             items = []
             for item in stmt.order_by:
-                e = self._resolve_expr(item.expr, scope)
+                if (isinstance(item.expr, ast.Literal)
+                        and isinstance(item.expr.value, int)):
+                    idx = item.expr.value - 1
+                    if not 0 <= idx < len(out_exprs):
+                        raise TranslationError(
+                            f"ORDER BY position {idx + 1} out of range")
+                    e = out_exprs[idx]
+                else:
+                    e = self._resolve_expr(item.expr, scope)
                 items.append((e, item.sort_mode))
             root = L.SortNode(items, root)
         root = self._apply_limit(stmt, root)
@@ -296,10 +343,19 @@ class SQLTranslator:
         root: L.LQPNode = node
         if stmt.order_by:
             scope = Scope()
-            scope.add_relation(Relation(None, lnames, root.output_expressions()))
+            out_exprs = root.output_expressions()
+            scope.add_relation(Relation(None, lnames, out_exprs))
             items = []
             for item in stmt.order_by:
-                e = self._resolve_expr(item.expr, scope)
+                if (isinstance(item.expr, ast.Literal)
+                        and isinstance(item.expr.value, int)):
+                    idx = item.expr.value - 1
+                    if not 0 <= idx < len(out_exprs):
+                        raise TranslationError(
+                            f"ORDER BY position {idx + 1} out of range")
+                    e = out_exprs[idx]
+                else:
+                    e = self._resolve_expr(item.expr, scope)
                 items.append((e, item.sort_mode))
             root = L.SortNode(items, root)
         root = self._apply_limit(stmt, root)
@@ -308,6 +364,13 @@ class SQLTranslator:
     def _translate_select_core(self, stmt, outer_scope):
         if getattr(stmt, "grouping_sets", None):
             return self._translate_grouping_sets(stmt, outer_scope)
+        if stmt.group_by and (
+            any(_contains_grouping_fn(e) for e, _ in stmt.select_list)
+            or (stmt.having is not None
+                and _contains_grouping_fn(stmt.having))
+        ):
+            # plain GROUP BY: GROUPING() is the constant 0 by definition
+            stmt = _fold_plain_grouping(stmt)
         scope = Scope(outer_scope)
 
         # ---- FROM
@@ -681,6 +744,31 @@ class SQLTranslator:
             return ast.Exists(sub, expr.negated)
         # generic: rebuild children
         return _rebuild(expr, [self._resolve_expr(c, scope) for c in expr.children])
+
+
+def _contains_grouping_fn(expr) -> bool:
+    return any(
+        isinstance(s, ast.Function) and s.fname.lower() == "grouping"
+        for s in expr.walk()
+    )
+
+
+def _fold_plain_grouping(stmt):
+    """Replace GROUPING(...) with 0 under a plain GROUP BY (standard
+    semantics: nothing is ever rolled up)."""
+    import copy
+
+    def fold(expr):
+        if (isinstance(expr, ast.Function)
+                and expr.fname.lower() == "grouping"):
+            return ast.Literal(0)
+        return _rebuild(expr, [fold(c) for c in expr.children])
+
+    out = copy.copy(stmt)
+    out.select_list = [(fold(e), a) for e, a in stmt.select_list]
+    if stmt.having is not None:
+        out.having = fold(stmt.having)
+    return out
 
 
 def _rebuild(expr: ast.Expression, children: List[ast.Expression]) -> ast.Expression:

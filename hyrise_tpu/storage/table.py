@@ -218,6 +218,19 @@ class Table:
         self.encode_attempted = True
         return sum(1 for c in self.columns if c.is_encoded)
 
+    def decoded(self) -> "Table":
+        """Copy with every encoded (packed/RLE) column decoded; self when
+        none are.  Entry point for EAGER device paths that read column
+        payloads directly (window, set ops, cross/nested-loop joins) —
+        jitted stages instead decode inside the trace
+        (operators/compiled._rebuild)."""
+        if not any(c.is_encoded for c in self.columns):
+            return self
+        t = Table(self.column_names, [c.decoded() for c in self.columns],
+                  self.num_rows, self.selection)
+        t.sorted_by = self.sorted_by
+        return t
+
     def decode_packed(self) -> None:
         """Decode any encoded columns in place (pre-mutation hook)."""
         if any(c.is_encoded for c in self.columns):

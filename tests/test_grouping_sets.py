@@ -126,3 +126,88 @@ def test_grouping_in_having(env):
         "UNION ALL SELECT NULL, NULL, SUM(amt) FROM s ORDER BY region"
     )
     assert rows_match(got, exp, ordered=True)
+
+
+def test_rollup_window_requires_grouping_partition(env):
+    """A window that does not partition by the grouping level would rank
+    across grouping sets — rejected loudly, not silently wrong."""
+    with pytest.raises(Exception, match="PARTITION BY the grouping"):
+        run_sql(
+            "SELECT region, SUM(amt) AS s, RANK() OVER (ORDER BY SUM(amt)) "
+            "FROM s GROUP BY ROLLUP(region)"
+        )
+
+
+def test_rollup_window_with_grouping_partition(env):
+    got = run_sql(
+        "SELECT region, SUM(amt) AS s, GROUPING(region) AS gr, "
+        "RANK() OVER (PARTITION BY GROUPING(region) ORDER BY SUM(amt) DESC)"
+        " AS rk FROM s GROUP BY ROLLUP(region) ORDER BY gr, rk"
+    )
+    exp = env.execute(
+        "SELECT region, s, gr, RANK() OVER (PARTITION BY gr ORDER BY s "
+        "DESC) AS rk FROM (SELECT region, SUM(amt) AS s, 0 AS gr FROM s "
+        "GROUP BY region UNION ALL SELECT NULL, SUM(amt), 1 FROM s) u "
+        "ORDER BY gr, rk"
+    )
+    assert rows_match(got, exp, ordered=True)
+
+
+def test_rollup_qualified_key_vs_bare_select(env):
+    got = run_sql(
+        "SELECT region, SUM(amt) FROM s GROUP BY ROLLUP(s.region) "
+        "ORDER BY region"
+    )
+    exp = env.execute(
+        "SELECT region, SUM(amt) FROM s GROUP BY region "
+        "UNION ALL SELECT NULL, SUM(amt) FROM s ORDER BY region"
+    )
+    assert rows_match(got, exp, ordered=True)
+
+
+def test_grouping_sets_expression_key(env):
+    got = run_sql(
+        "SELECT region || prod, SUM(amt) FROM s "
+        "GROUP BY GROUPING SETS ((region || prod), ()) ORDER BY 1"
+    )
+    exp = env.execute(
+        "SELECT region || prod, SUM(amt) FROM s GROUP BY region || prod "
+        "UNION ALL SELECT NULL, SUM(amt) FROM s ORDER BY 1"
+    )
+    assert rows_match(got, exp, ordered=True)
+
+
+def test_grouping_under_plain_group_by(env):
+    got = run_sql(
+        "SELECT region, GROUPING(region), SUM(amt) FROM s GROUP BY region "
+        "ORDER BY region"
+    )
+    exp = env.execute(
+        "SELECT region, 0, SUM(amt) FROM s GROUP BY region ORDER BY region"
+    )
+    assert rows_match(got, exp, ordered=True)
+
+
+def test_window_over_encoded_table(env):
+    """Window queries over bulk-encoded (packed/RLE) base tables must
+    decode at the eager operator entry."""
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.storage.table import Table
+
+    db = Database.get()
+    n = 2048
+    t = Table.from_dict({
+        "g": [i % 4 for i in range(n)],
+        # sorted float column -> RLE; small ints -> packed
+        "x": [float(i // 256) for i in range(n)],
+    })
+    assert t.encode_packed() >= 1
+    db.storage_manager.add_table("enc", t)
+    rows = run_sql(
+        "SELECT g, LAG(x) OVER (PARTITION BY g ORDER BY x), "
+        "SUM(x) OVER (PARTITION BY g) FROM enc ORDER BY g LIMIT 5"
+    )
+    assert len(rows) == 5
+    # union over encoded tables exercises concat/setop decode
+    rows2 = run_sql("SELECT g FROM enc INTERSECT SELECT g FROM enc")
+    assert len(rows2) == 4

@@ -288,3 +288,27 @@ def test_aggregate_keyed_build_is_unique(monkeypatch):
         ).create_pipeline().get_result_table().to_pylist()
     )
     assert len(rows) >= 200  # one max row per key (ties may add more)
+
+
+def test_insert_select_positional():
+    """INSERT ... SELECT maps source columns POSITIONALLY (SQL), not by
+    name: computed select items and reordered columns must land in the
+    right target columns."""
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+    from hyrise_tpu.storage.table import Table
+
+    def run(q):
+        t = SQLPipelineBuilder(q).create_pipeline().get_result_table()
+        return t.to_pylist() if t is not None else None
+
+    db = Database.reset()
+    db.storage_manager.add_table("src", Table.from_dict(
+        {"a": [1, 2, 3], "b": [10, 20, 30]}))
+    run("CREATE TABLE dst (v INT)")
+    run("INSERT INTO dst SELECT a + 100 FROM src")
+    assert run("SELECT v FROM dst ORDER BY v") == [(101,), (102,), (103,)]
+    run("CREATE TABLE dst2 (x INT, y INT)")
+    run("INSERT INTO dst2 SELECT b, a FROM src")  # positional swap
+    assert run("SELECT x, y FROM dst2 ORDER BY y") == [
+        (10, 1), (20, 2), (30, 3)]

@@ -180,7 +180,13 @@ class SQLTranslator:
         0/1 constant).  Window functions evaluate per grouping set —
         equivalent to the standard whenever the window partitions by the
         grouping level (the Q86 pattern), since partitions then never
-        span sets.  ORDER BY / LIMIT apply once on top of the union."""
+        span sets.  ORDER BY / LIMIT apply once on top of the union.
+
+        Known inefficiency: each branch re-executes the FROM/WHERE
+        pipeline (ROLLUP(n) scans n+1 times).  The standard optimization
+        — aggregate once at the finest level, re-aggregate coarser sets
+        from that result (decomposing AVG into SUM/COUNT) — is future
+        work; plan-stage caching already dedupes the compiled scans."""
         import copy as _copy
 
         if any(isinstance(e, st.Star) for e, _ in stmt.select_list):

@@ -40,6 +40,42 @@ def _emit(sf, our_times, sqlite_times) -> None:
     }), flush=True)
 
 
+def supervise() -> None:
+    """Run the benchmark in a CHILD process and guarantee the driver one
+    JSON line even when the TPU tunnel wedges: a wedged backend init
+    blocks inside a native call where Python signal handlers never fire,
+    so the child cannot rescue itself — the parent kills it with SIGKILL
+    at the deadline and emits the empty metric."""
+    import subprocess
+
+    budget_s = float(os.environ.get("HYRISE_TPU_BENCH_BUDGET", "480"))
+    env = dict(os.environ, HYRISE_TPU_BENCH_CHILD="1")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, env=env, text=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=budget_s + 120)
+    except subprocess.TimeoutExpired:
+        proc.kill()  # exact PID; SIGTERM cannot reach a wedged native call
+        try:
+            out, _ = proc.communicate(timeout=10)
+        except subprocess.TimeoutExpired:
+            out = ""
+        print("# benchmark child exceeded its deadline (wedged TPU "
+              "tunnel?) — killed", file=sys.stderr, flush=True)
+    line = next(
+        (ln for ln in (out or "").splitlines() if ln.startswith("{")), None
+    )
+    if line is None:
+        sf = os.environ.get("HYRISE_TPU_BENCH_SF", "0.1")
+        line = json.dumps({
+            "metric": f"tpch_sf{sf}_geomean_query_time",
+            "value": -1, "unit": "ms", "vs_baseline": 0.0,
+        })
+    print(line, flush=True)
+
+
 def main() -> None:
     import signal
 
@@ -169,4 +205,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HYRISE_TPU_BENCH_CHILD") == "1":
+        main()
+    else:
+        supervise()

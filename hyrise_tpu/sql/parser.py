@@ -163,6 +163,9 @@ class Parser:
         return out
 
     def parse_statement(self) -> st.Statement:
+        if self.cur.kind == "id" and self.cur.value.lower() == "explain":
+            self.advance()
+            return st.ExplainStatement(self.parse_statement())
         if self.at_kw("select", "with") or self.at_op("("):
             return self.parse_select()
         if self.at_kw("insert"):

@@ -107,6 +107,10 @@ class SQLPipelineStatement:
             self._result = self._execute_show()
             self._executed = True
             return
+        if isinstance(self.statement, st.ExplainStatement):
+            self._result = self._execute_explain()
+            self._executed = True
+            return
         if isinstance(self.statement, st.PrepareStatement):
             inner_stmt = self.statement.statement
             lqp = self.optimizer.optimize(
@@ -198,6 +202,24 @@ class SQLPipelineStatement:
             ctx._manager._deregister(ctx)  # read-only snapshot release
         self._result = pqp.get_output()
         self._executed = True
+
+    def _execute_explain(self) -> Table:
+        """EXPLAIN <stmt>: the optimized logical plan and the physical
+        plan it translates to, one tree line per row (the SQL-surface
+        counterpart of the console's `visualize`)."""
+        inner = self.statement.statement
+        lqp = self.optimizer.optimize(
+            SQLTranslator(self.use_mvcc).translate(inner)
+        )
+        lines = ["-- optimized logical plan --"]
+        lines += lqp.tree_string().splitlines()
+        try:
+            pqp = LQPTranslator().translate(lqp)
+            lines.append("-- physical plan --")
+            lines += pqp.description().splitlines()
+        except Exception as exc:  # plans with DML/DDL side effects
+            lines.append(f"-- physical plan unavailable: {exc} --")
+        return Table.from_dict({"plan": lines})
 
     def _execute_show(self) -> Table:
         db = Database.get()

@@ -227,6 +227,11 @@ class ShowStatement:
     table_name: Optional[str] = None
 
 
+@dataclass
+class ExplainStatement:
+    statement: "Statement"
+
+
 Statement = Union[
     SelectStatement,
     InsertStatement,
@@ -241,4 +246,5 @@ Statement = Union[
     CopyStatement,
     TransactionStatement,
     ShowStatement,
+    ExplainStatement,
 ]

@@ -147,3 +147,20 @@ def test_scheduler_mode_setting_runs_queries():
         sql("UPDATE meta_settings SET value = 'immediate' "
             "WHERE name = 'scheduler.mode'")
     assert not isinstance(db.scheduler, NodeQueueScheduler)
+
+
+def test_explain_statement():
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.sql.pipeline import sql
+    from hyrise_tpu.storage.table import Table
+
+    db = Database.reset()
+    db.storage_manager.add_table(
+        "t", Table.from_dict({"a": [1, 2, 3], "g": ["x", "y", "x"]}))
+    rows = sql(
+        "EXPLAIN SELECT g, SUM(a) FROM t WHERE a > 1 GROUP BY g"
+    ).to_pylist()
+    text = "\n".join(r[0] for r in rows)
+    assert "optimized logical plan" in text
+    assert "Aggregate" in text and "TableScan" in text
+    assert "physical plan" in text

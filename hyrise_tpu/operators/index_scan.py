@@ -38,9 +38,10 @@ class IndexScan(AbstractReadOnlyOperator):
                 self.table_name, base, self.column_name
             )
         lo, hi = self._bounds(table)
-        mask = index.row_mask_for_range(lo, hi, table.capacity)
+        mask = index.row_mask_for_range(lo, hi, table.capacity,
+                                        base_mask=table.row_mask())
         return Table(table.column_names, table.columns, table.num_rows,
-                     selection=mask & table.row_mask())
+                     selection=mask)
 
     def _bounds(self, table: Table):
         col = table.column(self.column_name)
@@ -117,9 +118,10 @@ class CompositeIndexScan(AbstractReadOnlyOperator):
                              table.num_rows,
                              selection=jnp.zeros(table.capacity, dtype=bool))
             codes.append(code)
-        mask = index.row_mask_for_equals(codes, table.capacity)
+        mask = index.row_mask_for_equals(codes, table.capacity,
+                                         base_mask=table.row_mask())
         return Table(table.column_names, table.columns, table.num_rows,
-                     selection=mask & table.row_mask())
+                     selection=mask)
 
     def _describe_self(self):
         pairs = ", ".join(f"{c} = {v!r}" for c, v in

@@ -74,6 +74,9 @@ class ShardedTable:
 def partition_table(table: Table, qmesh: QueryMesh,
                     rows_per_shard: Optional[int] = None) -> ShardedTable:
     """Round-robin block partitioning: row r -> shard r // rps."""
+    # compact pending selections (num_rows is only an upper bound under a
+    # selection mask) and decode packed/RLE payloads — shards ship raw
+    table = table.materialize().decoded()
     n = table.num_rows
     ndev = qmesh.n
     if rows_per_shard is None:

@@ -79,14 +79,20 @@ def column_refs(st: ShardedTable) -> Dict[str, ast.ColumnRef]:
 
 
 def dense_slots(ev: ExpressionEvaluator, group_exprs, domains) -> jax.Array:
+    """Dense slot id per row; rows with a NULL group key map to the
+    out-of-range sentinel (the product of domains) so segment ops DROP
+    them instead of aliasing the last real group."""
     slot = jnp.zeros(ev.capacity, dtype=jnp.int32)
+    null_any = jnp.zeros(ev.capacity, dtype=bool)
+    total = 1
     for e, (offset, domain) in zip(group_exprs, domains):
         r = ev.evaluate(e)
         code = r.data.astype(jnp.int32) - offset
         if r.validity is not None:
-            code = jnp.where(r.validity, code, domain - 1)
+            null_any = null_any | ~r.validity
         slot = slot * domain + jnp.clip(code, 0, domain - 1)
-    return slot
+        total *= domain
+    return jnp.where(null_any, jnp.int32(total), slot)
 
 
 def distributed_scan_aggregate(
@@ -240,7 +246,10 @@ def distributed_join_aggregate(
         slot = dense_slots(pev, group_exprs, group_domains) if group_exprs \
             else jnp.zeros(pt.capacity, dtype=jnp.int32)
         val = pev.evaluate(value_expr)
-        vdata = val.data.astype(jnp.float64)
+        if val.validity is not None:
+            # NULL values neither sum nor count (SUM/COUNT(v) semantics)
+            p_mask = p_mask & val.validity
+        vdata = jnp.where(p_mask, val.data, 0).astype(jnp.float64)
         # co-shuffle
         rpk, rpv, (rslot, rval), p_over = shf.shuffle_rows(
             pk, p_mask, (slot, vdata), n, bucket_cap

@@ -308,6 +308,13 @@ class LQPTranslator:
             return None
         if not all(isinstance(v, A.Literal) for v in lits):
             return None
+        if col.data_type() in (DataType.INT, DataType.LONG, DataType.DATE):
+            for v in lits:
+                if isinstance(v.value, float) and not v.value.is_integer():
+                    # fractional bound on an integer column: int() would
+                    # truncate and flip < / = answers — leave it to the
+                    # type-promoting TableScan
+                    return None
         # row layout must match the base table (selection masks compose)
         walk = node.left
         while isinstance(walk, (L.PredicateNode, L.ValidateNode)):
@@ -326,6 +333,11 @@ class LQPTranslator:
             return None
         if index._row_count_at_build != base.num_rows:
             return None  # stale index: appended rows would be missed
+        if walk.pruning_predicates:
+            # block pruning re-packs GetTable's output, which would break
+            # the index's base-table row positions; the index already
+            # delivers the selectivity, so keep the base layout instead
+            walk.pruning_predicates = []
         left = self._translate(node.left, cache)
         value = lits[0].value
         value2 = lits[1].value if len(lits) > 1 else None

@@ -85,7 +85,12 @@ def ensure_column(stats: BlockStatistics, table: Table, name: str) -> bool:
     n = stats.row_count
     block_rows = stats.block_rows
     nb = stats.n_blocks
-    data = col.host_raw(n).astype(np.float64)
+    data = col.host_raw(n)
+    # int64 values above 2^53 round when cast to float64 — widen integer
+    # bounds by one ulp outward so pruning stays SOUND (a block is only
+    # skipped when provably disjoint; slightly-wide bounds lose at most a
+    # sliver of pruning opportunity, never a matching row)
+    is_int = data.dtype.kind in ("i", "u")
     valid = (np.asarray(col.validity)[:n] if col.validity is not None
              else np.ones(n, dtype=bool))
     mins = np.full(nb, np.inf)
@@ -98,8 +103,12 @@ def ensure_column(stats: BlockStatistics, table: Table, name: str) -> bool:
             all_null[b] = True
             continue
         d = data[sl][v]
-        mins[b] = d.min()
-        maxs[b] = d.max()
+        lo, hi = float(d.min()), float(d.max())
+        if is_int:
+            lo = np.nextafter(lo, -np.inf)
+            hi = np.nextafter(hi, np.inf)
+        mins[b] = lo
+        maxs[b] = hi
     stats.columns[name] = (mins, maxs, all_null)
     return True
 

@@ -18,9 +18,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from functools import partial
+
 from hyrise_tpu.kernels import joins as joink
 from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import DataType
+
+
+@partial(jax.jit, static_argnames=("capacity",))
+def _jit_range_mask(sorted_keys, perm, n_valid, lo, hi, base_mask,
+                    capacity: int):
+    """One fused dispatch per index probe: binary searches + scatter +
+    base-mask AND (eager per-op dispatches each cross the TPU tunnel)."""
+    left = jnp.minimum(jnp.searchsorted(sorted_keys, lo, side="left"),
+                       n_valid)
+    right = jnp.minimum(jnp.searchsorted(sorted_keys, hi, side="right"),
+                        n_valid)
+    pos = jnp.arange(perm.shape[0])
+    in_range = (pos >= left) & (pos < right)
+    mask = jnp.zeros(capacity, dtype=bool)
+    rows = jnp.clip(perm, 0, capacity - 1)
+    out = mask.at[rows].max(in_range)
+    return out & base_mask
 
 
 class OrderedIndex:
@@ -41,13 +60,17 @@ class OrderedIndex:
     def range_for(self, lo_key, hi_key) -> Tuple[jax.Array, jax.Array]:
         """Positions [left, right) of rows with lo_key <= key <= hi_key in
         the sorted projection; map through `perm` for row ids."""
-        # clamp host bounds into the key dtype (a too-wide python int would
-        # silently wrap during conversion)
+        # bounds outside the key dtype cannot match anything — tighten past
+        # the domain edge instead of clamping ONTO it (clamping turned
+        # `= 2^31` on int32 into false matches of INT32_MAX)
         dt = self.sorted_keys.dtype
         if jnp.issubdtype(dt, jnp.integer):
             info = jnp.iinfo(dt)
-            lo_key = int(np.clip(lo_key, info.min, info.max))
-            hi_key = int(np.clip(hi_key, info.min, info.max))
+            if lo_key > info.max or hi_key < info.min or lo_key > hi_key:
+                zero = jnp.zeros((), jnp.int32)
+                return zero, zero
+            lo_key = int(max(lo_key, info.min))
+            hi_key = int(min(hi_key, info.max))
         left = jnp.minimum(
             jnp.searchsorted(self.sorted_keys, lo_key, side="left"), self.n_valid
         )
@@ -56,13 +79,22 @@ class OrderedIndex:
         )
         return left, right
 
-    def row_mask_for_range(self, lo_key, hi_key, capacity: int) -> jax.Array:
-        left, right = self.range_for(lo_key, hi_key)
-        pos = jnp.arange(self.perm.shape[0])
-        in_range = (pos >= left) & (pos < right)
-        mask = jnp.zeros(capacity, dtype=bool)
-        rows = jnp.clip(self.perm, 0, capacity - 1)
-        return mask.at[rows].max(in_range[: self.perm.shape[0]])
+    def row_mask_for_range(self, lo_key, hi_key, capacity: int,
+                           base_mask: Optional[jax.Array] = None) -> jax.Array:
+        if base_mask is None:
+            base_mask = jnp.ones(capacity, dtype=bool)
+        dt = self.sorted_keys.dtype
+        if jnp.issubdtype(dt, jnp.integer):
+            info = jnp.iinfo(dt)
+            if lo_key > info.max or hi_key < info.min or lo_key > hi_key:
+                return jnp.zeros(capacity, dtype=bool)
+            lo_key = int(max(lo_key, info.min))
+            hi_key = int(min(hi_key, info.max))
+        return _jit_range_mask(
+            self.sorted_keys, self.perm, jnp.asarray(self.n_valid),
+            jnp.asarray(lo_key, dt), jnp.asarray(hi_key, dt), base_mask,
+            capacity,
+        )
 
     @property
     def stale(self) -> bool:
@@ -131,22 +163,18 @@ class CompositeOrderedIndex:
             shift += w
         return packed
 
-    def row_mask_for_equals(self, values: Sequence[int],
-                            capacity: int) -> jax.Array:
+    def row_mask_for_equals(self, values: Sequence[int], capacity: int,
+                            base_mask: Optional[jax.Array] = None) -> jax.Array:
         key = self.key_for(values)
         if key is None:
             return jnp.zeros(capacity, dtype=bool)
-        left = jnp.minimum(
-            jnp.searchsorted(self.sorted_keys, key, side="left"), self.n_valid
+        if base_mask is None:
+            base_mask = jnp.ones(capacity, dtype=bool)
+        dt = self.sorted_keys.dtype
+        return _jit_range_mask(
+            self.sorted_keys, self.perm, jnp.asarray(self.n_valid),
+            jnp.asarray(key, dt), jnp.asarray(key, dt), base_mask, capacity,
         )
-        right = jnp.minimum(
-            jnp.searchsorted(self.sorted_keys, key, side="right"), self.n_valid
-        )
-        pos = jnp.arange(self.perm.shape[0])
-        in_range = (pos >= left) & (pos < right)
-        mask = jnp.zeros(capacity, dtype=bool)
-        rows = jnp.clip(self.perm, 0, capacity - 1)
-        return mask.at[rows].max(in_range[: self.perm.shape[0]])
 
 
 class HashIndex:
@@ -157,10 +185,17 @@ class HashIndex:
         self.column_names = tuple(column_names)
         n = table.num_rows
         cols = [table.column(c).host_raw(n) for c in column_names]
+        # NULL rows never satisfy an equality probe — exclude them from
+        # the build (their null-slot payloads are storage garbage)
+        valid = np.ones(n, dtype=bool)
+        for c in column_names:
+            v = table.column(c).validity
+            if v is not None:
+                valid &= np.asarray(v)[:n]
         self._map: Dict[tuple, List[int]] = {}
-        for i in range(n):
+        for i in np.flatnonzero(valid):
             key = tuple(int(c[i]) for c in cols)
-            self._map.setdefault(key, []).append(i)
+            self._map.setdefault(key, []).append(int(i))
 
     def rows_for(self, key: tuple) -> List[int]:
         return self._map.get(tuple(int(k) for k in key), [])

@@ -103,3 +103,31 @@ def test_string_and_date_pruning():
     st, gt = _get_table_op("SELECT COUNT(*) FROM d WHERE grp = 'bbb'")
     assert gt.blocks_kept < gt.blocks_total
     assert st.get_result_table().to_pylist() == [(n // 4,)]
+
+
+def test_index_scan_with_block_pruning_parity(small_blocks):
+    """Index row positions are base-table layout; when both an index and
+    block pruning apply to the same stored table, the translator must not
+    combine a re-packed GetTable with base-position masks (it drops the
+    pruning and keeps the index).  Guards the silent-wrong-rows bug."""
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+    from hyrise_tpu.storage.table import Table
+
+    db = Database.reset()
+    n = 1024  # 4 pruning blocks at 256 rows
+    t = Table.from_dict({
+        "x": list(range(n)),              # clustered: blocks prunable
+        "y": [i % 7 for i in range(n)],
+    })
+    db.storage_manager.add_table("bt", t)
+    db.index_registry.create_ordered_index("bt", t, "x")
+
+    def run(q):
+        return (SQLPipelineBuilder(q).create_pipeline()
+                .get_result_table().to_pylist())
+
+    got = run("SELECT x, y FROM bt WHERE x >= 700 AND x < 720 ORDER BY x")
+    assert got == [(i, i % 7) for i in range(700, 720)]
+    got2 = run("SELECT x FROM bt WHERE x = 1000")
+    assert got2 == [(1000,)]

@@ -84,13 +84,23 @@ class TransactionContext:
         self.phase = TransactionPhase.COMMITTING
         ctx = self._manager._new_commit_context()
         self.commit_id = ctx.commit_id
-        for op in self._rw_operators:
-            op.commit_records(ctx.commit_id)
-        self._manager._commit(ctx)
+        try:
+            for op in self._rw_operators:
+                op.commit_records(ctx.commit_id)
+        finally:
+            # the CommitContext is already enqueued in the ordered chain —
+            # it MUST be marked complete even if an operator's commit
+            # raised, or the pending head wedges commit visibility for
+            # every later transaction in the process
+            self._manager._commit(ctx)
         self.phase = TransactionPhase.COMMITTED
         self._manager._deregister(self)
 
     def rollback(self, after_conflict: bool = False) -> None:
+        if self.phase not in (TransactionPhase.ACTIVE,
+                              TransactionPhase.CONFLICTED):
+            return  # already rolled back/committed: re-running
+            # rollback_records would release OTHER transactions' row locks
         for op in self._rw_operators:
             op.rollback_records()
         self.phase = (

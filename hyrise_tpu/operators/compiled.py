@@ -2,7 +2,7 @@
 per (plan-node, table-shape) signature and reuse the XLA executable.
 
 This is the "static dataflow of kernels" execution model from the north
-star: instead of eagerly dispatching每 jnp op (host overhead per op —
+star: instead of eagerly dispatching each jnp op (host overhead per op —
 ruinous through a remote TPU tunnel), each operator's whole device stage
 becomes ONE fused jitted computation.  Shape decisions (join expansion
 size, group counts) remain the only host sync points, and row counts are
@@ -22,6 +22,16 @@ from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
 
 _CACHE: Dict[tuple, Callable] = {}
+# stage executables close over their first-execution inputs (builder
+# closures reference the operator graph), so an unbounded cache pins
+# device memory; FIFO-evict beyond the cap (re-execution recompiles)
+_CACHE_CAP = int(os.environ.get("HYRISE_TPU_STAGE_CACHE_CAP", "8192"))
+
+
+def _cache_put(key, value) -> None:
+    if len(_CACHE) >= _CACHE_CAP:
+        _CACHE.pop(next(iter(_CACHE)))
+    _CACHE[key] = value
 
 # Opt-in per-stage wall timing (forces a device sync per stage — only for
 # profiling; ref: step-level OperatorPerformanceData,
@@ -259,7 +269,7 @@ def run_stage(
     _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
-        _CACHE[key] = (fn, meta)
+        _cache_put(key, (fn, meta))
     return out, meta
 
 
@@ -302,7 +312,7 @@ def run_stage2(
     _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
-        _CACHE[key] = (fn, meta)
+        _cache_put(key, (fn, meta))
     return out, meta
 
 
@@ -351,7 +361,7 @@ def run_stage2_extra(
     _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
-        _CACHE[key] = (fn, meta)
+        _cache_put(key, (fn, meta))
     return out, meta
 
 
@@ -394,7 +404,7 @@ def run_arrays(
     _record(tag, out, t0)
     meta = meta_cell.get("meta")
     if key is not None:
-        _CACHE[key] = (fn, meta)
+        _cache_put(key, (fn, meta))
     return out, meta
 
 

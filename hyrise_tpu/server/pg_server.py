@@ -170,9 +170,16 @@ class Session:
         portal, rest = _read_cstr(body)
         stmt, rest = _read_cstr(rest)
         (n_fmt,) = struct.unpack("!H", rest[:2])
+        fmts = struct.unpack(f"!{n_fmt}H", rest[2:2 + 2 * n_fmt])
         rest = rest[2 + 2 * n_fmt:]
         (n_params,) = struct.unpack("!H", rest[:2])
         rest = rest[2:]
+        if any(f == 1 for f in fmts):
+            # binary parameters would be corrupted by text splicing —
+            # refuse loudly; clients fall back to text format
+            self._send_error("binary parameter format not supported",
+                             code="0A000")
+            return
         params: List[Optional[str]] = []
         for _ in range(n_params):
             (plen,) = struct.unpack("!i", rest[:4])
@@ -186,8 +193,16 @@ class Session:
         self._send(b"2", b"")  # BindComplete
 
     def _describe(self, body: bytes) -> None:
-        # minimal: NoData — clients fall back to the row description sent
-        # with the actual result during Execute
+        kind = body[:1]
+        if kind == b"S":
+            name = body[1:].split(b"\x00", 1)[0].decode()
+            sql = self._prepared.get(name, "")
+            n_params = len({m.group(1) for m in
+                            _PLACEHOLDER_RE.finditer(sql) if m.group(1)})
+            # ParameterDescription with unknown OIDs (0) — clients infer
+            self._send(b"t", struct.pack("!H", n_params)
+                       + struct.pack("!I", 0) * n_params)
+        # NoData: the row description arrives with the Execute result
         self._send(b"n", b"")
 
     async def _extended_execute(self, body: bytes) -> None:
@@ -196,19 +211,19 @@ class Session:
         sql = self._prepared.get(stmt_name, "")
         sql = _substitute_placeholders(sql, params)
         try:
-            builder = SQLPipelineBuilder(sql)
-            if self._txn_context is not None:
-                builder = builder.with_transaction_context(self._txn_context)
-            pipeline = builder.create_pipeline()
-            tables = pipeline.get_result_tables()
-            self._txn_context = pipeline.transaction_context
-            result = tables[-1] if tables else None
+            # same executor offload + admission cap as the simple path:
+            # an inline pipeline would block the event loop for every
+            # other session during a 30-90s first TPU compile
+            result = await self._run_pipeline(sql)
             if result is not None and result.num_columns:
                 self._send_row_description(result)
                 n = self._send_data_rows(result)
                 self._send_command_complete(f"SELECT {n}")
             else:
                 self._send_command_complete("OK")
+        except TransactionConflict as exc:
+            self._txn_context = None
+            self._send_error(str(exc), code="40001")
         except Exception as exc:
             self._send_error(str(exc))
         await self.writer.drain()
@@ -266,12 +281,15 @@ def _render_value(v) -> str:
     return str(v)
 
 
+_NUMERIC_RE = re.compile(r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$")
+
+
 def _quote_param(p: str) -> str:
-    try:
-        float(p)
+    # strict numeric-token check: float() also accepts 'NaN', 'Infinity',
+    # '1_0' and padded strings, which would splice malformed SQL
+    if _NUMERIC_RE.match(p):
         return p
-    except ValueError:
-        return "'" + p.replace("'", "''") + "'"
+    return "'" + p.replace("'", "''") + "'"
 
 
 _PLACEHOLDER_RE = re.compile(r"'(?:[^']|'')*'|\$(\d+)")

@@ -47,7 +47,8 @@ class GDFSCache(Generic[V]):
             return value
 
     def has(self, key: Hashable) -> bool:
-        return key in self._entries
+        with self._lock:
+            return key in self._entries
 
     def _evict(self) -> None:
         if not self._entries:
@@ -62,13 +63,16 @@ class GDFSCache(Generic[V]):
             self._inflation = 0.0
 
     def __len__(self) -> int:
-        return len(self._entries)
+        with self._lock:
+            return len(self._entries)
 
     def keys(self):
-        return list(self._entries.keys())
+        with self._lock:
+            return list(self._entries.keys())
 
     def values(self):
-        return [v for (v, _, _, _) in self._entries.values()]
+        with self._lock:
+            return [v for (v, _, _, _) in self._entries.values()]
 
     def items(self):
         with self._lock:

@@ -42,9 +42,19 @@ class DependentGroupByReductionRule(AbstractRule):
             for n in agg.left.walk()
         ):
             return  # outer joins may null-extend; dependency unsafe
+        # self-joins: ColumnRef.origin is the TABLE name, so two aliases
+        # of the same table would be conflated into one dependency bucket
+        # (c1.key "determining" c2's column from a DIFFERENT row) — skip
+        # tables that appear more than once below the aggregate
+        table_counts: dict = {}
+        for n in agg.left.walk():
+            if isinstance(n, L.StoredTableNode):
+                table_counts[n.table_name] = table_counts.get(
+                    n.table_name, 0) + 1
         cols = [
             e for e in agg.group_by
             if isinstance(e, ast.ColumnRef) and e.origin
+            and table_counts.get(e.origin, 0) <= 1
         ]
         by_table = {}
         for c in cols:

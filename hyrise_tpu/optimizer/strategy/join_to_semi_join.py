@@ -24,9 +24,13 @@ def _key_unique_below(node: L.LQPNode, col: ast.ColumnRef) -> bool:
     `node` can duplicate rows of that table (expanding joins, unions), or
     `node` groups by exactly that column."""
     if isinstance(node, L.AggregateNode):
-        return any(
-            isinstance(g, ast.ColumnRef) and g.key() == col.key()
-            for g in node.group_by
+        # uniqueness holds only when the aggregate groups by EXACTLY this
+        # column: with multiple keys the output has one row per key TUPLE,
+        # so a single key column repeats across tuples
+        return (
+            len(node.group_by) == 1
+            and isinstance(node.group_by[0], ast.ColumnRef)
+            and node.group_by[0].key() == col.key()
         )
     if getattr(col, "origin", None) is None:
         return False

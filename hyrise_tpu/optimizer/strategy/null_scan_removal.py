@@ -26,8 +26,22 @@ class NullScanRemovalRule(AbstractRule):
                     and p.condition == PredicateCondition.IS_NOT_NULL
                     and isinstance(p.children[0], ast.ColumnRef)
                     and not p.children[0].nullable()
+                    and not _null_extending_join_below(node.left)
                 ):
                     return node.left
             return node
 
         return visit(root)
+
+
+def _null_extending_join_below(node: L.LQPNode) -> bool:
+    """Column nullability is a BASE-TABLE flag; an outer join below the
+    predicate null-extends its columns, so the IS NOT NULL filter is NOT
+    a tautology there (it rejects the unmatched rows)."""
+    from hyrise_tpu.types import JoinMode
+
+    return any(
+        isinstance(n, L.JoinNode)
+        and n.mode in (JoinMode.LEFT, JoinMode.RIGHT, JoinMode.FULL)
+        for n in node.walk()
+    )

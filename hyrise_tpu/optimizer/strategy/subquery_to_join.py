@@ -138,6 +138,16 @@ class SubqueryToJoinRule(AbstractRule):
         inner, hoisted = self._hoist_correlation(sub)
         if hoisted is None:
             return None
+        if negated and any(
+            getattr(hp.children[1], "nullable", lambda: True)()
+            for hp in hoisted
+        ):
+            # correlated NOT IN with a nullable correlation column: the
+            # anti join's null-as-true semantics would apply to the packed
+            # (correlation AND operand) key, voiding EVERY outer row when
+            # any inner correlation value is NULL — SQL only voids on NULL
+            # IN-operands.  Refuse the rewrite.
+            return None
         join_preds += hoisted
         mode = JoinMode.ANTI_NULL_AS_TRUE if negated else JoinMode.SEMI
         return L.JoinNode(mode, join_preds, node.left, inner)
@@ -161,7 +171,24 @@ class SubqueryToJoinRule(AbstractRule):
         if len(sub_out) != 1:
             return None
         scalar_col = sub_out[0]
-        inner, hoisted = self._hoist_correlation(sub)
+        # find the compensated aggregate FIRST: hoisting past it is legal
+        # exactly because it re-groups by the correlation keys afterwards
+        agg_probe = self._find_sole_aggregate(sub.lqp)
+        if agg_probe is None or agg_probe.group_by:
+            return None
+        from hyrise_tpu.types import AggregateFunction
+
+        if any(
+            isinstance(a, ast.AggregateExpression)
+            and a.function == AggregateFunction.COUNT
+            for a in agg_probe.aggregates
+        ) and not _comparison_rejects_zero(pred.condition, outer_operand):
+            # COUNT over an empty correlated group is 0, not NULL; the
+            # INNER join against the grouped aggregate DROPS outer rows
+            # with no matching group, which is only equivalent when the
+            # comparison rejects 0 anyway (the Q41 `count > 0` shape)
+            return None
+        inner, hoisted = self._hoist_correlation(sub, past_agg=agg_probe)
         if hoisted is None or not hoisted:
             return None
         if not all(
@@ -170,8 +197,6 @@ class SubqueryToJoinRule(AbstractRule):
             for jp in hoisted
         ):
             return None  # grouping by the correlation key needs equalities
-        # the subquery must produce a single aggregate column; find the
-        # AggregateNode and add the correlation columns as group keys
         agg_node = self._find_sole_aggregate(inner)
         if agg_node is None or agg_node.group_by:
             return None
@@ -192,11 +217,18 @@ class SubqueryToJoinRule(AbstractRule):
 
     # ------------------------------------------------------------------
 
-    def _hoist_correlation(self, sub: ast.Subquery):
+    def _hoist_correlation(self, sub: ast.Subquery, past_agg=None):
         """Remove `inner_col = Parameter` predicates from the subquery plan
         and return (inner_root, join_predicates) with the Parameters
         replaced by the outer expressions.  Returns (root, None) when a
-        correlated parameter is used in a non-hoistable way."""
+        correlated parameter is used in a non-hoistable way.
+
+        Hoisting past an aggregate / set operation / limit / window /
+        outer join changes semantics (the filter would no longer restrict
+        that operator's input), so correlated predicates below such
+        boundaries refuse the rewrite — EXCEPT `past_agg`, the one
+        aggregate the correlated-scalar rewrite compensates by grouping
+        on the correlation keys."""
         param_map: Dict[int, ast.Expression] = {
             pid: outer for pid, outer in sub.parameters
         }
@@ -214,6 +246,8 @@ class SubqueryToJoinRule(AbstractRule):
             else:
                 if any(_uses_params(e, param_map) for e in n.node_expressions()):
                     return sub.lqp, None
+        if _hoist_blocked(sub.lqp, param_map, past_agg):
+            return sub.lqp, None
 
         def visit(node: L.LQPNode) -> Optional[L.LQPNode]:
             if node.left is not None:
@@ -306,6 +340,53 @@ class SubqueryToJoinRule(AbstractRule):
                         node.expressions.append(c)
                         node.names.append(c.name())
             node = node.left
+
+
+def _comparison_rejects_zero(cond, outer_operand) -> bool:
+    """True when `outer cmp 0` is False — empty correlated groups (whose
+    COUNT is 0) would be filtered by the predicate anyway, so the INNER
+    join dropping them is equivalent."""
+    if not isinstance(outer_operand, ast.Literal) or not isinstance(
+        outer_operand.value, (int, float)
+    ):
+        return False
+    v = outer_operand.value
+    truth = {
+        PredicateCondition.EQUALS: v == 0,
+        PredicateCondition.NOT_EQUALS: v != 0,
+        PredicateCondition.LESS_THAN: v < 0,
+        PredicateCondition.LESS_THAN_EQUALS: v <= 0,
+        PredicateCondition.GREATER_THAN: v > 0,
+        PredicateCondition.GREATER_THAN_EQUALS: v >= 0,
+    }.get(cond)
+    return truth is False
+
+
+def _hoist_blocked(root: L.LQPNode, param_map, past_agg) -> bool:
+    """True when a correlated predicate sits below a hoist boundary:
+    aggregates (other than the compensated `past_agg`), set operations,
+    limits, windows, or non-inner joins — removing the filter there would
+    change that operator's input, not just the row set."""
+    from hyrise_tpu.types import JoinMode
+
+    for n in root.walk():
+        blocking = (
+            isinstance(n, (L.AggregateNode, L.UnionNode, L.IntersectNode,
+                           L.ExceptNode, L.LimitNode, L.WindowNode))
+            and n is not past_agg
+        ) or (
+            isinstance(n, L.JoinNode)
+            and n.mode not in (JoinMode.INNER, JoinMode.CROSS)
+        )
+        if not blocking:
+            continue
+        for d in n.walk():
+            if d is n:
+                continue
+            if any(_uses_params(e, param_map)
+                   for e in d.node_expressions()):
+                return True
+    return False
 
 
 class _FailSentinel:

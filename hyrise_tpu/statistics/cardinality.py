@@ -170,8 +170,13 @@ class CardinalityEstimator:
                 and len(p.children) == 2
             ):
                 a, b = p.children
-                nda = self.distinct_count(a, l_rows if _first_col_side(a) else r_rows)
-                ndb = self.distinct_count(b, r_rows)
+                # which side each expression belongs to is not tracked
+                # here, so cap both NDVs by max(|L|,|R|) — capping by the
+                # wrong (smaller) side undercounted a big side's NDV and
+                # overestimated join output by orders of magnitude
+                cap = max(l_rows, r_rows)
+                nda = self.distinct_count(a, cap)
+                ndb = self.distinct_count(b, cap)
                 divisor *= max(nda, ndb, 1.0)
             else:
                 out *= DEFAULT_SELECTIVITY

@@ -105,7 +105,8 @@ class CostEstimator:
             # sort-based grouping unless dense; group-count sync when grouped
             return _xlogx(rows_in) + out + (SYNC_COST if node.group_by else 0.0)
         if t in (L.UnionNode, L.IntersectNode, L.ExceptNode, L.DistinctNode):
-            return _xlogx(rows_in) + out
+            r = self.card.estimate(node.right) if node.right else 0.0
+            return _xlogx(rows_in) + _xlogx(r) + out
         if t in (L.StoredTableNode, L.StaticTableNode):
             return 0.0
         if t in (L.ProjectionNode, L.AliasNode, L.LimitNode):

@@ -161,3 +161,92 @@ def test_join_ordering_minimizes_logical_cost(env):
     # that join into a SEMI; either way the region must stay cross-free
     assert len(joins) == 2
     assert all(j.mode in (JoinMode.INNER, JoinMode.SEMI) for j in joins)
+
+
+# ------------------------------------------------- review-pass regressions
+# Differential regressions for the rewrite-correctness findings of the
+# fourth review pass (self-join FD conflation, multi-key uniqueness,
+# null-extended IS NOT NULL, correlated-subquery hoist boundaries).
+
+
+@pytest.fixture()
+def renv():
+    return make_env({
+        "outer_t": {
+            "k": [1, 2, 3, 4],
+            "x": [10, 20, 30, 40],
+        },
+        "inner_t": {
+            "k": [1, 1, 2, None],
+            "y": [10, 11, 20, 99],
+            "g": [0, 1, 0, 1],
+        },
+        "pairs": {
+            "k": [1, 1, 2, 2, 3],
+            "y": [7, 8, 7, 7, 9],
+        },
+    })
+
+
+def test_not_null_filter_survives_left_join(renv):
+    """NullScanRemoval must NOT drop IS NOT NULL over a null-extending
+    join even when the base column has no NULLs (review finding #3)."""
+    q = ("SELECT o.k FROM outer_t o LEFT JOIN pairs p ON o.k = p.k "
+         "WHERE p.y IS NOT NULL")
+    assert rows_match(run_sql(q).to_pylist(), renv.execute(q), ordered=False)
+
+
+def test_join_to_semi_multikey_group_stays_inner(renv):
+    """Grouping by (k, y) does NOT make k unique: the join must stay
+    INNER so duplicate matches multiply (review finding #4)."""
+    q = ("SELECT SUM(o.x) FROM outer_t o JOIN "
+         "(SELECT k, y FROM pairs GROUP BY k, y) g ON o.k = g.k")
+    assert rows_match(run_sql(q).to_pylist(), renv.execute(q), ordered=False)
+
+
+def test_dependent_group_by_self_join_not_reduced(renv):
+    """Two aliases of one table: the key constraint of one alias must not
+    erase the other alias's group-by column (review finding #5)."""
+    from hyrise_tpu.storage.table import TableKeyConstraint
+
+    db = Database.get()
+    db.storage_manager.get_table("outer_t").key_constraints.append(
+        TableKeyConstraint(("k",), True)
+    )
+    q = ("SELECT a.k, b.x, COUNT(*) FROM outer_t a JOIN outer_t b "
+         "ON a.k = b.k GROUP BY a.k, b.x")
+    assert rows_match(run_sql(q).to_pylist(), renv.execute(q), ordered=False)
+
+
+def test_correlated_exists_below_aggregate_declines(renv):
+    """Hoisting a correlated filter past an aggregate changes what the
+    aggregate sums over — the rewrite must refuse (review finding #1),
+    which today surfaces as a clear translation error, never wrong rows."""
+    q = ("SELECT k FROM outer_t o WHERE EXISTS "
+         "(SELECT 1 FROM inner_t i WHERE i.k = o.k "
+         "GROUP BY i.g HAVING SUM(i.y) > 10)")
+    with pytest.raises(Exception, match="correlated"):
+        run_sql(q)
+
+
+def test_correlated_not_in_nullable_declines(renv):
+    """Correlated NOT IN with a nullable correlation column cannot use
+    the packed anti-null-as-true key (review finding #2)."""
+    q = ("SELECT k FROM outer_t o WHERE o.x NOT IN "
+         "(SELECT i.y FROM inner_t i WHERE i.k = o.k)")
+    with pytest.raises(Exception, match="correlated"):
+        run_sql(q)
+
+
+def test_correlated_count_scalar_declines_unless_zero_rejected(renv):
+    """COUNT over an empty correlated group is 0, not NULL: the INNER
+    join rewrite drops those outer rows, so only comparisons that reject
+    0 anyway may rewrite (review finding #6)."""
+    bad = ("SELECT k FROM outer_t o WHERE 5 > "
+           "(SELECT COUNT(*) FROM inner_t i WHERE i.k = o.k)")
+    with pytest.raises(Exception, match="correlated"):
+        run_sql(bad)
+    ok = ("SELECT k FROM outer_t o WHERE "
+          "(SELECT COUNT(*) FROM inner_t i WHERE i.k = o.k) > 0")
+    assert rows_match(run_sql(ok).to_pylist(), renv.execute(ok),
+                      ordered=False)

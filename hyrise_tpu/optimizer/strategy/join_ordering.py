@@ -51,11 +51,20 @@ class JoinOrderingRule(AbstractRule):
         predicates: List[ast.Expression] = []
         subquery_predicates: List[ast.Expression] = []
 
+        def order_subplans(e: ast.Expression):
+            # interior predicates skip visit(), so their subquery plans
+            # must receive join ordering here (they may contain comma-join
+            # chains of their own)
+            for sub in e.walk():
+                if isinstance(sub, ast.Subquery):
+                    sub.lqp = self.apply(sub.lqp)
+
         def collect(node: L.LQPNode):
             if isinstance(node, L.PredicateNode):
                 # subquery-bearing predicates hoist above the region
                 # (filters commute with inner/cross joins)
                 if _has_subquery(node.predicate):
+                    order_subplans(node.predicate)
                     subquery_predicates.append(node.predicate)
                 else:
                     predicates.append(node.predicate)
@@ -63,6 +72,8 @@ class JoinOrderingRule(AbstractRule):
             elif isinstance(node, L.JoinNode) and node.mode in (
                 JoinMode.INNER, JoinMode.CROSS
             ):
+                for p in node.predicates:
+                    order_subplans(p)
                 predicates.extend(node.predicates)
                 collect(node.left)
                 collect(node.right)

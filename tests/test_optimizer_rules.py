@@ -250,3 +250,21 @@ def test_correlated_count_scalar_declines_unless_zero_rejected(renv):
           "(SELECT COUNT(*) FROM inner_t i WHERE i.k = o.k) > 0")
     assert rows_match(run_sql(ok).to_pylist(), renv.execute(ok),
                       ordered=False)
+
+
+def test_join_ordering_reaches_subquery_inside_region(renv):
+    """An IN-subquery sitting on a predicate INSIDE a join region must
+    still get its comma-join chain ordered (review finding #9)."""
+    q = ("SELECT o.k FROM outer_t o JOIN pairs p ON o.k = p.k "
+         "WHERE o.x > (SELECT MIN(a.y + b.g) FROM pairs a, inner_t b "
+         "WHERE a.k = b.k)")
+    root = _optimize(q)
+    from hyrise_tpu.expression import ast as A
+    subs = [s for n in root.walk() for e in n.node_expressions()
+            for s in e.walk() if isinstance(s, A.Subquery)]
+    assert subs, "scalar subquery should survive as a predicate operand"
+    inner_joins = _joins(subs[0].lqp)
+    assert inner_joins and all(
+        j.mode != JoinMode.CROSS for j in inner_joins
+    ), "comma-join chain inside the subquery must be ordered into equi joins"
+    assert rows_match(run_sql(q).to_pylist(), renv.execute(q), ordered=False)

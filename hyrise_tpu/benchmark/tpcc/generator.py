@@ -236,13 +236,25 @@ class TPCCTableGenerator:
                     np.arange(1, self.w + 1, dtype=np.int32),
                     self.districts_per_w * self.customers_per_d,
                 ),
+                # home district/warehouse = customer's (spec initial load;
+                # ref: tpcc_table_generator.cpp:408 H_D_ID/H_W_ID)
+                "h_d_id": np.tile(
+                    np.repeat(np.arange(1, self.districts_per_w + 1,
+                                        dtype=np.int32), self.customers_per_d),
+                    self.w,
+                ),
+                "h_w_id": np.repeat(
+                    np.arange(1, self.w + 1, dtype=np.int32),
+                    self.districts_per_w * self.customers_per_d,
+                ),
                 "h_date": np.array(["2026-01-01"] * n),
                 "h_amount": np.full(n, 10.0),
                 "h_data": _texts(rng, n, 3),
             },
             {
                 "h_c_id": DataType.INT, "h_c_d_id": DataType.INT,
-                "h_c_w_id": DataType.INT, "h_date": DataType.DATE,
+                "h_c_w_id": DataType.INT, "h_d_id": DataType.INT,
+                "h_w_id": DataType.INT, "h_date": DataType.DATE,
                 "h_amount": DataType.DOUBLE, "h_data": DataType.STRING,
             },
         )

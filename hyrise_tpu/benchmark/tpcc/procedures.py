@@ -169,9 +169,10 @@ class Payment(AbstractProcedure):
         )
         self._exec(
             "pay_history",
-            "INSERT INTO history (h_c_id, h_c_d_id, h_c_w_id, h_date, "
-            "h_amount, h_data) VALUES (?, ?, ?, '2026-08-17', ?, 'payment')",
-            (c_id, d_id, w_id, amount), ctx,
+            "INSERT INTO history (h_c_id, h_c_d_id, h_c_w_id, h_d_id, "
+            "h_w_id, h_date, h_amount, h_data) "
+            "VALUES (?, ?, ?, ?, ?, '2026-08-17', ?, 'payment')",
+            (c_id, d_id, w_id, d_id, w_id, amount), ctx,
         )
 
 

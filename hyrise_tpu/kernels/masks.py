@@ -37,3 +37,31 @@ def mask_to_indices_fill_negative(mask: jax.Array, out_size: int) -> jax.Array:
 def padding_mask(n: int, capacity: int) -> jax.Array:
     """True for real rows [0, n), False for padding."""
     return jnp.arange(capacity) < n
+
+
+@partial(jax.jit, static_argnames=("out_size",))
+def compact_columns(datas, valids, selection, num_rows, out_size: int):
+    """Whole-table compaction in ONE dispatch: build the row mask, turn it
+    into gather indices, and gather every column (+ validity) inside a
+    single executable.  The per-column eager path cost ~2 dispatches per
+    column per statement on the OLTP path (TPC-C stock: 18 columns).
+
+    `valids` entries may be None (non-nullable columns) — None is an empty
+    pytree so the structure just skips them."""
+    cap = datas[0].shape[0]
+    mask = jnp.arange(cap) < num_rows
+    if selection is not None:
+        mask = mask & selection
+    (idx,) = jnp.nonzero(mask, size=out_size, fill_value=cap - 1)
+    out_d = tuple(jnp.take(d, idx, axis=0) for d in datas)
+    out_v = tuple(
+        None if v is None else jnp.take(v, idx, axis=0) for v in valids
+    )
+    return out_d, out_v
+
+
+@jax.jit
+def count_selected(selection, num_rows):
+    """Fused row-mask + popcount (one dispatch for Table.valid_count)."""
+    mask = (jnp.arange(selection.shape[0]) < num_rows) & selection
+    return jnp.sum(mask, dtype=jnp.int64)

@@ -175,9 +175,17 @@ class Update(AbstractReadWriteOperator):
         self._delete: Optional[Delete] = None
         self._insert: Optional[Insert] = None
 
+    # rows a fused point update handles before falling back to the
+    # general path (OLTP updates touch a handful of rows; the general
+    # path costs ~4 stages + 3 compactions per statement)
+    POINT_UPDATE_CAP = 64
+
     def _on_execute(self) -> Optional[Table]:
         from hyrise_tpu.operators.projection import Projection
         from hyrise_tpu.operators.table_wrapper import TableWrapper
+
+        if self._try_fused_point_update():
+            return None
 
         rows_table = self.input_table_left().materialize()
         target = Database.get().storage_manager.get_table(self.table_name)
@@ -207,6 +215,99 @@ class Update(AbstractReadWriteOperator):
         self.transaction_context.register_read_write_operator(self._insert)
         self._insert.execute()
         return None
+
+    def _try_fused_point_update(self) -> bool:
+        """OLTP fast path: ONE jitted stage computes the matched rowids AND
+        the projected replacement rows straight off the (unmaterialized)
+        scan output — the general path paid a compaction, a projection
+        stage and a rowid extraction per statement.  Returns True when the
+        statement was fully handled (including the conflict case)."""
+        from hyrise_tpu.operators.compiled import run_stage
+        from hyrise_tpu.operators.table_wrapper import TableWrapper
+
+        if self.uncorrelated_subquery_plans:
+            return False
+        raw = self.input_table_left()
+        K = self.POINT_UPDATE_CAP
+        if raw.selection is None and raw.num_rows > K:
+            return False  # whole-table update: general path
+        if any(c.is_encoded for c in raw.columns):
+            return False
+        if ROWID_COLUMN not in raw.column_names:
+            return False
+        if any(
+            isinstance(s, ast.Subquery)
+            for e in self.update_expressions for s in e.walk()
+        ):
+            return False
+        target = Database.get().storage_manager.get_table(self.table_name)
+        target_names = [n for n in target.column_names if n != ROWID_COLUMN]
+        if len(self.update_expressions) != len(target_names):
+            return False
+        cmap = self._column_map(self._left)
+        rowid_idx = raw.column_names.index(ROWID_COLUMN)
+        exprs = self.update_expressions
+
+        def build(t: Table, bound=None):
+            mask = t.row_mask()
+            cnt = jnp.sum(mask, dtype=jnp.int64)
+            (idx,) = jnp.nonzero(mask, size=K, fill_value=-1)
+            g = t.take(idx, K)
+            rowids = jnp.where(
+                idx >= 0, g.columns[rowid_idx].data.astype(jnp.int64), -1
+            )
+            head = jnp.concatenate([cnt[None], rowids])
+            ev = self.make_evaluator(g, cmap, parameters=bound,
+                                     sub_results={})
+            arrays, meta = [], []
+            for e in exprs:
+                r = ev.evaluate(e)
+                data = r.data
+                if data.dtype == jnp.bool_:
+                    data = data.astype(jnp.int32)
+                arrays.append((data, r.validity))
+                meta.append((r.dtype, r.dictionary, r.dict_sorted))
+            return (head, arrays), meta
+
+        (head, arrays), meta = run_stage(
+            "point_update", raw, build,
+            extra_key=(K, tuple(e.key() for e in exprs)),
+            params=self.parameters if self.parameters else None,
+        )
+        head = np.asarray(head)  # the statement's one host sync
+        cnt = int(head[0])
+        if cnt > K:
+            return False  # more matches than the fused bound: general path
+        rowids = [int(x) for x in head[1:1 + cnt]]
+
+        target = Database.get().storage_manager.get_table(self.table_name)
+        mvcc = ensure_mvcc(target)
+        dl = Delete(self.table_name, self._left)
+        dl.transaction_context = self.transaction_context
+        dl._target = target
+        ok, locked = mvcc.try_lock_rows(
+            rowids, self.transaction_context.transaction_id
+        )
+        if not ok:
+            self.failed = True
+            self.transaction_context.mark_as_conflicted()
+            return True
+        dl._locked_rows = locked
+        self.transaction_context.register_read_write_operator(dl)
+        self._delete = dl
+
+        cols = [
+            Column(dtype, data, validity, dictionary, ds)
+            for (data, validity), (dtype, dictionary, ds) in zip(arrays, meta)
+        ]
+        src = Table(target_names, cols, cnt)
+        wrapper = TableWrapper(src)
+        wrapper.execute()
+        self._insert = Insert(self.table_name, wrapper, target_names)
+        self._insert.transaction_context = self.transaction_context
+        self.transaction_context.register_read_write_operator(self._insert)
+        self._insert.execute()
+        return True
 
     def commit_records(self, commit_id: int) -> None:
         pass  # the registered Delete/Insert commit themselves
@@ -258,10 +359,17 @@ def _batched_append(tcols, src, name_to_src, old_n: int, n_new: int,
         if tcol.data_type == DataType.STRING:
             if scol.data_type != DataType.STRING:
                 return None
-            merged, tgt_codes = _src_string_codes(tcol, scol, n_new)
-            if merged is not tcol.dictionary:
-                return None  # dictionary growth: general path
-            s = jnp.asarray(tgt_codes)
+            if scol.dictionary is tcol.dictionary:
+                # UPDATE re-insert: codes already reference the target
+                # dictionary — no host sync, no merge (the 11 string
+                # columns of TPC-C stock paid one device->host round
+                # trip each per statement here)
+                s = scol.data
+            else:
+                merged, tgt_codes = _src_string_codes(tcol, scol, n_new)
+                if merged is not tcol.dictionary:
+                    return None  # dictionary growth: general path
+                s = jnp.asarray(tgt_codes)
         elif scol.data_type == DataType.STRING:
             if tcol.data_type != DataType.DATE:
                 return None

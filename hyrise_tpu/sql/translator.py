@@ -626,6 +626,13 @@ class SQLTranslator:
         columns = stmt.columns
         if columns is None and target is not None:
             columns = list(target.column_names)
+        if columns is not None:
+            for row in stmt.values:
+                if len(row) != len(columns):
+                    raise TranslationError(
+                        f"INSERT INTO {stmt.table_name}: {len(row)} values "
+                        f"for {len(columns)} columns"
+                    )
         has_params = any(
             isinstance(sub, ast.Parameter)
             for row in stmt.values for e in row for sub in e.walk()

@@ -71,6 +71,7 @@ class Table:
         self.num_rows = num_rows
         self.selection = selection
         self._valid_count: Optional[int] = None
+        self._materialized: Optional["Table"] = None
         # Soft constraints consumed by the optimizer (data dependencies).
         self.key_constraints: List[TableKeyConstraint] = []
         self.foreign_key_constraints: List[ForeignKeyConstraint] = []
@@ -187,22 +188,49 @@ class Table:
         if self.selection is None:
             return self.num_rows
         if self._valid_count is None:
-            self._valid_count = int(jnp.sum(self.row_mask(), dtype=jnp.int64))
+            from hyrise_tpu.kernels import masks as maskk
+
+            self._valid_count = int(
+                maskk.count_selected(self.selection, self.num_rows)
+            )
         return self._valid_count
 
     def materialize(self) -> "Table":
-        """Compact pending selections into a dense table (one host sync)."""
+        """Compact pending selections into a dense table (one host sync).
+        Cached: operator outputs are immutable, and several consumers of
+        the same output (e.g. Update -> Delete + Insert) each compact."""
         if self.selection is None:
             return self
+        if self._materialized is not None:
+            return self._materialized
         from hyrise_tpu.kernels import masks as maskk
         from hyrise_tpu.types import size_bucket
 
         n = self.valid_count
         cap = min(size_bucket(n), self.capacity)
-        idx = maskk.mask_to_indices(self.row_mask(), cap)
-        out = self.take(idx, n)
+        if not any(c.is_encoded for c in self.columns):
+            # whole-table gather in one dispatch (OLTP statements paid
+            # ~2 eager dispatches per column here)
+            from dataclasses import replace as _replace
+
+            out_d, out_v = maskk.compact_columns(
+                tuple(c.data for c in self.columns),
+                tuple(c.validity for c in self.columns),
+                self.selection,
+                jnp.asarray(self.num_rows, dtype=jnp.int32),
+                cap,
+            )
+            cols = [
+                _replace(c, data=d, validity=v)
+                for c, d, v in zip(self.columns, out_d, out_v)
+            ]
+            out = Table(self.column_names, cols, n)
+        else:
+            idx = maskk.mask_to_indices(self.row_mask(), cap)
+            out = self.take(idx, n)
         out.sorted_by = self.sorted_by
         out.mvcc = None
+        self._materialized = out
         return out
 
     def encode_packed(self) -> int:

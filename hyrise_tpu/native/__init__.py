@@ -32,15 +32,28 @@ def _build(src: str, out: str) -> bool:
 
 
 def get_native_lib() -> Optional[ctypes.CDLL]:
-    """The compiled native library, or None when unavailable."""
+    """The compiled native library, or None when unavailable.
+
+    Always compiled from source on first use into a per-machine cache
+    directory keyed by the source hash — a shared object is never loaded
+    from the source tree, so nothing unreviewable (or built for another
+    machine: -march=native) can shadow the checked-in C++."""
     global _LIB, _TRIED
     with _LOCK:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
+        import hashlib
+
+        from hyrise_tpu import _default_cache_dir
+
         src = os.path.join(_DIR, "tbl_parser.cpp")
-        out = os.path.join(_DIR, "libtbl_parser.so")
-        if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        with open(src, "rb") as f:
+            digest = hashlib.sha1(f.read()).hexdigest()[:12]
+        cache = _default_cache_dir()
+        os.makedirs(cache, exist_ok=True)
+        out = os.path.join(cache, f"libtbl_parser_{digest}.so")
+        if not os.path.exists(out):
             if not _build(src, out):
                 return None
         try:

@@ -1322,7 +1322,7 @@ LIMIT 100
 
 # ROLLUP cannot run on the sqlite oracle directly; tests desugar to the
 # equivalent UNION ALL text for verification (tests/test_tpcds.py).
-ROLLUP_QIDS = (18, 22, 36, 67, 86)
+ROLLUP_QIDS = (18, 22, 27, 36, 67, 86)
 
 TPCDS_QUERIES[86] = """
 SELECT SUM(ws_net_paid) AS total_sum, i_category, i_class,
@@ -1353,5 +1353,266 @@ WHERE d_year = 2000 AND d_date_sk = ss_sold_date_sk
   AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
 GROUP BY ROLLUP(i_category, i_class)
 ORDER BY lochierarchy DESC, rank_within_parent
+LIMIT 100
+"""
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: 13 more queries the reference EXCLUDES
+# (ref: resources/benchmark/tpcds/query_excludelist.cfg lines for
+# 12/20/21/27/30/38/40/46/53/63/87/89/90) but this engine executes.
+# Written from the TPC-DS v3 spec with parameters tuned to this
+# generator's value domains.
+
+TPCDS_QUERIES[12] = """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       SUM(ws_ext_sales_price) AS itemrevenue,
+       SUM(ws_ext_sales_price) * 100.0 /
+           SUM(SUM(ws_ext_sales_price)) OVER (PARTITION BY i_class)
+           AS revenueratio
+FROM web_sales, item, date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+"""
+
+TPCDS_QUERIES[20] = """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       SUM(cs_ext_sales_price) AS itemrevenue,
+       SUM(cs_ext_sales_price) * 100.0 /
+           SUM(SUM(cs_ext_sales_price)) OVER (PARTITION BY i_class)
+           AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('Sports', 'Books', 'Home')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '1999-02-22' AND DATE '1999-03-24'
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+"""
+
+TPCDS_QUERIES[21] = """
+SELECT *
+FROM (SELECT w_warehouse_name, i_item_id,
+             SUM(CASE WHEN d_date < DATE '2000-03-11'
+                      THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+             SUM(CASE WHEN d_date >= DATE '2000-03-11'
+                      THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+      FROM inventory, warehouse, item, date_dim
+      WHERE i_current_price BETWEEN 10 AND 400
+        AND i_item_sk = inv_item_sk
+        AND inv_warehouse_sk = w_warehouse_sk
+        AND inv_date_sk = d_date_sk
+        AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+      GROUP BY w_warehouse_name, i_item_id) x
+WHERE (CASE WHEN inv_before > 0
+            THEN inv_after * 1.0 / inv_before ELSE NULL END)
+      BETWEEN 0.666667 AND 1.5
+ORDER BY w_warehouse_name, i_item_id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[27] = """
+SELECT i_item_id, s_state, GROUPING(s_state) AS g_state,
+       AVG(ss_quantity) AS agg1, AVG(ss_list_price) AS agg2,
+       AVG(ss_coupon_amt) AS agg3, AVG(ss_sales_price) AS agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+  AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk
+  AND cd_gender = 'M' AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND d_year = 2000 AND s_state = 'TN'
+GROUP BY ROLLUP(i_item_id, s_state)
+ORDER BY i_item_id, s_state
+LIMIT 100
+"""
+
+TPCDS_QUERIES[30] = """
+WITH customer_total_return AS (
+  SELECT wr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+         SUM(wr_return_amt) AS ctr_total_return
+  FROM web_returns, date_dim, customer_address
+  WHERE wr_returned_date_sk = d_date_sk AND d_year = 2000
+    AND wr_returning_addr_sk = ca_address_sk
+  GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+       c_birth_country, ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return > (SELECT AVG(ctr_total_return) * 1.2
+    FROM customer_total_return ctr2
+    WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, c_birth_day, ctr_total_return
+LIMIT 100
+"""
+
+TPCDS_QUERIES[38] = """
+SELECT COUNT(*) AS cnt
+FROM (SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM store_sales, date_dim, customer
+      WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
+        AND d_month_seq BETWEEN 24 AND 35
+      INTERSECT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM catalog_sales, date_dim, customer
+      WHERE cs_sold_date_sk = d_date_sk
+        AND cs_bill_customer_sk = c_customer_sk
+        AND d_month_seq BETWEEN 24 AND 35
+      INTERSECT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM web_sales, date_dim, customer
+      WHERE ws_sold_date_sk = d_date_sk
+        AND ws_bill_customer_sk = c_customer_sk
+        AND d_month_seq BETWEEN 24 AND 35) hot_cust
+LIMIT 100
+"""
+
+TPCDS_QUERIES[40] = """
+SELECT w_state, i_item_id,
+       SUM(CASE WHEN d_date < DATE '2000-03-11'
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                ELSE 0 END) AS sales_before,
+       SUM(CASE WHEN d_date >= DATE '2000-03-11'
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                ELSE 0 END) AS sales_after
+FROM catalog_sales
+     LEFT OUTER JOIN catalog_returns
+       ON cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk,
+     warehouse, item, date_dim
+WHERE i_current_price BETWEEN 10 AND 400
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN DATE '2000-02-10' AND DATE '2000-04-10'
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[46] = """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+             SUM(ss_coupon_amt) AS amt, SUM(ss_net_profit) AS profit
+      FROM store_sales, date_dim, store, household_demographics,
+           customer_address
+      WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+        AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+        AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+        AND d_dow IN (6, 0)
+        AND d_year IN (1999, 2000, 2001)
+        AND s_city IN ('Fairview', 'Midway')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number
+LIMIT 100
+"""
+
+TPCDS_QUERIES[53] = """
+SELECT *
+FROM (SELECT i_manufact_id, SUM(ss_sales_price) AS sum_sales,
+             AVG(SUM(ss_sales_price))
+                 OVER (PARTITION BY i_manufact_id) AS avg_quarterly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 24 AND 35
+        AND i_category IN ('Books', 'Electronics', 'Sports')
+      GROUP BY i_manufact_id, d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+           THEN ABS(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+           ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[63] = """
+SELECT *
+FROM (SELECT i_manager_id, SUM(ss_sales_price) AS sum_sales,
+             AVG(SUM(ss_sales_price))
+                 OVER (PARTITION BY i_manager_id) AS avg_monthly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 24 AND 35
+        AND i_category IN ('Books', 'Electronics', 'Sports')
+      GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+LIMIT 100
+"""
+
+TPCDS_QUERIES[87] = """
+SELECT COUNT(*) AS cnt
+FROM (SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM store_sales, date_dim, customer
+      WHERE ss_sold_date_sk = d_date_sk AND ss_customer_sk = c_customer_sk
+        AND d_month_seq BETWEEN 24 AND 35
+      EXCEPT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM catalog_sales, date_dim, customer
+      WHERE cs_sold_date_sk = d_date_sk
+        AND cs_bill_customer_sk = c_customer_sk
+        AND d_month_seq BETWEEN 24 AND 35
+      EXCEPT
+      SELECT DISTINCT c_last_name, c_first_name, d_date
+      FROM web_sales, date_dim, customer
+      WHERE ws_sold_date_sk = d_date_sk
+        AND ws_bill_customer_sk = c_customer_sk
+        AND d_month_seq BETWEEN 24 AND 35) cool_cust
+LIMIT 100
+"""
+
+TPCDS_QUERIES[89] = """
+SELECT *
+FROM (SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+             d_moy, SUM(ss_sales_price) AS sum_sales,
+             AVG(SUM(ss_sales_price))
+                 OVER (PARTITION BY i_category, i_brand, s_store_name,
+                                    s_company_name) AS avg_monthly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk AND d_year = 1999
+        AND i_category IN ('Books', 'Electronics', 'Sports')
+      GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+               d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales <> 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category, i_class,
+         i_brand, d_moy
+LIMIT 100
+"""
+
+TPCDS_QUERIES[90] = """
+SELECT am.amc * 1.0 / pm.pmc AS am_pm_ratio
+FROM (SELECT COUNT(*) AS amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = t_time_sk AND ws_hdemo_sk = hd_demo_sk
+        AND ws_web_page_sk = wp_web_page_sk
+        AND t_hour BETWEEN 8 AND 9
+        AND hd_dep_count BETWEEN 2 AND 6
+        AND wp_char_count BETWEEN 500 AND 6000) am,
+     (SELECT COUNT(*) AS pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = t_time_sk AND ws_hdemo_sk = hd_demo_sk
+        AND ws_web_page_sk = wp_web_page_sk
+        AND t_hour BETWEEN 19 AND 20
+        AND hd_dep_count BETWEEN 2 AND 6
+        AND wp_char_count BETWEEN 500 AND 6000) pm
+ORDER BY am_pm_ratio
 LIMIT 100
 """

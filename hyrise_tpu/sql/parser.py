@@ -222,7 +222,9 @@ class Parser:
         stmt.with_clauses = with_clauses
         return stmt
 
-    def _parse_select_core(self) -> st.SelectStatement:
+    def _parse_select_atom(self) -> st.SelectStatement:
+        """One SELECT core or a parenthesized select — never consumes a
+        following set operation, so chains associate at the caller."""
         if self.accept_op("("):
             stmt = self.parse_select()
             self.expect_op(")")
@@ -241,12 +243,18 @@ class Parser:
                 self._parse_group_by(stmt)
             if self.accept_kw("having"):
                 stmt.having = self.parse_expression()
-        # set operations bind here (left-assoc)
+        return stmt
+
+    def _parse_select_core(self) -> st.SelectStatement:
+        stmt = self._parse_select_atom()
+        # set operations bind here, LEFT-associative (A EXCEPT B EXCEPT C
+        # = (A EXCEPT B) EXCEPT C); trailing ORDER BY/LIMIT bind to the
+        # whole chain, not the last operand
         while self.at_kw("union", "intersect", "except"):
             kind = self.advance().value
             all_mode = bool(self.accept_kw("all"))
             self.accept_kw("distinct")
-            rhs = self._parse_select_core()
+            rhs = self._parse_select_atom()
             left = stmt
             stmt = st.SelectStatement()
             stmt.select_list = []

@@ -73,6 +73,21 @@ def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
             "ORDER BY qoh, i_product_name, i_brand, i_class, i_category "
             "LIMIT 100",
         ))
+    elif qid == 27:
+        theirs = tpcds_env.execute(_rollup_union(
+            ["i_item_id", "s_state"],
+            ["0 AS g_state", "AVG(ss_quantity) AS agg1",
+             "AVG(ss_list_price) AS agg2", "AVG(ss_coupon_amt) AS agg3",
+             "AVG(ss_sales_price) AS agg4"],
+            "FROM store_sales, customer_demographics, date_dim, store, item "
+            "WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk "
+            "AND ss_store_sk = s_store_sk AND ss_cdemo_sk = cd_demo_sk "
+            "AND cd_gender = 'M' AND cd_marital_status = 'S' "
+            "AND cd_education_status = 'College' "
+            "AND d_year = 2000 AND s_state = 'TN'",
+            "ORDER BY i_item_id, s_state LIMIT 100",
+        ).replace("NULL AS s_state, 0 AS g_state",
+                  "NULL AS s_state, 1 AS g_state"))
     elif qid == 18:
         theirs = tpcds_env.execute(_rollup_union(
             ["i_item_id", "ca_country", "ca_state", "ca_county"],

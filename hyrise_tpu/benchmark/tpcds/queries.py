@@ -1598,7 +1598,8 @@ LIMIT 100
 """
 
 TPCDS_QUERIES[90] = """
-SELECT am.amc * 1.0 / pm.pmc AS am_pm_ratio
+SELECT CASE WHEN pm.pmc > 0 THEN am.amc * 1.0 / pm.pmc ELSE NULL END
+         AS am_pm_ratio
 FROM (SELECT COUNT(*) AS amc
       FROM web_sales, household_demographics, time_dim, web_page
       WHERE ws_sold_time_sk = t_time_sk AND ws_hdemo_sk = hd_demo_sk

@@ -438,12 +438,25 @@ class SQLTranslator:
         available = {
             e.key() for rel in scope.relations for e in rel.exprs
         }
+
+        def walk_local(e: ast.Expression):
+            # Walk only the parts of the tree written in THIS query block:
+            # an expression produced by the FROM clause (derived table /
+            # view output) is an opaque column here, so its internals —
+            # e.g. the SUM inside an exposed AVG(SUM(x)) OVER (...) —
+            # must not be re-collected as this block's aggregates.
+            yield e
+            if e.key() in available:
+                return
+            for c in e.children:
+                yield from walk_local(c)
+
         agg_exprs: List[ast.AggregateExpression] = []
 
         def collect_aggs(e: Optional[ast.Expression]):
             if e is None:
                 return
-            for sub in e.walk():
+            for sub in walk_local(e):
                 if (
                     isinstance(sub, ast.AggregateExpression)
                     and sub.key() not in available
@@ -460,7 +473,7 @@ class SQLTranslator:
         window_exprs = [
             sub
             for e in select_exprs
-            for sub in e.walk()
+            for sub in walk_local(e)
             if isinstance(sub, ast.WindowExpression) and sub.key() not in available
         ]
 

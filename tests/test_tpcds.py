@@ -74,7 +74,7 @@ def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
             "LIMIT 100",
         ))
     elif qid == 27:
-        theirs = tpcds_env.execute(_rollup_union(
+        rollup_sql = _rollup_union(
             ["i_item_id", "s_state"],
             ["0 AS g_state", "AVG(ss_quantity) AS agg1",
              "AVG(ss_list_price) AS agg2", "AVG(ss_coupon_amt) AS agg3",
@@ -86,8 +86,12 @@ def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
             "AND cd_education_status = 'College' "
             "AND d_year = 2000 AND s_state = 'TN'",
             "ORDER BY i_item_id, s_state LIMIT 100",
-        ).replace("NULL AS s_state, 0 AS g_state",
-                  "NULL AS s_state, 1 AS g_state"))
+        )
+        # Higher rollup levels NULL out s_state, so GROUPING(s_state)=1 there.
+        assert "NULL AS s_state, 0 AS g_state" in rollup_sql, \
+            "_rollup_union output format changed; q27 GROUPING oracle is stale"
+        theirs = tpcds_env.execute(rollup_sql.replace(
+            "NULL AS s_state, 0 AS g_state", "NULL AS s_state, 1 AS g_state"))
     elif qid == 18:
         theirs = tpcds_env.execute(_rollup_union(
             ["i_item_id", "ca_country", "ca_state", "ca_county"],

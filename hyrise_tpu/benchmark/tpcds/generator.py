@@ -84,6 +84,7 @@ class TPCDSTableGenerator:
             "web_page": self._web_page(),
             "call_center": self._call_center(),
             "reason": self._reason(),
+            "catalog_page": self._catalog_page(),
         }
         tables["household_demographics"] = self._household_demographics(tables)
         tables["customer"] = self._customer(tables)
@@ -117,6 +118,7 @@ class TPCDSTableGenerator:
             "ship_mode": ("sm_ship_mode_sk",),
             "web_site": ("web_site_sk",), "web_page": ("wp_web_page_sk",),
             "call_center": ("cc_call_center_sk",), "reason": ("r_reason_sk",),
+            "catalog_page": ("cp_catalog_page_sk",),
         }
         for name, cols in pk.items():
             tables[name].key_constraints.append(TableKeyConstraint(cols, True))
@@ -266,9 +268,10 @@ class TPCDSTableGenerator:
                 "s_city": np.array(["Midway", "Fairview"])[sk % 2],
                 "s_county": np.array(["Williamson County"] * n),
                 "s_state": np.array(["TN"] * n),
-                "s_zip": np.char.zfill(
-                    rng.integers(30000, 40000, size=n).astype(str), 5
-                ),
+                # stores draw from the '3'-prefixed head of the shared zip
+                # pool so s_zip = ca_zip joins (q24) and zip-prefix
+                # correlations (q8/q19) have matches at every scale
+                "s_zip": self._zip_pool_draw(n, stores_only=True),
                 "s_gmt_offset": np.full(n, -5.0),
                 "s_company_id": np.ones(n, dtype=np.int32),
                 "s_company_name": np.array(["Unknown"] * n),
@@ -317,28 +320,55 @@ class TPCDSTableGenerator:
             },
         )
 
+    def _zip_pool_draw(self, n: int, stores_only: bool = False) -> "np.ndarray":
+        """Addresses cluster into a deterministic zip pool (real zips
+        cluster; uniform 5-digit draws never repeat at bench scales, which
+        starves q8-style preferred-customer-per-zip HAVING counts).  The
+        master list is scale-independent, small scales use its prefix, and
+        its first entries share the store zip prefix '3', so zip-list
+        substitution parameters can be fixed in query text across scales."""
+        zrng = np.random.default_rng(424242)
+        master = np.concatenate([
+            30000 + zrng.choice(10000, size=10, replace=False),
+            10000 + zrng.choice(90000, size=400, replace=False),
+        ])
+        _, idx = np.unique(master, return_index=True)
+        master = master[np.sort(idx)][:400]
+        pool_n = 10 if stores_only else int(min(len(master), max(n // 25, 4)))
+        return np.char.zfill(
+            master[self.rng.integers(0, pool_n, size=n)].astype(str), 5
+        )
+
     def _customer_address(self) -> Table:
         rng = self.rng
         n = max(int(self.n_customer * 0.5), 10)
         sk = np.arange(1, n + 1, dtype=np.int32)
+        state = np.array(
+            ["TN", "CA", "TX", "NY", "OH", "GA", "IL", "WA"]
+        )[rng.integers(0, 8, size=n)]
+        # TN addresses share the stores' county so customer-near-store
+        # (ca_county = s_county AND ca_state = s_state) joins match (q54)
+        county = _texts(rng, n, 1).astype(object)
+        county[state == "TN"] = "Williamson County"
         return Table.from_numpy(
             {
                 "ca_address_sk": sk,
+                "ca_street_number": rng.integers(1, 1000, size=n).astype(str),
+                "ca_street_name": _texts(rng, n, 2),
                 "ca_city": _texts(rng, n, 1),
-                "ca_county": _texts(rng, n, 1),
-                "ca_state": np.array(
-                    ["TN", "CA", "TX", "NY", "OH", "GA", "IL", "WA"]
-                )[rng.integers(0, 8, size=n)],
-                "ca_zip": np.char.zfill(
-                    rng.integers(10000, 99999, size=n).astype(str), 5
-                ),
+                "ca_county": county.astype(str),
+                "ca_state": state,
+                "ca_zip": self._zip_pool_draw(n),
                 "ca_country": np.array(["United States"] * n),
                 "ca_gmt_offset": np.array([-5.0, -6.0, -7.0, -8.0])[
                     rng.integers(0, 4, size=n)
                 ],
             },
             {
-                "ca_address_sk": DataType.INT, "ca_city": DataType.STRING,
+                "ca_address_sk": DataType.INT,
+                "ca_street_number": DataType.STRING,
+                "ca_street_name": DataType.STRING,
+                "ca_city": DataType.STRING,
                 "ca_county": DataType.STRING, "ca_state": DataType.STRING,
                 "ca_zip": DataType.STRING, "ca_country": DataType.STRING,
                 "ca_gmt_offset": DataType.DOUBLE,
@@ -563,6 +593,32 @@ class TPCDSTableGenerator:
             },
         )
 
+    def _catalog_page(self) -> Table:
+        rng = self.rng
+        n = max(int(60 * max(self.sf, 1) ** 0.5), 10)
+        sk = np.arange(1, n + 1, dtype=np.int32)
+        return Table.from_numpy(
+            {
+                "cp_catalog_page_sk": sk,
+                "cp_catalog_page_id": np.char.add("page_", sk.astype(str)),
+                "cp_catalog_number": ((sk - 1) // 20 + 1).astype(np.int32),
+                "cp_catalog_page_number": ((sk - 1) % 20 + 1).astype(np.int32),
+                "cp_department": np.array(["DEPARTMENT"] * n),
+                "cp_type": np.array(
+                    ["bi-annual", "quarterly", "monthly"])[(sk - 1) % 3],
+                "cp_description": _texts(rng, n, 4),
+            },
+            {
+                "cp_catalog_page_sk": DataType.INT,
+                "cp_catalog_page_id": DataType.STRING,
+                "cp_catalog_number": DataType.INT,
+                "cp_catalog_page_number": DataType.INT,
+                "cp_department": DataType.STRING,
+                "cp_type": DataType.STRING,
+                "cp_description": DataType.STRING,
+            },
+        )
+
     def _customer(self, tables) -> Table:
         rng = self.rng
         n = self.n_customer
@@ -712,6 +768,9 @@ class TPCDSTableGenerator:
             data["cs_call_center_sk"] = rng.integers(
                 1, tables["call_center"].num_rows + 1, size=n
             ).astype(np.int32)
+            data["cs_catalog_page_sk"] = rng.integers(
+                1, tables["catalog_page"].num_rows + 1, size=n
+            ).astype(np.int32)
         else:
             data["ws_web_site_sk"] = rng.integers(
                 1, tables["web_site"].num_rows + 1, size=n
@@ -723,7 +782,14 @@ class TPCDSTableGenerator:
             name: (DataType.INT if arr.dtype.kind == "i" else DataType.DOUBLE)
             for name, arr in data.items()
         }
-        return Table.from_numpy(data, types)
+        # dsdgen leaves a few percent of foreign keys NULL; q76-style
+        # "unattributed sales" scans depend on them
+        null_col = ("cs_ship_addr_sk" if p == "cs"
+                    else "ws_ship_customer_sk")
+        return Table.from_numpy(
+            data, types,
+            validity={null_col: rng.random(n) >= 0.04},
+        )
 
     # ---------------------------------------------------------- returns
 
@@ -833,6 +899,12 @@ class TPCDSTableGenerator:
         }
         if p == "cr":
             data["cr_call_center_sk"] = col("cs_call_center_sk")
+            data["cr_catalog_page_sk"] = col("cs_catalog_page_sk")
+            # refund splits across payment channels (q64's cs_ui sums all)
+            cash = data["cr_refunded_cash"]
+            rev = np.round(cash * rng.random(n) * 0.5 * 100) / 100
+            data["cr_reversed_charge"] = rev
+            data["cr_store_credit"] = np.round((cash - rev) * 0.5 * 100) / 100
         else:
             data["wr_web_page_sk"] = col("ws_web_page_sk")
         types = {
@@ -925,6 +997,7 @@ class TPCDSTableGenerator:
                     rng.random(n) < 0.1,
                     np.round(ext_sales * 0.1 * 100) / 100, 0.0
                 ),
+                "ss_net_paid": ext_sales,
                 "ss_net_profit": np.round(
                     (ext_sales - ext_wholesale) * 100
                 ) / 100,
@@ -946,6 +1019,12 @@ class TPCDSTableGenerator:
                 "ss_ext_list_price": DataType.DOUBLE,
                 "ss_ext_wholesale_cost": DataType.DOUBLE,
                 "ss_coupon_amt": DataType.DOUBLE,
+                "ss_net_paid": DataType.DOUBLE,
                 "ss_net_profit": DataType.DOUBLE,
             },
+            # dsdgen leaves a few percent of foreign keys NULL
+            # (q76 scans ss_store_sk IS NULL; q44 averages the
+            # ss_addr_sk IS NULL slice as its baseline)
+            validity={"ss_store_sk": rng.random(n) >= 0.04,
+                      "ss_addr_sk": rng.random(n) >= 0.04},
         )

@@ -1,10 +1,11 @@
-"""TPC-DS query set: all 49 queries the reference supports (its
-excludelist removes the other 54 — ref:
-resources/benchmark/tpcds/query_excludelist.cfg) PLUS 7 the reference
-excludes but this engine executes (Q33/59/60/61/68/71/98).  Written from
-the TPC-DS v3 specification with fixed substitution parameters tuned to
-this generator's value domains; Q39's a/b variants are keys 39 and 392.
-Each query is differentially verified against sqlite (tests/test_tpcds.py).
+"""TPC-DS query set: ALL 99 queries — the 49 the reference supports plus
+the 50 its excludelist removes (ref:
+resources/benchmark/tpcds/query_excludelist.cfg; the reference cannot
+execute windows, ROLLUP, INTERSECT-heavy or FULL OUTER shapes — this
+engine runs them all).  Written from the TPC-DS v3 specification with
+fixed substitution parameters tuned to this generator's value domains;
+Q39's a/b variants are keys 39 and 392.  Each query is differentially
+verified against sqlite (tests/test_tpcds.py).
 """
 
 TPCDS_QUERIES = {
@@ -1322,7 +1323,7 @@ LIMIT 100
 
 # ROLLUP cannot run on the sqlite oracle directly; tests desugar to the
 # equivalent UNION ALL text for verification (tests/test_tpcds.py).
-ROLLUP_QIDS = (18, 22, 27, 36, 67, 86)
+ROLLUP_QIDS = (5, 18, 22, 27, 36, 67, 70, 77, 80, 86)
 
 TPCDS_QUERIES[86] = """
 SELECT SUM(ws_net_paid) AS total_sum, i_category, i_class,
@@ -1615,5 +1616,1311 @@ FROM (SELECT COUNT(*) AS amc
         AND hd_dep_count BETWEEN 2 AND 6
         AND wp_char_count BETWEEN 500 AND 6000) pm
 ORDER BY am_pm_ratio
+LIMIT 100
+"""
+
+TPCDS_QUERIES[2] = """
+WITH wscs AS (
+  SELECT sold_date_sk, sales_price
+  FROM (SELECT ws_sold_date_sk AS sold_date_sk,
+               ws_ext_sales_price AS sales_price FROM web_sales
+        UNION ALL
+        SELECT cs_sold_date_sk, cs_ext_sales_price FROM catalog_sales) x
+),
+wswscs AS (
+  SELECT d_week_seq,
+         SUM(CASE WHEN d_day_name = 'Sunday' THEN sales_price ELSE NULL END)
+           AS sun_sales,
+         SUM(CASE WHEN d_day_name = 'Monday' THEN sales_price ELSE NULL END)
+           AS mon_sales,
+         SUM(CASE WHEN d_day_name = 'Tuesday' THEN sales_price ELSE NULL END)
+           AS tue_sales,
+         SUM(CASE WHEN d_day_name = 'Wednesday' THEN sales_price ELSE NULL END)
+           AS wed_sales,
+         SUM(CASE WHEN d_day_name = 'Thursday' THEN sales_price ELSE NULL END)
+           AS thu_sales,
+         SUM(CASE WHEN d_day_name = 'Friday' THEN sales_price ELSE NULL END)
+           AS fri_sales,
+         SUM(CASE WHEN d_day_name = 'Saturday' THEN sales_price ELSE NULL END)
+           AS sat_sales
+  FROM wscs, date_dim
+  WHERE d_date_sk = sold_date_sk
+  GROUP BY d_week_seq
+)
+SELECT d_week_seq1, ROUND(sun_sales1 / sun_sales2, 2),
+       ROUND(mon_sales1 / mon_sales2, 2), ROUND(tue_sales1 / tue_sales2, 2),
+       ROUND(wed_sales1 / wed_sales2, 2), ROUND(thu_sales1 / thu_sales2, 2),
+       ROUND(fri_sales1 / fri_sales2, 2), ROUND(sat_sales1 / sat_sales2, 2)
+FROM (SELECT wswscs.d_week_seq AS d_week_seq1, sun_sales AS sun_sales1,
+             mon_sales AS mon_sales1, tue_sales AS tue_sales1,
+             wed_sales AS wed_sales1, thu_sales AS thu_sales1,
+             fri_sales AS fri_sales1, sat_sales AS sat_sales1
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1999) y,
+     (SELECT wswscs.d_week_seq AS d_week_seq2, sun_sales AS sun_sales2,
+             mon_sales AS mon_sales2, tue_sales AS tue_sales2,
+             wed_sales AS wed_sales2, thu_sales AS thu_sales2,
+             fri_sales AS fri_sales2, sat_sales AS sat_sales2
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 2000) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1
+"""
+
+TPCDS_QUERIES[4] = """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM((ss_ext_list_price - ss_ext_wholesale_cost
+              - ss_ext_discount_amt + ss_ext_sales_price) / 2)
+           AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM((cs_ext_list_price - cs_ext_wholesale_cost
+              - cs_ext_discount_amt + cs_ext_sales_price) / 2)
+           AS year_total,
+         'c' AS sale_type
+  FROM customer, catalog_sales, date_dim
+  WHERE c_customer_sk = cs_bill_customer_sk AND cs_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM((ws_ext_list_price - ws_ext_wholesale_cost
+              - ws_ext_discount_amt + ws_ext_sales_price) / 2)
+           AS year_total,
+         'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_email_address, d_year
+)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name, t_s_secyear.customer_email_address
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w' AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 2000
+  AND t_c_firstyear.dyear = 1999 AND t_c_secyear.dyear = 2000
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 2000
+  AND t_s_firstyear.year_total > 0 AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+           THEN t_s_secyear.year_total / t_s_firstyear.year_total
+           ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+    > CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name, t_s_secyear.customer_email_address
+LIMIT 100
+"""
+
+TPCDS_QUERIES[5] = """
+WITH ssr AS (
+  SELECT s_store_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+               ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+               0.0 AS return_amt, 0.0 AS net_loss
+        FROM store_sales
+        UNION ALL
+        SELECT sr_store_sk, sr_returned_date_sk, 0.0, 0.0,
+               sr_return_amt, sr_net_loss
+        FROM store_returns) salesreturns, date_dim, store
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND store_sk = s_store_sk
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+               cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+               0.0 AS return_amt, 0.0 AS net_loss
+        FROM catalog_sales
+        UNION ALL
+        SELECT cr_catalog_page_sk, cr_returned_date_sk, 0.0, 0.0,
+               cr_return_amount, cr_net_loss
+        FROM catalog_returns) salesreturns, date_dim, catalog_page
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND page_sk = cp_catalog_page_sk
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id,
+         SUM(sales_price) AS sales, SUM(profit) AS profit,
+         SUM(return_amt) AS returns_amt, SUM(net_loss) AS profit_loss
+  FROM (SELECT ws_web_site_sk AS wsr_web_site_sk,
+               ws_sold_date_sk AS date_sk,
+               ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+               0.0 AS return_amt, 0.0 AS net_loss
+        FROM web_sales
+        UNION ALL
+        SELECT ws_web_site_sk, wr_returned_date_sk, 0.0, 0.0,
+               wr_return_amt, wr_net_loss
+        FROM web_returns LEFT OUTER JOIN web_sales
+          ON wr_item_sk = ws_item_sk
+         AND wr_order_number = ws_order_number) salesreturns,
+       date_dim, web_site
+  WHERE date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-06'
+    AND wsr_web_site_sk = web_site_sk
+  GROUP BY web_site_id)
+SELECT channel, id, SUM(sales) AS sales, SUM(returns_amt) AS returns_amt,
+       SUM(profit) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel,
+             'catalog_page' || cp_catalog_page_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns_amt, profit - profit_loss AS profit
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[8] = """
+SELECT s_store_name, SUM(ss_net_profit)
+FROM store_sales, date_dim, store,
+     (SELECT ca_zip FROM (
+        SELECT SUBSTR(ca_zip, 1, 5) AS ca_zip FROM customer_address
+        WHERE SUBSTR(ca_zip, 1, 5) IN
+          ('34742', '39752', '32880', '31050', '31108', '36697',
+           '32405', '37120', '33077', '34887', '40164', '83676',
+           '24314', '64306', '59559', '64115')
+        INTERSECT
+        SELECT ca_zip FROM (
+          SELECT SUBSTR(ca_zip, 1, 5) AS ca_zip, COUNT(*) AS cnt
+          FROM customer_address, customer
+          WHERE ca_address_sk = c_current_addr_sk
+            AND c_preferred_cust_flag = 'Y'
+          GROUP BY ca_zip HAVING COUNT(*) > 10) a1) a2) v1
+WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1999
+  AND SUBSTR(s_zip, 1, 2) = SUBSTR(v1.ca_zip, 1, 2)
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100
+"""
+
+TPCDS_QUERIES[11] = """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM(ss_ext_list_price - ss_ext_discount_amt) AS year_total,
+         's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_email_address, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name,
+         c_preferred_cust_flag AS customer_preferred_cust_flag,
+         c_birth_country AS customer_birth_country,
+         c_email_address AS customer_email_address,
+         d_year AS dyear,
+         SUM(ws_ext_list_price - ws_ext_discount_amt) AS year_total,
+         'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+  GROUP BY c_customer_id, c_first_name, c_last_name, c_preferred_cust_flag,
+           c_birth_country, c_email_address, d_year
+)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1999 AND t_s_secyear.dyear = 2000
+  AND t_w_firstyear.dyear = 1999 AND t_w_secyear.dyear = 2000
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE 0.0 END
+    > CASE WHEN t_s_firstyear.year_total > 0
+           THEN t_s_secyear.year_total / t_s_firstyear.year_total
+           ELSE 0.0 END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100
+"""
+
+TPCDS_QUERIES[14] = """
+WITH cross_items AS (
+  SELECT i_item_sk AS ss_item_sk
+  FROM item,
+       (SELECT iss.i_brand_id AS brand_id, iss.i_class_id AS class_id,
+               iss.i_category_id AS category_id
+        FROM store_sales, item iss, date_dim d1
+        WHERE ss_item_sk = iss.i_item_sk AND ss_sold_date_sk = d1.d_date_sk
+          AND d1.d_year BETWEEN 1999 AND 2001
+        INTERSECT
+        SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+        FROM catalog_sales, item ics, date_dim d2
+        WHERE cs_item_sk = ics.i_item_sk AND cs_sold_date_sk = d2.d_date_sk
+          AND d2.d_year BETWEEN 1999 AND 2001
+        INTERSECT
+        SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+        FROM web_sales, item iws, date_dim d3
+        WHERE ws_item_sk = iws.i_item_sk AND ws_sold_date_sk = d3.d_date_sk
+          AND d3.d_year BETWEEN 1999 AND 2001) x
+  WHERE i_brand_id = brand_id AND i_class_id = class_id
+    AND i_category_id = category_id
+),
+avg_sales AS (
+  SELECT AVG(quantity * list_price) AS average_sales
+  FROM (SELECT ss_quantity AS quantity, ss_list_price AS list_price
+        FROM store_sales, date_dim
+        WHERE ss_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT cs_quantity, cs_list_price
+        FROM catalog_sales, date_dim
+        WHERE cs_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001
+        UNION ALL
+        SELECT ws_quantity, ws_list_price
+        FROM web_sales, date_dim
+        WHERE ws_sold_date_sk = d_date_sk AND d_year BETWEEN 1999 AND 2001) x
+)
+SELECT channel, i_brand_id, i_class_id, i_category_id, SUM(sales),
+       SUM(number_sales)
+FROM (
+  SELECT 'store' AS channel, i_brand_id, i_class_id, i_category_id,
+         SUM(ss_quantity * ss_list_price) AS sales,
+         COUNT(*) AS number_sales
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 11
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING SUM(ss_quantity * ss_list_price)
+         > (SELECT average_sales FROM avg_sales)
+  UNION ALL
+  SELECT 'catalog' AS channel, i_brand_id, i_class_id, i_category_id,
+         SUM(cs_quantity * cs_list_price) AS sales,
+         COUNT(*) AS number_sales
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 11
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING SUM(cs_quantity * cs_list_price)
+         > (SELECT average_sales FROM avg_sales)
+  UNION ALL
+  SELECT 'web' AS channel, i_brand_id, i_class_id, i_category_id,
+         SUM(ws_quantity * ws_list_price) AS sales,
+         COUNT(*) AS number_sales
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2001 AND d_moy = 11
+  GROUP BY i_brand_id, i_class_id, i_category_id
+  HAVING SUM(ws_quantity * ws_list_price)
+         > (SELECT average_sales FROM avg_sales)
+) y
+GROUP BY channel, i_brand_id, i_class_id, i_category_id
+ORDER BY channel, i_brand_id, i_class_id, i_category_id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[23] = """
+WITH frequent_ss_items AS (
+  SELECT SUBSTR(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+         d_date AS solddate, COUNT(*) AS cnt
+  FROM store_sales, date_dim, item
+  WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk
+    AND d_year IN (2000, 2001, 2002, 2003)
+  GROUP BY SUBSTR(i_item_desc, 1, 30), i_item_sk, d_date
+  HAVING COUNT(*) > 4
+),
+max_store_sales AS (
+  SELECT MAX(csales) AS tpcds_cmax
+  FROM (SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) AS csales
+        FROM store_sales, customer, date_dim
+        WHERE ss_customer_sk = c_customer_sk AND ss_sold_date_sk = d_date_sk
+          AND d_year IN (2000, 2001, 2002, 2003)
+        GROUP BY c_customer_sk) t
+),
+best_ss_customer AS (
+  SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) AS ssales
+  FROM store_sales, customer
+  WHERE ss_customer_sk = c_customer_sk
+  GROUP BY c_customer_sk
+  HAVING SUM(ss_quantity * ss_sales_price)
+         > 0.5 * (SELECT tpcds_cmax FROM max_store_sales)
+)
+SELECT SUM(sales)
+FROM (SELECT cs_quantity * cs_list_price AS sales
+      FROM catalog_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)
+      UNION ALL
+      SELECT ws_quantity * ws_list_price AS sales
+      FROM web_sales, date_dim
+      WHERE d_year = 2000 AND d_moy = 2 AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)) y
+LIMIT 100
+"""
+
+TPCDS_QUERIES[24] = """
+WITH ssales AS (
+  SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price, i_manager_id, i_units, i_size,
+         SUM(ss_net_paid) AS netpaid
+  FROM store_sales, store_returns, store, item, customer, customer_address
+  WHERE ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+    AND ss_customer_sk = c_customer_sk AND ss_item_sk = i_item_sk
+    AND ss_store_sk = s_store_sk AND c_current_addr_sk = ca_address_sk
+    AND c_birth_country <> UPPER(ca_country) AND s_zip = ca_zip
+    AND s_market_id = 8
+  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price, i_manager_id, i_units, i_size
+)
+SELECT c_last_name, c_first_name, s_store_name, SUM(netpaid) AS paid
+FROM ssales
+WHERE i_color = 'blithely'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING SUM(netpaid) > (SELECT 0.05 * AVG(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name
+"""
+
+TPCDS_QUERIES[47] = """
+WITH v1 AS (
+  SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+         SUM(ss_sales_price) AS sum_sales,
+         AVG(SUM(ss_sales_price)) OVER (
+           PARTITION BY i_category, i_brand, s_store_name, s_company_name,
+                        d_year) AS avg_monthly_sales,
+         RANK() OVER (
+           PARTITION BY i_category, i_brand, s_store_name, s_company_name
+           ORDER BY d_year, d_moy) AS rn
+  FROM item, store_sales, date_dim, store
+  WHERE ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND ss_store_sk = s_store_sk
+    AND (d_year = 1999 OR (d_year = 1998 AND d_moy = 12)
+         OR (d_year = 2000 AND d_moy = 1))
+  GROUP BY i_category, i_brand, s_store_name, s_company_name, d_year, d_moy
+),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+         v1.d_year, v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+    AND v1.s_store_name = v1_lag.s_store_name
+    AND v1.s_store_name = v1_lead.s_store_name
+    AND v1.s_company_name = v1_lag.s_company_name
+    AND v1.s_company_name = v1_lead.s_company_name
+    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+)
+SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+       avg_monthly_sales, sum_sales, psum, nsum
+FROM v2
+WHERE d_year = 1999 AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name, i_category, i_brand,
+         d_moy
+LIMIT 100
+"""
+
+TPCDS_QUERIES[49] = """
+SELECT channel, item, return_ratio, return_rank, currency_rank
+FROM (
+  SELECT 'web' AS channel, web.item, web.return_ratio, web.return_rank,
+         web.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               RANK() OVER (ORDER BY return_ratio) AS return_rank,
+               RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+        FROM (SELECT ws.ws_item_sk AS item,
+                     CAST(SUM(COALESCE(wr.wr_return_quantity, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(ws.ws_quantity, 0)) AS DOUBLE)
+                       AS return_ratio,
+                     CAST(SUM(COALESCE(wr.wr_return_amt, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(ws.ws_net_paid, 0)) AS DOUBLE)
+                       AS currency_ratio
+              FROM web_sales ws LEFT OUTER JOIN web_returns wr
+                ON ws.ws_order_number = wr.wr_order_number
+               AND ws.ws_item_sk = wr.wr_item_sk, date_dim
+              WHERE wr.wr_return_amt > 100 AND ws.ws_net_profit > 1
+                AND ws.ws_net_paid > 0 AND ws.ws_quantity > 0
+                AND ws_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy = 12
+              GROUP BY ws.ws_item_sk) in_web) web
+  WHERE web.return_rank <= 10 OR web.currency_rank <= 10
+  UNION
+  SELECT 'catalog' AS channel, catalog.item, catalog.return_ratio,
+         catalog.return_rank, catalog.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               RANK() OVER (ORDER BY return_ratio) AS return_rank,
+               RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+        FROM (SELECT cs.cs_item_sk AS item,
+                     CAST(SUM(COALESCE(cr.cr_return_quantity, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(cs.cs_quantity, 0)) AS DOUBLE)
+                       AS return_ratio,
+                     CAST(SUM(COALESCE(cr.cr_return_amount, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(cs.cs_net_paid, 0)) AS DOUBLE)
+                       AS currency_ratio
+              FROM catalog_sales cs LEFT OUTER JOIN catalog_returns cr
+                ON cs.cs_order_number = cr.cr_order_number
+               AND cs.cs_item_sk = cr.cr_item_sk, date_dim
+              WHERE cr.cr_return_amount > 100 AND cs.cs_net_profit > 1
+                AND cs.cs_net_paid > 0 AND cs.cs_quantity > 0
+                AND cs_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy = 12
+              GROUP BY cs.cs_item_sk) in_cat) catalog
+  WHERE catalog.return_rank <= 10 OR catalog.currency_rank <= 10
+  UNION
+  SELECT 'store' AS channel, store.item, store.return_ratio,
+         store.return_rank, store.currency_rank
+  FROM (SELECT item, return_ratio, currency_ratio,
+               RANK() OVER (ORDER BY return_ratio) AS return_rank,
+               RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+        FROM (SELECT sts.ss_item_sk AS item,
+                     CAST(SUM(COALESCE(sr.sr_return_quantity, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(sts.ss_quantity, 0)) AS DOUBLE)
+                       AS return_ratio,
+                     CAST(SUM(COALESCE(sr.sr_return_amt, 0)) AS DOUBLE)
+                       / CAST(SUM(COALESCE(sts.ss_net_paid, 0)) AS DOUBLE)
+                       AS currency_ratio
+              FROM store_sales sts LEFT OUTER JOIN store_returns sr
+                ON sts.ss_ticket_number = sr.sr_ticket_number
+               AND sts.ss_item_sk = sr.sr_item_sk, date_dim
+              WHERE sr.sr_return_amt > 100 AND sts.ss_net_profit > 1
+                AND sts.ss_net_paid > 0 AND sts.ss_quantity > 0
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 2000 AND d_moy = 12
+              GROUP BY sts.ss_item_sk) in_store) store
+  WHERE store.return_rank <= 10 OR store.currency_rank <= 10
+) x
+ORDER BY channel, return_rank, currency_rank, item
+LIMIT 100
+"""
+
+TPCDS_QUERIES[51] = """
+WITH web_v1 AS (
+  SELECT ws_item_sk AS item_sk, d_date,
+         SUM(SUM(ws_sales_price)) OVER (
+           PARTITION BY ws_item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM web_sales, date_dim
+  WHERE ws_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 12 AND 23
+  GROUP BY ws_item_sk, d_date
+),
+store_v1 AS (
+  SELECT ss_item_sk AS item_sk, d_date,
+         SUM(SUM(ss_sales_price)) OVER (
+           PARTITION BY ss_item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+  FROM store_sales, date_dim
+  WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 12 AND 23
+  GROUP BY ss_item_sk, d_date
+)
+SELECT *
+FROM (
+  SELECT item_sk, d_date, web_sales, store_sales,
+         MAX(web_sales) OVER (
+           PARTITION BY item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS web_cumulative,
+         MAX(store_sales) OVER (
+           PARTITION BY item_sk ORDER BY d_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS store_cumulative
+  FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                    ELSE store.item_sk END AS item_sk,
+               CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                    ELSE store.d_date END AS d_date,
+               web.cume_sales AS web_sales,
+               store.cume_sales AS store_sales
+        FROM web_v1 web FULL OUTER JOIN store_v1 store
+          ON web.item_sk = store.item_sk AND web.d_date = store.d_date) x
+) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+"""
+
+TPCDS_QUERIES[56] = """
+SELECT i_item_id, SUM(total_sales) AS total_sales
+FROM (
+  SELECT i_item_id, SUM(ss_ext_sales_price) AS total_sales
+  FROM store_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('accounts', 'beans', 'blithely'))
+    AND ss_item_sk = i_item_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 2
+    AND ss_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id
+  UNION ALL
+  SELECT i_item_id, SUM(cs_ext_sales_price) AS total_sales
+  FROM catalog_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('accounts', 'beans', 'blithely'))
+    AND cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 2
+    AND cs_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id
+  UNION ALL
+  SELECT i_item_id, SUM(ws_ext_sales_price) AS total_sales
+  FROM web_sales, date_dim, customer_address, item
+  WHERE i_item_id IN (SELECT i_item_id FROM item
+                      WHERE i_color IN ('accounts', 'beans', 'blithely'))
+    AND ws_item_sk = i_item_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year = 2000 AND d_moy = 2
+    AND ws_bill_addr_sk = ca_address_sk AND ca_gmt_offset = -5
+  GROUP BY i_item_id
+) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales
+LIMIT 100
+"""
+
+TPCDS_QUERIES[57] = """
+WITH v1 AS (
+  SELECT i_category, i_brand, cc_name, d_year, d_moy,
+         SUM(cs_sales_price) AS sum_sales,
+         AVG(SUM(cs_sales_price)) OVER (
+           PARTITION BY i_category, i_brand, cc_name, d_year)
+           AS avg_monthly_sales,
+         RANK() OVER (PARTITION BY i_category, i_brand, cc_name
+                      ORDER BY d_year, d_moy) AS rn
+  FROM item, catalog_sales, date_dim, call_center
+  WHERE cs_item_sk = i_item_sk AND cs_sold_date_sk = d_date_sk
+    AND cc_call_center_sk = cs_call_center_sk
+    AND (d_year = 1999 OR (d_year = 1998 AND d_moy = 12)
+         OR (d_year = 2000 AND d_moy = 1))
+  GROUP BY i_category, i_brand, cc_name, d_year, d_moy
+),
+v2 AS (
+  SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+         v1.avg_monthly_sales, v1.sum_sales,
+         v1_lag.sum_sales AS psum, v1_lead.sum_sales AS nsum
+  FROM v1, v1 v1_lag, v1 v1_lead
+  WHERE v1.i_category = v1_lag.i_category
+    AND v1.i_category = v1_lead.i_category
+    AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+    AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+    AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+)
+SELECT i_category, i_brand, cc_name, d_year, d_moy, avg_monthly_sales,
+       sum_sales, psum, nsum
+FROM v2
+WHERE d_year = 1999 AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, cc_name, i_category, i_brand, d_moy
+LIMIT 100
+"""
+
+TPCDS_QUERIES[58] = """
+WITH ss_items AS (
+  SELECT i_item_id AS item_id, SUM(ss_ext_sales_price) AS ss_item_rev
+  FROM store_sales, item, date_dim
+  WHERE ss_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                       WHERE d_date = DATE '2000-01-03'))
+    AND ss_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+cs_items AS (
+  SELECT i_item_id AS item_id, SUM(cs_ext_sales_price) AS cs_item_rev
+  FROM catalog_sales, item, date_dim
+  WHERE cs_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                       WHERE d_date = DATE '2000-01-03'))
+    AND cs_sold_date_sk = d_date_sk
+  GROUP BY i_item_id),
+ws_items AS (
+  SELECT i_item_id AS item_id, SUM(ws_ext_sales_price) AS ws_item_rev
+  FROM web_sales, item, date_dim
+  WHERE ws_item_sk = i_item_sk
+    AND d_date IN (SELECT d_date FROM date_dim
+                   WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                       WHERE d_date = DATE '2000-01-03'))
+    AND ws_sold_date_sk = d_date_sk
+  GROUP BY i_item_id)
+SELECT ss_items.item_id, ss_item_rev,
+       ss_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+         AS ss_dev,
+       cs_item_rev,
+       cs_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+         AS cs_dev,
+       ws_item_rev,
+       ws_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+         AS ws_dev,
+       (ss_item_rev + cs_item_rev + ws_item_rev) / 3 AS average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100
+"""
+
+TPCDS_QUERIES[74] = """
+WITH year_total AS (
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name, d_year AS yr,
+         SUM(ss_net_paid) AS year_total, 's' AS sale_type
+  FROM customer, store_sales, date_dim
+  WHERE c_customer_sk = ss_customer_sk AND ss_sold_date_sk = d_date_sk
+    AND d_year IN (1999, 2000)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+  UNION ALL
+  SELECT c_customer_id AS customer_id, c_first_name AS customer_first_name,
+         c_last_name AS customer_last_name, d_year AS yr,
+         SUM(ws_net_paid) AS year_total, 'w' AS sale_type
+  FROM customer, web_sales, date_dim
+  WHERE c_customer_sk = ws_bill_customer_sk AND ws_sold_date_sk = d_date_sk
+    AND d_year IN (1999, 2000)
+  GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's' AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's' AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.yr = 1999 AND t_s_secyear.yr = 2000
+  AND t_w_firstyear.yr = 1999 AND t_w_secyear.yr = 2000
+  AND t_s_firstyear.year_total > 0 AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+    > CASE WHEN t_s_firstyear.year_total > 0
+           THEN t_s_secyear.year_total / t_s_firstyear.year_total
+           ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name
+LIMIT 100
+"""
+
+TPCDS_QUERIES[44] = """
+SELECT asceding.rnk, i1.i_product_name AS best_performing,
+       i2.i_product_name AS worst_performing
+FROM (SELECT *
+      FROM (SELECT item_sk, RANK() OVER (ORDER BY rank_col ASC) AS rnk
+            FROM (SELECT ss_item_sk AS item_sk, AVG(ss_net_profit)
+                           AS rank_col
+                  FROM store_sales ss1
+                  WHERE ss_store_sk = 4
+                  GROUP BY ss_item_sk
+                  HAVING AVG(ss_net_profit)
+                         > 0.9 * (SELECT AVG(ss_net_profit) AS rank_col
+                                  FROM store_sales
+                                  WHERE ss_store_sk = 4
+                                    AND ss_addr_sk IS NULL
+                                  GROUP BY ss_store_sk)) v1) v11
+      WHERE rnk < 11) asceding,
+     (SELECT *
+      FROM (SELECT item_sk, RANK() OVER (ORDER BY rank_col DESC) AS rnk
+            FROM (SELECT ss_item_sk AS item_sk, AVG(ss_net_profit)
+                           AS rank_col
+                  FROM store_sales ss1
+                  WHERE ss_store_sk = 4
+                  GROUP BY ss_item_sk
+                  HAVING AVG(ss_net_profit)
+                         > 0.9 * (SELECT AVG(ss_net_profit) AS rank_col
+                                  FROM store_sales
+                                  WHERE ss_store_sk = 4
+                                    AND ss_addr_sk IS NULL
+                                  GROUP BY ss_store_sk)) v2) v21
+      WHERE rnk < 11) descending,
+     item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk
+"""
+
+TPCDS_QUERIES[54] = """
+WITH my_customers AS (
+  SELECT DISTINCT c_customer_sk, c_current_addr_sk
+  FROM (SELECT cs_sold_date_sk AS sold_date_sk,
+               cs_bill_customer_sk AS customer_sk,
+               cs_item_sk AS item_sk
+        FROM catalog_sales
+        UNION ALL
+        SELECT ws_sold_date_sk, ws_bill_customer_sk, ws_item_sk
+        FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+  WHERE sold_date_sk = d_date_sk AND item_sk = i_item_sk
+    AND i_category = 'Women' AND i_class = 'class#99'
+    AND c_customer_sk = cs_or_ws_sales.customer_sk
+    AND d_moy = 12 AND d_year = 1998
+),
+my_revenue AS (
+  SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+  FROM my_customers, store_sales, customer_address, store, date_dim
+  WHERE c_current_addr_sk = ca_address_sk
+    AND ca_county = s_county AND ca_state = s_state
+    AND ss_sold_date_sk = d_date_sk
+    AND c_customer_sk = ss_customer_sk
+    AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+                             FROM date_dim
+                             WHERE d_year = 1998 AND d_moy = 12)
+                        AND (SELECT DISTINCT d_month_seq + 3
+                             FROM date_dim
+                             WHERE d_year = 1998 AND d_moy = 12)
+  GROUP BY c_customer_sk
+),
+segments AS (
+  SELECT CAST(revenue / 50 AS INT) AS segment FROM my_revenue
+)
+SELECT segment, COUNT(*) AS num_customers, segment * 50 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100
+"""
+
+TPCDS_QUERIES[64] = """
+WITH cs_ui AS (
+  SELECT cs_item_sk,
+         SUM(cs_ext_list_price) AS sale,
+         SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)
+           AS refund
+  FROM catalog_sales, catalog_returns
+  WHERE cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number
+  GROUP BY cs_item_sk
+  HAVING SUM(cs_ext_list_price)
+         > 2 * SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)
+),
+cross_sales AS (
+  SELECT i_product_name AS product_name, i_item_sk AS item_sk,
+         s_store_name AS store_name, s_zip AS store_zip,
+         ad1.ca_street_number AS b_street_number,
+         ad1.ca_street_name AS b_street_name,
+         ad1.ca_city AS b_city, ad1.ca_zip AS b_zip,
+         ad2.ca_street_number AS c_street_number,
+         ad2.ca_street_name AS c_street_name,
+         ad2.ca_city AS c_city, ad2.ca_zip AS c_zip,
+         d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year AS s2year,
+         COUNT(*) AS cnt, SUM(ss_wholesale_cost) AS s1,
+         SUM(ss_list_price) AS s2, SUM(ss_coupon_amt) AS s3
+  FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2,
+       date_dim d3, store, customer, customer_demographics cd1,
+       customer_demographics cd2, promotion, household_demographics hd1,
+       household_demographics hd2, customer_address ad1,
+       customer_address ad2, income_band ib1, income_band ib2, item
+  WHERE ss_store_sk = s_store_sk AND ss_sold_date_sk = d1.d_date_sk
+    AND ss_customer_sk = c_customer_sk AND ss_cdemo_sk = cd1.cd_demo_sk
+    AND ss_hdemo_sk = hd1.hd_demo_sk AND ss_addr_sk = ad1.ca_address_sk
+    AND ss_item_sk = i_item_sk AND ss_item_sk = sr_item_sk
+    AND ss_ticket_number = sr_ticket_number
+    AND ss_item_sk = cs_ui.cs_item_sk
+    AND c_current_cdemo_sk = cd2.cd_demo_sk
+    AND c_current_hdemo_sk = hd2.hd_demo_sk
+    AND c_current_addr_sk = ad2.ca_address_sk
+    AND c_first_sales_date_sk = d2.d_date_sk
+    AND c_first_shipto_date_sk = d3.d_date_sk
+    AND ss_promo_sk = p_promo_sk
+    AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+    AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+    AND cd1.cd_marital_status <> cd2.cd_marital_status
+    AND i_color IN ('accounts', 'beans', 'blithely', 'carefully',
+                    'courts', 'braids')
+    AND i_current_price BETWEEN 1 AND 60
+  GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+           ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+           ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+           ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year
+)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+       cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       cs1.syear, cs1.cnt, cs1.s1 AS s11, cs1.s2 AS s21, cs1.s3 AS s31,
+       cs2.s1 AS s12, cs2.s2 AS s22, cs2.s3 AS s32, cs2.syear AS syear2,
+       cs2.cnt AS cnt2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk AND cs1.syear = 1999
+  AND cs2.syear = 2000 AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cs2.cnt, cs1.s1, cs2.s1
+"""
+
+TPCDS_QUERIES[66] = """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, year_,
+       SUM(jan_sales) AS jan_sales, SUM(feb_sales) AS feb_sales,
+       SUM(mar_sales) AS mar_sales, SUM(apr_sales) AS apr_sales,
+       SUM(may_sales) AS may_sales, SUM(jun_sales) AS jun_sales,
+       SUM(jul_sales) AS jul_sales, SUM(aug_sales) AS aug_sales,
+       SUM(sep_sales) AS sep_sales, SUM(oct_sales) AS oct_sales,
+       SUM(nov_sales) AS nov_sales, SUM(dec_sales) AS dec_sales,
+       SUM(jan_net) AS jan_net, SUM(feb_net) AS feb_net,
+       SUM(mar_net) AS mar_net, SUM(apr_net) AS apr_net,
+       SUM(may_net) AS may_net, SUM(jun_net) AS jun_net,
+       SUM(jul_net) AS jul_net, SUM(aug_net) AS aug_net,
+       SUM(sep_net) AS sep_net, SUM(oct_net) AS oct_net,
+       SUM(nov_net) AS nov_net, SUM(dec_net) AS dec_net
+FROM (
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, 'DHL,ZHOU' AS ship_carriers, d_year AS year_,
+         SUM(CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS jul_sales,
+         SUM(CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS aug_sales,
+         SUM(CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS sep_sales,
+         SUM(CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS oct_sales,
+         SUM(CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS nov_sales,
+         SUM(CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity ELSE 0 END) AS dec_sales,
+         SUM(CASE WHEN d_moy = 1 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN ws_net_paid * ws_quantity ELSE 0 END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN ws_net_paid * ws_quantity ELSE 0 END) AS mar_net,
+         SUM(CASE WHEN d_moy = 4 THEN ws_net_paid * ws_quantity ELSE 0 END) AS apr_net,
+         SUM(CASE WHEN d_moy = 5 THEN ws_net_paid * ws_quantity ELSE 0 END) AS may_net,
+         SUM(CASE WHEN d_moy = 6 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jun_net,
+         SUM(CASE WHEN d_moy = 7 THEN ws_net_paid * ws_quantity ELSE 0 END) AS jul_net,
+         SUM(CASE WHEN d_moy = 8 THEN ws_net_paid * ws_quantity ELSE 0 END) AS aug_net,
+         SUM(CASE WHEN d_moy = 9 THEN ws_net_paid * ws_quantity ELSE 0 END) AS sep_net,
+         SUM(CASE WHEN d_moy = 10 THEN ws_net_paid * ws_quantity ELSE 0 END) AS oct_net,
+         SUM(CASE WHEN d_moy = 11 THEN ws_net_paid * ws_quantity ELSE 0 END) AS nov_net,
+         SUM(CASE WHEN d_moy = 12 THEN ws_net_paid * ws_quantity ELSE 0 END) AS dec_net
+  FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE ws_warehouse_sk = w_warehouse_sk AND ws_sold_date_sk = d_date_sk
+    AND ws_sold_time_sk = t_time_sk AND ws_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 1999 AND t_time BETWEEN 30838 AND 59638
+    AND sm_carrier IN ('DHL', 'ZHOU')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, d_year
+  UNION ALL
+  SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, 'DHL,ZHOU' AS ship_carriers, d_year AS year_,
+         SUM(CASE WHEN d_moy = 1 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jan_sales,
+         SUM(CASE WHEN d_moy = 2 THEN cs_sales_price * cs_quantity ELSE 0 END) AS feb_sales,
+         SUM(CASE WHEN d_moy = 3 THEN cs_sales_price * cs_quantity ELSE 0 END) AS mar_sales,
+         SUM(CASE WHEN d_moy = 4 THEN cs_sales_price * cs_quantity ELSE 0 END) AS apr_sales,
+         SUM(CASE WHEN d_moy = 5 THEN cs_sales_price * cs_quantity ELSE 0 END) AS may_sales,
+         SUM(CASE WHEN d_moy = 6 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jun_sales,
+         SUM(CASE WHEN d_moy = 7 THEN cs_sales_price * cs_quantity ELSE 0 END) AS jul_sales,
+         SUM(CASE WHEN d_moy = 8 THEN cs_sales_price * cs_quantity ELSE 0 END) AS aug_sales,
+         SUM(CASE WHEN d_moy = 9 THEN cs_sales_price * cs_quantity ELSE 0 END) AS sep_sales,
+         SUM(CASE WHEN d_moy = 10 THEN cs_sales_price * cs_quantity ELSE 0 END) AS oct_sales,
+         SUM(CASE WHEN d_moy = 11 THEN cs_sales_price * cs_quantity ELSE 0 END) AS nov_sales,
+         SUM(CASE WHEN d_moy = 12 THEN cs_sales_price * cs_quantity ELSE 0 END) AS dec_sales,
+         SUM(CASE WHEN d_moy = 1 THEN cs_net_paid * cs_quantity ELSE 0 END) AS jan_net,
+         SUM(CASE WHEN d_moy = 2 THEN cs_net_paid * cs_quantity ELSE 0 END) AS feb_net,
+         SUM(CASE WHEN d_moy = 3 THEN cs_net_paid * cs_quantity ELSE 0 END) AS mar_net,
+         SUM(CASE WHEN d_moy = 4 THEN cs_net_paid * cs_quantity ELSE 0 END) AS apr_net,
+         SUM(CASE WHEN d_moy = 5 THEN cs_net_paid * cs_quantity ELSE 0 END) AS may_net,
+         SUM(CASE WHEN d_moy = 6 THEN cs_net_paid * cs_quantity ELSE 0 END) AS jun_net,
+         SUM(CASE WHEN d_moy = 7 THEN cs_net_paid * cs_quantity ELSE 0 END) AS jul_net,
+         SUM(CASE WHEN d_moy = 8 THEN cs_net_paid * cs_quantity ELSE 0 END) AS aug_net,
+         SUM(CASE WHEN d_moy = 9 THEN cs_net_paid * cs_quantity ELSE 0 END) AS sep_net,
+         SUM(CASE WHEN d_moy = 10 THEN cs_net_paid * cs_quantity ELSE 0 END) AS oct_net,
+         SUM(CASE WHEN d_moy = 11 THEN cs_net_paid * cs_quantity ELSE 0 END) AS nov_net,
+         SUM(CASE WHEN d_moy = 12 THEN cs_net_paid * cs_quantity ELSE 0 END) AS dec_net
+  FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+  WHERE cs_warehouse_sk = w_warehouse_sk AND cs_sold_date_sk = d_date_sk
+    AND cs_sold_time_sk = t_time_sk AND cs_ship_mode_sk = sm_ship_mode_sk
+    AND d_year = 1999 AND t_time BETWEEN 30838 AND 59638
+    AND sm_carrier IN ('DHL', 'ZHOU')
+  GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+           w_country, d_year
+) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, year_
+ORDER BY w_warehouse_name
+LIMIT 100
+"""
+
+TPCDS_QUERIES[70] = """
+SELECT SUM(ss_net_profit) AS total_sum, s_state, s_county,
+       GROUPING(s_state) + GROUPING(s_county) AS lochierarchy,
+       RANK() OVER (
+         PARTITION BY GROUPING(s_state) + GROUPING(s_county),
+                      CASE WHEN GROUPING(s_county) = 0 THEN s_state END
+         ORDER BY SUM(ss_net_profit) DESC) AS rank_within_parent
+FROM store_sales, date_dim d1, store
+WHERE d1.d_month_seq BETWEEN 24 AND 35
+  AND d1.d_date_sk = ss_sold_date_sk AND s_store_sk = ss_store_sk
+  AND s_state IN (SELECT s_state
+                  FROM (SELECT s_state,
+                               RANK() OVER (PARTITION BY s_state
+                                            ORDER BY SUM(ss_net_profit) DESC)
+                                 AS ranking
+                        FROM store_sales, store, date_dim
+                        WHERE d_month_seq BETWEEN 24 AND 35
+                          AND d_date_sk = ss_sold_date_sk
+                          AND s_store_sk = ss_store_sk
+                        GROUP BY s_state) tmp1
+                  WHERE ranking <= 5)
+GROUP BY ROLLUP(s_state, s_county)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN s_state END,
+         rank_within_parent
+LIMIT 100
+"""
+
+TPCDS_QUERIES[72] = """
+SELECT i_item_desc, w_warehouse_name, d1.d_week_seq,
+       SUM(CASE WHEN p_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
+       SUM(CASE WHEN p_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS promo,
+       COUNT(*) AS total_cnt
+FROM catalog_sales
+JOIN inventory ON cs_item_sk = inv_item_sk
+JOIN warehouse ON w_warehouse_sk = inv_warehouse_sk
+JOIN item ON i_item_sk = cs_item_sk
+JOIN customer_demographics ON cs_cdemo_sk = cd_demo_sk
+JOIN household_demographics ON cs_hdemo_sk = hd_demo_sk
+JOIN date_dim d1 ON cs_sold_date_sk = d1.d_date_sk
+JOIN date_dim d2 ON inv_date_sk = d2.d_date_sk
+JOIN date_dim d3 ON cs_ship_date_sk = d3.d_date_sk
+LEFT OUTER JOIN promotion ON cs_promo_sk = p_promo_sk
+LEFT OUTER JOIN catalog_returns ON cr_item_sk = cs_item_sk
+                               AND cr_order_number = cs_order_number
+WHERE d1.d_week_seq = d2.d_week_seq
+  AND inv_quantity_on_hand < cs_quantity
+  AND d3.d_date_sk > d1.d_date_sk + 5
+  AND hd_buy_potential = '>10000'
+  AND d1.d_year = 1999
+  AND cd_marital_status = 'D'
+GROUP BY i_item_desc, w_warehouse_name, d1.d_week_seq
+ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d1.d_week_seq
+LIMIT 100
+"""
+
+TPCDS_QUERIES[75] = """
+WITH all_sales AS (
+  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         SUM(sales_cnt) AS sales_cnt, SUM(sales_amt) AS sales_amt
+  FROM (
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+           cs_ext_sales_price - COALESCE(cr_return_amount, 0.0) AS sales_amt
+    FROM catalog_sales
+         JOIN item ON i_item_sk = cs_item_sk
+         JOIN date_dim ON d_date_sk = cs_sold_date_sk
+         LEFT JOIN catalog_returns ON cs_order_number = cr_order_number
+                                  AND cs_item_sk = cr_item_sk
+    WHERE i_category = 'Books'
+    UNION
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           ss_quantity - COALESCE(sr_return_quantity, 0) AS sales_cnt,
+           ss_ext_sales_price - COALESCE(sr_return_amt, 0.0) AS sales_amt
+    FROM store_sales
+         JOIN item ON i_item_sk = ss_item_sk
+         JOIN date_dim ON d_date_sk = ss_sold_date_sk
+         LEFT JOIN store_returns ON ss_ticket_number = sr_ticket_number
+                                AND ss_item_sk = sr_item_sk
+    WHERE i_category = 'Books'
+    UNION
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           ws_quantity - COALESCE(wr_return_quantity, 0) AS sales_cnt,
+           ws_ext_sales_price - COALESCE(wr_return_amt, 0.0) AS sales_amt
+    FROM web_sales
+         JOIN item ON i_item_sk = ws_item_sk
+         JOIN date_dim ON d_date_sk = ws_sold_date_sk
+         LEFT JOIN web_returns ON ws_order_number = wr_order_number
+                              AND ws_item_sk = wr_item_sk
+    WHERE i_category = 'Books'
+  ) sales_detail
+  GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id
+)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year_,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id, prev_yr.sales_cnt AS prev_yr_cnt,
+       curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 2000 AND prev_yr.d_year = 1999
+  AND CAST(curr_yr.sales_cnt AS DOUBLE)
+      / CAST(prev_yr.sales_cnt AS DOUBLE) < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff, curr_yr.i_brand_id,
+         curr_yr.i_class_id, curr_yr.i_manufact_id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[76] = """
+SELECT channel, col_name, d_year, d_qoy, i_category, COUNT(*) AS sales_cnt,
+       SUM(ext_sales_price) AS sales_amt
+FROM (
+  SELECT 'store' AS channel, 'ss_store_sk' AS col_name, d_year, d_qoy,
+         i_category, ss_ext_sales_price AS ext_sales_price
+  FROM store_sales, item, date_dim
+  WHERE ss_store_sk IS NULL AND ss_sold_date_sk = d_date_sk
+    AND ss_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name, d_year, d_qoy,
+         i_category, ws_ext_sales_price AS ext_sales_price
+  FROM web_sales, item, date_dim
+  WHERE ws_ship_customer_sk IS NULL AND ws_sold_date_sk = d_date_sk
+    AND ws_item_sk = i_item_sk
+  UNION ALL
+  SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name, d_year, d_qoy,
+         i_category, cs_ext_sales_price AS ext_sales_price
+  FROM catalog_sales, item, date_dim
+  WHERE cs_ship_addr_sk IS NULL AND cs_sold_date_sk = d_date_sk
+    AND cs_item_sk = i_item_sk
+) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+LIMIT 100
+"""
+
+TPCDS_QUERIES[77] = """
+WITH ss AS (
+  SELECT s_store_sk, SUM(ss_ext_sales_price) AS sales,
+         SUM(ss_net_profit) AS profit
+  FROM store_sales, date_dim, store
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND ss_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+sr AS (
+  SELECT s_store_sk, SUM(sr_return_amt) AS returns_amt,
+         SUM(sr_net_loss) AS profit_loss
+  FROM store_returns, date_dim, store
+  WHERE sr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND sr_store_sk = s_store_sk
+  GROUP BY s_store_sk),
+cs AS (
+  SELECT cs_call_center_sk, SUM(cs_ext_sales_price) AS sales,
+         SUM(cs_net_profit) AS profit
+  FROM catalog_sales, date_dim
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+  GROUP BY cs_call_center_sk),
+cr AS (
+  SELECT cr_call_center_sk, SUM(cr_return_amount) AS returns_amt,
+         SUM(cr_net_loss) AS profit_loss
+  FROM catalog_returns, date_dim
+  WHERE cr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+  GROUP BY cr_call_center_sk),
+ws AS (
+  SELECT wp_web_page_sk, SUM(ws_ext_sales_price) AS sales,
+         SUM(ws_net_profit) AS profit
+  FROM web_sales, date_dim, web_page
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND ws_web_page_sk = wp_web_page_sk
+  GROUP BY wp_web_page_sk),
+wr AS (
+  SELECT wr_web_page_sk, SUM(wr_return_amt) AS returns_amt,
+         SUM(wr_net_loss) AS profit_loss
+  FROM web_returns, date_dim, web_page
+  WHERE wr_returned_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-03' AND DATE '2000-09-02'
+    AND wr_web_page_sk = wp_web_page_sk
+  GROUP BY wr_web_page_sk)
+SELECT channel, id, SUM(sales) AS sales, SUM(returns_amt) AS returns_amt,
+       SUM(profit) AS profit
+FROM (
+  SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+         COALESCE(returns_amt, 0.0) AS returns_amt,
+         profit - COALESCE(profit_loss, 0.0) AS profit
+  FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+  UNION ALL
+  SELECT 'catalog channel' AS channel, cs_call_center_sk AS id, sales,
+         returns_amt, profit - profit_loss AS profit
+  FROM cs, cr
+  UNION ALL
+  SELECT 'web channel' AS channel, ws.wp_web_page_sk AS id, sales,
+         COALESCE(returns_amt, 0.0) AS returns_amt,
+         profit - COALESCE(profit_loss, 0.0) AS profit
+  FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wr_web_page_sk
+) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+TPCDS_QUERIES[78] = """
+WITH ws AS (
+  SELECT d_year AS ws_sold_year, ws_item_sk,
+         ws_bill_customer_sk AS ws_customer_sk,
+         SUM(ws_quantity) AS ws_qty, SUM(ws_wholesale_cost) AS ws_wc,
+         SUM(ws_sales_price) AS ws_sp
+  FROM web_sales
+  LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                       AND ws_item_sk = wr_item_sk
+  JOIN date_dim ON ws_sold_date_sk = d_date_sk
+  WHERE wr_order_number IS NULL
+  GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+cs AS (
+  SELECT d_year AS cs_sold_year, cs_item_sk,
+         cs_bill_customer_sk AS cs_customer_sk,
+         SUM(cs_quantity) AS cs_qty, SUM(cs_wholesale_cost) AS cs_wc,
+         SUM(cs_sales_price) AS cs_sp
+  FROM catalog_sales
+  LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                           AND cs_item_sk = cr_item_sk
+  JOIN date_dim ON cs_sold_date_sk = d_date_sk
+  WHERE cr_order_number IS NULL
+  GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+ss AS (
+  SELECT d_year AS ss_sold_year, ss_item_sk,
+         ss_customer_sk,
+         SUM(ss_quantity) AS ss_qty, SUM(ss_wholesale_cost) AS ss_wc,
+         SUM(ss_sales_price) AS ss_sp
+  FROM store_sales
+  LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                         AND ss_item_sk = sr_item_sk
+  JOIN date_dim ON ss_sold_date_sk = d_date_sk
+  WHERE sr_ticket_number IS NULL
+  GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_item_sk,
+       ROUND(ss_qty * 1.0 / COALESCE(ws_qty + cs_qty, 1), 2) AS ratio,
+       ss_qty AS store_qty, ss_wc AS store_wholesale_cost,
+       ss_sp AS store_sales_price,
+       COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0)
+         AS other_chan_qty,
+       COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0)
+         AS other_chan_wholesale_cost,
+       COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0)
+         AS other_chan_sales_price
+FROM ss
+LEFT JOIN ws ON ws_sold_year = ss_sold_year AND ws_item_sk = ss_item_sk
+            AND ws_customer_sk = ss_customer_sk
+LEFT JOIN cs ON cs_sold_year = ss_sold_year AND cs_item_sk = ss_item_sk
+            AND cs_customer_sk = ss_customer_sk
+WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+  AND ss_sold_year = 2000
+ORDER BY ss_item_sk, ss_qty DESC, ss_wc DESC, ss_sp DESC, other_chan_qty,
+         other_chan_wholesale_cost, other_chan_sales_price, ratio
+LIMIT 100
+"""
+
+TPCDS_QUERIES[80] = """
+WITH ssr AS (
+  SELECT s_store_id AS store_id, SUM(ss_ext_sales_price) AS sales,
+         SUM(COALESCE(sr_return_amt, 0.0)) AS returns_amt,
+         SUM(ss_net_profit - COALESCE(sr_net_loss, 0.0)) AS profit
+  FROM store_sales
+  LEFT OUTER JOIN store_returns ON ss_item_sk = sr_item_sk
+                               AND ss_ticket_number = sr_ticket_number,
+       date_dim, store, item, promotion
+  WHERE ss_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ss_store_sk = s_store_sk AND ss_item_sk = i_item_sk
+    AND i_current_price > 50 AND ss_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY s_store_id),
+csr AS (
+  SELECT cp_catalog_page_id AS catalog_page_id,
+         SUM(cs_ext_sales_price) AS sales,
+         SUM(COALESCE(cr_return_amount, 0.0)) AS returns_amt,
+         SUM(cs_net_profit - COALESCE(cr_net_loss, 0.0)) AS profit
+  FROM catalog_sales
+  LEFT OUTER JOIN catalog_returns ON cs_item_sk = cr_item_sk
+                                 AND cs_order_number = cr_order_number,
+       date_dim, catalog_page, item, promotion
+  WHERE cs_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND cs_catalog_page_sk = cp_catalog_page_sk AND cs_item_sk = i_item_sk
+    AND i_current_price > 50 AND cs_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY cp_catalog_page_id),
+wsr AS (
+  SELECT web_site_id, SUM(ws_ext_sales_price) AS sales,
+         SUM(COALESCE(wr_return_amt, 0.0)) AS returns_amt,
+         SUM(ws_net_profit - COALESCE(wr_net_loss, 0.0)) AS profit
+  FROM web_sales
+  LEFT OUTER JOIN web_returns ON ws_item_sk = wr_item_sk
+                             AND ws_order_number = wr_order_number,
+       date_dim, web_site, item, promotion
+  WHERE ws_sold_date_sk = d_date_sk
+    AND d_date BETWEEN DATE '2000-08-23' AND DATE '2000-09-22'
+    AND ws_web_site_sk = web_site_sk AND ws_item_sk = i_item_sk
+    AND i_current_price > 50 AND ws_promo_sk = p_promo_sk
+    AND p_channel_tv = 'N'
+  GROUP BY web_site_id)
+SELECT channel, id, SUM(sales) AS sales, SUM(returns_amt) AS returns_amt,
+       SUM(profit) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+             sales, returns_amt, profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel,
+             'catalog_page' || catalog_page_id AS id,
+             sales, returns_amt, profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns_amt, profit
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
 LIMIT 100
 """

@@ -520,13 +520,18 @@ class WindowExpression(Expression):
                  argument: Optional[Expression],
                  partition_by: Sequence[Expression],
                  order_by: Sequence[Tuple[Expression, SortMode]],
-                 extra: Tuple = ()):
+                 extra: Tuple = (), frame: Optional[Tuple[str, str]] = None):
         self.function = function
         self.partition_by = list(partition_by)
         self.order_by = list(order_by)
         # host-side literal parameters: (offset, default) for LAG/LEAD,
         # (n,) for NTILE — not expressions, they must be constants
         self.extra = tuple(extra)
+        # window frame: None = SQL default (RANGE UNBOUNDED PRECEDING ..
+        # CURRENT ROW when ORDER BY present), else ('rows'|'range',
+        # 'current'|'following') — only UNBOUNDED PRECEDING starts are
+        # representable (the shapes TPC-DS uses)
+        self.frame = frame
         self.children = (
             ([argument] if argument is not None else [])
             + list(partition_by)

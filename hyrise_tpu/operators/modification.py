@@ -382,6 +382,8 @@ def _batched_append(tcols, src, name_to_src, old_n: int, n_new: int,
         datas.append(tcol.data)
         srcs.append(s)
         rebuild.append(tcol)
+    if len({id(d) for d in datas}) != len(datas):
+        return None  # aliased target buffers cannot be donated twice
     out = _jit_append_all(
         tuple(datas), tuple(srcs), jnp.asarray(old_n, dtype=jnp.int32), n_new
     )
@@ -410,11 +412,17 @@ def _src_string_codes(tcol, scol, n_new: int):
     return merged, tgt
 
 
-@partial(jax.jit, static_argnames=("n_new",))
+@partial(jax.jit, static_argnames=("n_new",), donate_argnums=(0,))
 def _jit_append_all(datas, srcs, start, n_new):
     """Whole-row append across all columns in ONE dispatch: slice, cast and
     dynamic-update every column inside a single executable (per-column
-    eager ops made each TPC-C insert ~10 dispatches per column)."""
+    eager ops made each TPC-C insert ~10 dispatches per column).
+
+    The target buffers are DONATED: without donation every
+    dynamic_update_slice copies the full column capacity (40 MB/txn on a
+    1-warehouse order_line — the copy, not the write, was ~90% of TPC-C
+    statement latency).  Callers must drop every reference to the old
+    arrays (Insert swaps target.columns right after)."""
     out = []
     for d, s in zip(datas, srcs):
         out.append(

@@ -23,12 +23,19 @@ from hyrise_tpu.types import DataType, size_bucket
 
 
 class UnionAll(AbstractReadOnlyOperator):
-    def __init__(self, left_op, right_op):
+    def __init__(self, left_op, right_op, out_exprs=None):
         super().__init__(left_op, right_op)
-        self.output_expressions = list(left_op.output_expressions)
+        # the LQP mints fresh column identities for set-op outputs
+        # (see plan/lqp.py::_mint_setop_outputs); keep them if given
+        self._out_override = out_exprs
+        self.output_expressions = (
+            list(out_exprs) if out_exprs is not None
+            else list(left_op.output_expressions)
+        )
 
     def _on_execute(self) -> Table:
-        self.output_expressions = list(self._left.output_expressions)
+        if self._out_override is None:
+            self.output_expressions = list(self._left.output_expressions)
         return concat_tables([
             self.input_table_left().materialize().decoded(),
             self.input_table_right().materialize().decoded(),
@@ -42,15 +49,20 @@ class _SetOpBase(AbstractReadOnlyOperator):
     """Shared machinery: concat with origin tag, group all columns, count
     per side, emit one representative row per qualifying group."""
 
-    def __init__(self, left_op, right_op):
+    def __init__(self, left_op, right_op, out_exprs=None):
         super().__init__(left_op, right_op)
-        self.output_expressions = list(left_op.output_expressions)
+        self._out_override = out_exprs
+        self.output_expressions = (
+            list(out_exprs) if out_exprs is not None
+            else list(left_op.output_expressions)
+        )
 
     def _qualifies(self, left_count, right_count):
         raise NotImplementedError
 
     def _on_execute(self) -> Table:
-        self.output_expressions = list(self._left.output_expressions)
+        if self._out_override is None:
+            self.output_expressions = list(self._left.output_expressions)
         L = self.input_table_left().materialize().decoded()
         R = self.input_table_right().materialize().decoded()
         combined = concat_tables([L, R])

@@ -159,11 +159,22 @@ class WindowOperator(AbstractReadOnlyOperator):
             else:
                 vals = sorted_vals.astype(acc_dtype)
                 valid = sorted_valid
-            if w.order_by:
+            frame = getattr(w, "frame", None)
+            end_unbounded = frame is not None and frame[1] == "following"
+            if w.order_by and not end_unbounded:
                 out_sorted, out_valid_sorted, out_dt = _running_agg(
                     fn, vals, valid, part_new, part_start, pos,
                     arg_dtype if w.argument is not None else DataType.LONG,
                 )
+                if frame is None or frame[0] == "range":
+                    # SQL default frame is RANGE UNBOUNDED PRECEDING ..
+                    # CURRENT ROW: order-key peers share the aggregate of
+                    # the LAST peer row, not their own running prefix
+                    src = jnp.clip(_peer_end_positions(peer_new, cap),
+                                   0, cap - 1)
+                    out_sorted = jnp.take(out_sorted, src)
+                    if out_valid_sorted is not None:
+                        out_valid_sorted = jnp.take(out_valid_sorted, src)
             else:
                 out_sorted, out_valid_sorted, out_dt = _whole_partition_agg(
                     fn, vals, valid, part_id, cap,
@@ -192,11 +203,16 @@ class WindowOperator(AbstractReadOnlyOperator):
             # default frame: RANGE UNBOUNDED PRECEDING .. CURRENT ROW —
             # FIRST_VALUE reads the partition start, LAST_VALUE the last
             # peer of the current row (SQL standard / sqlite semantics)
+            frame = getattr(w, "frame", None)
+            end_unbounded = frame is not None and frame[1] == "following"
             if fn == AF.FIRST_VALUE:
                 src = part_start
+            elif end_unbounded or not w.order_by:
+                src = _partition_end_positions(part_new, cap)
+            elif frame is not None and frame[0] == "rows":
+                src = pos
             else:
-                src = _peer_end_positions(peer_new, cap) if w.order_by \
-                    else _partition_end_positions(part_new, cap)
+                src = _peer_end_positions(peer_new, cap)
             src_c = jnp.clip(src, 0, cap - 1)
             out_sorted = jnp.take(sorted_vals, src_c)
             out_valid_sorted = jnp.take(sorted_valid, src_c)

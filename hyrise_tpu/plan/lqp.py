@@ -287,28 +287,52 @@ class LimitNode(LQPNode):
         )
 
 
-class UnionNode(LQPNode):
+def _mint_setop_outputs(left: LQPNode, right: LQPNode) -> List[ast.ColumnRef]:
+    """Fresh column identities for a set operation's outputs.
+
+    A set op's columns are NEW columns, not the first branch's expressions:
+    forwarding branch-1 identities lets a literal like `'s' AS sale_type`
+    leak upward, so a predicate on the union column folds into nonsense
+    ('s' = 'w') and two references to the same union (CTE self-joins,
+    TPC-DS q74/q4/q11) alias each other.  (Ref: union_node.cpp also
+    exposes left outputs, but its columns are positional, not identities.)
+    """
+    outs: List[ast.ColumnRef] = []
+    rights = right.output_expressions()
+    for i, e in enumerate(left.output_expressions()):
+        r = rights[i] if i < len(rights) else e
+        name = getattr(e, "display_name", None) or e.description()
+        outs.append(ast.ColumnRef(
+            name, e.data_type(), bool(e.nullable()) or bool(r.nullable()),
+            origin="setop",
+        ))
+    return outs
+
+
+class _SetOpNode(LQPNode):
     def __init__(self, mode: SetOperationMode, left: LQPNode, right: LQPNode):
         super().__init__(left, right)
         self.set_mode = mode
+        self.output_refs = _mint_setop_outputs(left, right)
 
-    def description(self):
-        return f"Union({self.set_mode.value})"
+    def output_expressions(self):
+        return list(self.output_refs)
 
     def _self_key(self):
         return (self.set_mode,)
 
 
-class IntersectNode(LQPNode):
-    def __init__(self, mode: SetOperationMode, left: LQPNode, right: LQPNode):
-        super().__init__(left, right)
-        self.set_mode = mode
+class UnionNode(_SetOpNode):
+    def description(self):
+        return f"Union({self.set_mode.value})"
 
 
-class ExceptNode(LQPNode):
-    def __init__(self, mode: SetOperationMode, left: LQPNode, right: LQPNode):
-        super().__init__(left, right)
-        self.set_mode = mode
+class IntersectNode(_SetOpNode):
+    pass
+
+
+class ExceptNode(_SetOpNode):
+    pass
 
 
 class DistinctNode(LQPNode):

@@ -123,17 +123,17 @@ class LQPTranslator:
         if t is L.UnionNode:
             left = self._translate(node.left, cache)
             right = self._translate(node.right, cache)
-            if node.set_mode == SetOperationMode.ALL:
-                return UnionAll(left, right)
-            return UnionUnique(left, right)
+            cls = UnionAll if node.set_mode == SetOperationMode.ALL \
+                else UnionUnique
+            return cls(left, right, out_exprs=node.output_refs)
         if t is L.IntersectNode:
             left = self._translate(node.left, cache)
             right = self._translate(node.right, cache)
-            return Intersect(left, right)
+            return Intersect(left, right, out_exprs=node.output_refs)
         if t is L.ExceptNode:
             left = self._translate(node.left, cache)
             right = self._translate(node.right, cache)
-            return Difference(left, right)
+            return Difference(left, right, out_exprs=node.output_refs)
         if t is L.DistinctNode:
             left = self._translate(node.left, cache)
             return Distinct(left)

@@ -1038,8 +1038,46 @@ class Parser:
             while self.accept_op(","):
                 item = self._parse_order_item()
                 order_by.append((item.expr, item.sort_mode))
+        frame = self._maybe_frame()
         self.expect_op(")")
-        return ast.WindowExpression(fn, arg, partition_by, order_by, extra)
+        return ast.WindowExpression(fn, arg, partition_by, order_by, extra,
+                                    frame=frame)
+
+    def _maybe_frame(self):
+        """[ROWS|RANGE [BETWEEN] UNBOUNDED PRECEDING
+        [AND (CURRENT ROW | UNBOUNDED FOLLOWING)]] — the frames with an
+        unbounded start (all TPC-DS uses); anything else is rejected."""
+        if not (self.cur.kind == "id"
+                and self.cur.value.lower() in ("rows", "range")):
+            return None
+        mode = self.cur.value.lower()
+        self.advance()
+        has_between = (self.cur.kind == "kw"
+                       and self.cur.value.lower() == "between")
+        if has_between:
+            self.advance()
+
+        def expect_word(*words):
+            if not (self.cur.kind in ("id", "kw")
+                    and self.cur.value.lower() in words):
+                raise ParserError(
+                    f"unsupported window frame near {self.cur!r}")
+            w = self.cur.value.lower()
+            self.advance()
+            return w
+
+        expect_word("unbounded")
+        expect_word("preceding")
+        end = "current"
+        if has_between:
+            expect_word("and")
+            w = expect_word("current", "unbounded")
+            if w == "current":
+                expect_word("row")
+            else:
+                expect_word("following")
+                end = "following"
+        return (mode, end)
 
 
 def parse_sql(sql: str) -> List[st.Statement]:

@@ -840,7 +840,7 @@ def _rebuild(expr: ast.Expression, children: List[ast.Expression]) -> ast.Expres
             for i, (_, m) in enumerate(expr.order_by)
         ]
         return ast.WindowExpression(expr.function, arg, part, order,
-                                    expr.extra)
+                                    expr.extra, frame=expr.frame)
     raise TranslationError(f"cannot rebuild {type(expr).__name__}")
 
 

@@ -138,15 +138,19 @@ class Table:
         types: Dict[str, DataType],
         num_rows: Optional[int] = None,
         encode: bool = False,
+        validity: Optional[Dict[str, np.ndarray]] = None,
     ) -> "Table":
         """`encode=True` packs eligible columns host-side BEFORE upload
         (bulk-load path; post-upload encoding would round-trip every
-        column through the device tunnel)."""
+        column through the device tunnel).  `validity` maps column name ->
+        bool array (True = non-NULL) for columns with NULLs."""
         names = list(data.keys())
         n = num_rows if num_rows is not None else len(next(iter(data.values())))
         cap = padded_size(n)
+        validity = validity or {}
         cols = [
             Column.from_numpy(np.asarray(data[name]), types[name],
+                              validity=validity.get(name),
                               capacity=cap, encode=encode)
             for name in names
         ]

@@ -83,6 +83,26 @@ def test_distributed_tpch_q10_q12_q14(tpch):
         assert dexec.STATS["joins"] >= 1 and dexec.STATS["aggregates"] >= 1
 
 
+def test_distributed_tpch_all22(tpch):
+    """Every TPC-H query row-matches single-chip over the 8-way mesh
+    (BASELINE.md: 'TPC-H full 22 queries, multi-host; exact row parity').
+    Queries whose shapes the lowering does not support gather and
+    continue single-chip — parity must hold either way."""
+    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
+
+    expected = {q: sql(TPCH_QUERIES[q]).to_pylist()
+                for q in sorted(TPCH_QUERIES)}
+    tpch.distribute()
+    lowered = 0
+    for q in sorted(TPCH_QUERIES):
+        dexec.reset_stats()
+        got = sql(TPCH_QUERIES[q]).to_pylist()
+        assert rows_match(got, expected[q], ordered=True), f"Q{q}"
+        assert dexec.STATS["subtrees"] >= 1, f"Q{q} never touched the mesh"
+        lowered += dexec.STATS["joins"] + dexec.STATS["aggregates"]
+    assert lowered >= 25, "too few joins/aggregates executed on the mesh"
+
+
 # ------------------------------------------------------- shuffle variants
 
 

@@ -59,6 +59,52 @@ def _rollup_union(select_keys, aggs, from_where, order_limit):
     return " UNION ALL ".join(branches) + " " + order_limit
 
 
+def _channel_rollup_oracle(sql: str) -> str:
+    """q5/q77/q80 shape: SELECT channel, id, aggs FROM (...) x
+    GROUP BY ROLLUP (channel, id) — expand the rollup into the 3-level
+    UNION ALL sqlite understands."""
+    marker = "GROUP BY ROLLUP (channel, id)"
+    assert marker in sql, "channel-rollup shape changed; oracle is stale"
+    head, tail = sql.split(marker)
+    final = head[head.index("SELECT channel"):]
+    assert "channel, id," in final
+    return (head + "GROUP BY channel, id UNION ALL "
+            + final.replace("channel, id,", "channel, NULL,", 1)
+            + "GROUP BY channel UNION ALL "
+            + final.replace("SELECT channel, id,", "SELECT NULL, NULL,", 1)
+            + tail)
+
+
+def _q70_oracle() -> str:
+    """q70: ROLLUP(s_state, s_county) with GROUPING() in the RANK
+    partition — per-branch GROUPING constants, like the q86 oracle."""
+    base = """SELECT SUM(ss_net_profit) AS total_sum, {st} AS s_state,
+  {co} AS s_county, {loch} AS lochierarchy,
+  RANK() OVER (PARTITION BY {loch}, CASE WHEN {gco} = 0 THEN {st} END
+               ORDER BY SUM(ss_net_profit) DESC) AS rank_within_parent
+FROM store_sales, date_dim d1, store
+WHERE d1.d_month_seq BETWEEN 24 AND 35 AND d1.d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN (SELECT s_state FROM (SELECT s_state,
+      RANK() OVER (PARTITION BY s_state
+                   ORDER BY SUM(ss_net_profit) DESC) AS ranking
+      FROM store_sales, store, date_dim
+      WHERE d_month_seq BETWEEN 24 AND 35 AND d_date_sk = ss_sold_date_sk
+        AND s_store_sk = ss_store_sk GROUP BY s_state) tmp1
+      WHERE ranking <= 5)
+{gb}"""
+    union = " UNION ALL ".join([
+        base.format(st="s_state", co="s_county", loch=0, gco=0,
+                    gb="GROUP BY s_state, s_county"),
+        base.format(st="s_state", co="NULL", loch=1, gco=1,
+                    gb="GROUP BY s_state"),
+        base.format(st="NULL", co="NULL", loch=2, gco=1, gb=""),
+    ])
+    return ("SELECT * FROM (" + union + ") u ORDER BY lochierarchy DESC, "
+            "CASE WHEN lochierarchy = 0 THEN s_state END, "
+            "rank_within_parent LIMIT 100")
+
+
 @pytest.mark.parametrize("qid", [q for q in sorted(ROLLUP_QIDS) if q not in (36, 86)])
 def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
     ours = (SQLPipelineBuilder(TPCDS_QUERIES[qid]).create_pipeline()
@@ -92,6 +138,11 @@ def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
             "_rollup_union output format changed; q27 GROUPING oracle is stale"
         theirs = tpcds_env.execute(rollup_sql.replace(
             "NULL AS s_state, 0 AS g_state", "NULL AS s_state, 1 AS g_state"))
+    elif qid in (5, 77, 80):
+        theirs = tpcds_env.execute(sqlite_compat(
+            _channel_rollup_oracle(TPCDS_QUERIES[qid])))
+    elif qid == 70:
+        theirs = tpcds_env.execute(sqlite_compat(_q70_oracle()))
     elif qid == 18:
         theirs = tpcds_env.execute(_rollup_union(
             ["i_item_id", "ca_country", "ca_state", "ca_county"],

@@ -92,7 +92,16 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--baseline", action="store_true",
                     help="also run the identical mix on in-memory sqlite")
+    ap.add_argument("--platform", default=None, choices=("cpu", "axon"),
+                    help="force the jax backend (the machine-level env "
+                         "default routes through the remote TPU tunnel, "
+                         "whose per-statement latency dominates OLTP)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from hyrise_tpu.benchmark.tpcc.generator import TPCCTableGenerator
     from hyrise_tpu.benchmark.tpcc.procedures import PROCEDURES

@@ -2,20 +2,67 @@
 begin/end commit-id vectors + transaction-id vector with CAS locking,
 max_begin_cid whole-chunk visibility shortcut, invalid-row counting).
 
-Host numpy arrays are the source of truth (writes are rare vs reads);
-a cached device copy serves the vectorized Validate kernel and is
-invalidated on every write.
+Host numpy arrays are the source of truth; a cached device copy serves
+the vectorized Validate kernel.  Writes queue their few touched rows and
+the next reader replays the queue onto the device copy in one donated
+scatter — invalidating the cache re-uploaded the full begin/end/tid
+vectors per DML statement (~2.4 MB on a 100k-row table), and eager
+per-write scatters cost five dispatches per OLTP transaction.
 """
 
 from __future__ import annotations
 
 import threading
+from functools import partial
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 MAX_COMMIT_ID = np.int64(2**62)
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _jit_apply_writes(b, e, t, bi, bv, ei, ev, ti, tv):
+    """Replay queued host writes onto the device mirror in ONE dispatch
+    (donated: updates in place; padding rows carry an out-of-range index
+    and drop).  Only under runtime.exclusive_access()."""
+    return (
+        b.at[bi].set(bv, mode="drop"),
+        e.at[ei].set(ev, mode="drop"),
+        t.at[ti].set(tv, mode="drop"),
+    )
+
+
+@jax.jit
+def _jit_apply_writes_copy(b, e, t, bi, bv, ei, ev, ti, tv):
+    """Non-donating variant for concurrent execution."""
+    return (
+        b.at[bi].set(bv, mode="drop"),
+        e.at[ei].set(ev, mode="drop"),
+        t.at[ti].set(tv, mode="drop"),
+    )
+
+
+def _pad_writes(writes, oob: int):
+    """(rows, value) pairs -> bucketed (idx, vals) arrays.  Deduplicated
+    last-wins on the host first: XLA scatter-set order is undefined at
+    duplicate indices."""
+    merged = {}
+    for rows, v in writes:
+        for r in rows:
+            merged[r] = v
+    n = len(merged)
+    bucket = 16
+    while bucket < n:
+        bucket *= 2
+    idx = np.full(bucket, oob, dtype=np.int64)
+    vals = np.zeros(bucket, dtype=np.int64)
+    if n:
+        idx[:n] = list(merged.keys())
+        vals[:n] = list(merged.values())
+    return jnp.asarray(idx), jnp.asarray(vals)
 
 
 class MvccData:
@@ -27,6 +74,10 @@ class MvccData:
         self.begin_cids[:num_rows] = initial_cid
         self._lock = threading.Lock()
         self._device_cache = None
+        # host writes queued against the device mirror: three ordered
+        # lists of (rows, value), replayed lazily by device_arrays()
+        self._pending = {"begin": [], "end": [], "tids": []}
+        self._pending_rows = 0
         self.max_begin_cid = initial_cid  # all committed below this are visible
         self._any_end = False
         self._any_uncommitted = False
@@ -47,14 +98,16 @@ class MvccData:
             )
             self.tids = np.concatenate([self.tids, np.zeros(extra, dtype=np.int64)])
             self._device_cache = None
+            self._drop_pending()
 
     # ------------------------------------------------------------- writes
 
     def register_insert(self, rows: Sequence[int], tid: int) -> None:
         with self._lock:
-            self.tids[list(rows)] = tid
+            rows = list(rows)
+            self.tids[rows] = tid
             self._any_uncommitted = True
-            self._device_cache = None
+            self._mirror(rows, tids=tid)
 
     def commit_insert(self, rows: Sequence[int], commit_id: int) -> None:
         with self._lock:
@@ -62,7 +115,7 @@ class MvccData:
             self.begin_cids[rows] = commit_id
             self.tids[rows] = 0
             self.max_begin_cid = max(self.max_begin_cid, commit_id)
-            self._device_cache = None
+            self._mirror(rows, begin=commit_id, tids=0)
 
     def rollback_insert(self, rows: Sequence[int]) -> None:
         with self._lock:
@@ -72,7 +125,7 @@ class MvccData:
             self.tids[rows] = 0
             self._invalid_rows += len(rows)
             self._any_end = True
-            self._device_cache = None
+            self._mirror(rows, end=0, tids=0)
 
     def try_lock_rows(self, rows: Sequence[int], tid: int):
         """CAS tid 0 -> tid per row (ref: mvcc_data.hpp:40-41).  Also
@@ -87,13 +140,14 @@ class MvccData:
             if conflict.any() or already_deleted.any():
                 return False, []
             self.tids[rows] = tid
-            self._device_cache = None
+            self._mirror(rows, tids=tid)
             return True, rows
 
     def unlock_rows(self, rows: Sequence[int]) -> None:
         with self._lock:
-            self.tids[list(rows)] = 0
-            self._device_cache = None
+            rows = list(rows)
+            self.tids[rows] = 0
+            self._mirror(rows, tids=0)
 
     def commit_delete(self, rows: Sequence[int], commit_id: int) -> None:
         with self._lock:
@@ -102,7 +156,33 @@ class MvccData:
             self.tids[rows] = 0
             self._invalid_rows += len(rows)
             self._any_end = True
+            self._mirror(rows, end=commit_id, tids=0)
+
+    _PENDING_LIMIT = 4096  # past this a full re-upload is cheaper
+
+    def _mirror(self, rows: Sequence[int], *, begin=None, end=None,
+                tids=None) -> None:
+        """Queue the host write for the device mirror; must run under
+        self._lock.  Nothing touches the device until a reader actually
+        needs the arrays (device_arrays) — write-only statement bursts
+        cost zero device dispatches."""
+        if self._device_cache is None or not rows:
+            return
+        if self._pending_rows + len(rows) > self._PENDING_LIMIT:
             self._device_cache = None
+            self._drop_pending()
+            return
+        if begin is not None:
+            self._pending["begin"].append((rows, begin))
+        if end is not None:
+            self._pending["end"].append((rows, end))
+        if tids is not None:
+            self._pending["tids"].append((rows, tids))
+        self._pending_rows += len(rows)
+
+    def _drop_pending(self) -> None:
+        self._pending = {"begin": [], "end": [], "tids": []}
+        self._pending_rows = 0
 
     def invalid_row_count(self) -> int:
         return self._invalid_rows
@@ -123,11 +203,26 @@ class MvccData:
     def device_arrays(self):
         with self._lock:
             if self._device_cache is None:
+                self._drop_pending()
                 self._device_cache = (
                     jnp.asarray(self.begin_cids),
                     jnp.asarray(self.end_cids),
                     jnp.asarray(self.tids),
                 )
+            elif self._pending_rows:
+                from hyrise_tpu.utils.runtime import exclusive_access
+
+                oob = len(self.begin_cids)
+                b, e, t = self._device_cache
+                bi, bv = _pad_writes(self._pending["begin"], oob)
+                ei, ev = _pad_writes(self._pending["end"], oob)
+                ti, tv = _pad_writes(self._pending["tids"], oob)
+                apply_ = (_jit_apply_writes if exclusive_access()
+                          else _jit_apply_writes_copy)
+                self._device_cache = apply_(
+                    b, e, t, bi, bv, ei, ev, ti, tv
+                )
+                self._drop_pending()
             return self._device_cache
 
     def snapshot_uncommitted_flags(self) -> None:

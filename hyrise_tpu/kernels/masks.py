@@ -60,6 +60,27 @@ def compact_columns(datas, valids, selection, num_rows, out_size: int):
     return out_d, out_v
 
 
+@partial(jax.jit, static_argnames=("out_size",))
+def compact_columns_counted(datas, valids, selection, num_rows,
+                            out_size: int):
+    """compact_columns + the selected-row count in the SAME dispatch.
+    Lets materialize() speculate a small output bound and learn the real
+    count from the one sync it already pays — the separate count_selected
+    round trip serialized every OLTP statement (count sync, THEN compact
+    dispatch, THEN fetch)."""
+    cap = datas[0].shape[0]
+    mask = jnp.arange(cap) < num_rows
+    if selection is not None:
+        mask = mask & selection
+    cnt = jnp.sum(mask, dtype=jnp.int64)
+    (idx,) = jnp.nonzero(mask, size=out_size, fill_value=cap - 1)
+    out_d = tuple(jnp.take(d, idx, axis=0) for d in datas)
+    out_v = tuple(
+        None if v is None else jnp.take(v, idx, axis=0) for v in valids
+    )
+    return cnt, out_d, out_v
+
+
 @jax.jit
 def count_selected(selection, num_rows):
     """Fused row-mask + popcount (one dispatch for Table.valid_count)."""

@@ -384,7 +384,10 @@ def _batched_append(tcols, src, name_to_src, old_n: int, n_new: int,
         rebuild.append(tcol)
     if len({id(d) for d in datas}) != len(datas):
         return None  # aliased target buffers cannot be donated twice
-    out = _jit_append_all(
+    from hyrise_tpu.utils.runtime import exclusive_access
+
+    append = _jit_append_all if exclusive_access() else _jit_append_all_copy
+    out = append(
         tuple(datas), tuple(srcs), jnp.asarray(old_n, dtype=jnp.int32), n_new
     )
     return [
@@ -422,7 +425,23 @@ def _jit_append_all(datas, srcs, start, n_new):
     dynamic_update_slice copies the full column capacity (40 MB/txn on a
     1-warehouse order_line — the copy, not the write, was ~90% of TPC-C
     statement latency).  Callers must drop every reference to the old
-    arrays (Insert swaps target.columns right after)."""
+    arrays (Insert swaps target.columns right after), and only call this
+    under runtime.exclusive_access() — a concurrent statement may still
+    hold the old buffers (use _jit_append_all_copy then)."""
+    out = []
+    for d, s in zip(datas, srcs):
+        out.append(
+            jax.lax.dynamic_update_slice(
+                d, s[:n_new].astype(d.dtype), (start,)
+            )
+        )
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("n_new",))
+def _jit_append_all_copy(datas, srcs, start, n_new):
+    """Non-donating variant for concurrent execution (immutable-copy
+    semantics; readers in other threads keep valid buffers)."""
     out = []
     for d, s in zip(datas, srcs):
         out.append(

@@ -99,6 +99,12 @@ class SQLPipelineStatement:
     def _execute(self) -> None:
         if self._executed:
             return
+        from hyrise_tpu.utils.runtime import statement_scope
+
+        with statement_scope():
+            self._execute_inner()
+
+    def _execute_inner(self) -> None:
         db = Database.get()
 
         if isinstance(self.statement, st.TransactionStatement):

@@ -210,26 +210,45 @@ class Table:
         from hyrise_tpu.kernels import masks as maskk
         from hyrise_tpu.types import size_bucket
 
-        n = self.valid_count
-        cap = min(size_bucket(n), self.capacity)
         if not any(c.is_encoded for c in self.columns):
             # whole-table gather in one dispatch (OLTP statements paid
             # ~2 eager dispatches per column here)
             from dataclasses import replace as _replace
 
-            out_d, out_v = maskk.compact_columns(
-                tuple(c.data for c in self.columns),
-                tuple(c.validity for c in self.columns),
-                self.selection,
-                jnp.asarray(self.num_rows, dtype=jnp.int32),
-                cap,
-            )
+            datas = tuple(c.data for c in self.columns)
+            valids = tuple(c.validity for c in self.columns)
+            nr = jnp.asarray(self.num_rows, dtype=jnp.int32)
+            if self._valid_count is None:
+                # speculate a point-statement-sized output and learn the
+                # count from the compaction's own sync: the separate
+                # count round trip dominated OLTP point selects.  A miss
+                # costs one 128-row gather before the correctly-sized one.
+                spec = min(128, self.capacity)
+                cnt, out_d, out_v = maskk.compact_columns_counted(
+                    datas, valids, self.selection, nr, spec
+                )
+                self._valid_count = n = int(cnt)
+                cap = min(size_bucket(n), self.capacity)
+                if n > spec:
+                    out_d, out_v = maskk.compact_columns(
+                        datas, valids, self.selection, nr, cap
+                    )
+                else:
+                    cap = spec
+            else:
+                n = self.valid_count
+                cap = min(size_bucket(n), self.capacity)
+                out_d, out_v = maskk.compact_columns(
+                    datas, valids, self.selection, nr, cap
+                )
             cols = [
                 _replace(c, data=d, validity=v)
                 for c, d, v in zip(self.columns, out_d, out_v)
             ]
             out = Table(self.column_names, cols, n)
         else:
+            n = self.valid_count
+            cap = min(size_bucket(n), self.capacity)
             idx = maskk.mask_to_indices(self.row_mask(), cap)
             out = self.take(idx, n)
         out.sorted_by = self.sorted_by

@@ -134,7 +134,10 @@ def _parse_value(v: str, dt: DataType):
 
 def load_csv(path: str) -> Table:
     """CSV with optional Hyrise-style .json meta sidecar
-    (ref: import_export/csv/csv_meta.hpp)."""
+    (ref: import_export/csv/csv_meta.hpp).  With a sidecar schema the
+    native RFC-4180 parser handles the file (quotes/escapes/embedded
+    newlines, in-parser dictionary encoding, unquoted-empty = NULL);
+    without one, Python infers types from the header + body."""
     import csv as _csv
 
     meta_path = path + ".json"
@@ -142,6 +145,10 @@ def load_csv(path: str) -> Table:
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             meta = json.load(fh)
+    if meta is not None:
+        native = _load_csv_native(path, meta)
+        if native is not None:
+            return native
     with open(path, newline="") as fh:
         reader = _csv.reader(fh)
         rows = list(reader)
@@ -167,6 +174,58 @@ def load_csv(path: str) -> Table:
             else:
                 data[n].append(_parse_value(v, types[j]))
     return Table.from_dict(data, dict(zip(names, types)))
+
+
+def _load_csv_native(path: str, meta: dict) -> Optional[Table]:
+    """Schema-driven CSV load through the native parser; None when the
+    native library is unavailable (caller falls back to Python)."""
+    from hyrise_tpu.native import parse_file_native
+    from hyrise_tpu.storage.column import Column as Col
+
+    names = [c["name"] for c in meta["columns"]]
+    types = {
+        c["name"]: _TYPE_NAMES[c["type"].removesuffix("_null")]
+        for c in meta["columns"]
+    }
+    config = meta.get("config", {})
+    sep = config.get("separator", ",")
+    type_chars = "".join(_NATIVE_TYPE_CHAR[types[n]] for n in names)
+    parsed = parse_file_native(path, type_chars, sep, csv=True,
+                               skip_header=bool(config.get("header", False)))
+    if parsed is None:
+        return None
+    payloads, n = parsed
+    cap = padded_size(n)
+    import jax.numpy as jnp
+
+    cols = []
+    for name, payload in zip(names, payloads):
+        dt = types[name]
+        valid = None
+        if dt == DataType.STRING:
+            codes, dictionary = payload[0], payload[1]
+            if len(payload) == 3:
+                valid = payload[2]
+            data = np.zeros(cap, dtype=np.int32)
+            data[:n] = codes
+            col = Col(dt, jnp.asarray(data), None, dictionary, True)
+        else:
+            if isinstance(payload, tuple):
+                payload, valid = payload
+            npdt = {
+                DataType.INT: np.int32, DataType.LONG: np.int64,
+                DataType.FLOAT: np.float32, DataType.DOUBLE: np.float64,
+                DataType.DATE: np.int32,
+            }[dt]
+            data = np.zeros(cap, dtype=npdt)
+            data[:n] = payload.astype(npdt)
+            col = Col(dt, jnp.asarray(data))
+        if valid is not None:
+            v = np.zeros(cap, dtype=bool)
+            v[:n] = valid
+            col.validity = jnp.asarray(v)
+        cols.append(col)
+    return Table(list(names), cols, n)
 
 
 def _infer_csv_type(values: List[str]) -> DataType:

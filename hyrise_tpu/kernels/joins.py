@@ -94,14 +94,32 @@ def expand_matches(
 ):
     """Expand (probe, duplicate) pairs into padded index vectors.
 
-    Returns (probe_idx, build_idx, valid) each of length out_capacity."""
+    Returns (probe_idx, build_idx, valid) each of length out_capacity.
+
+    probe_idx[j] is the p with starts[p] <= j < cum[p].  Because the
+    searched values ARE the positions 0..out_capacity-1, this is a run
+    expansion, not a search: scatter p at starts[p] (strictly increasing
+    over count>0 probes, so provably unique) and forward-fill with a
+    running max.  The searchsorted formulation lowered to ~23 dependent
+    random-gather rounds over the HBM-resident prefix sum and took 6.5 s
+    for an 8M-row expansion on v5e; the scatter+cummax runs two linear
+    passes."""
     cum = jnp.cumsum(counts)               # inclusive prefix sum
     total = cum[-1] if counts.shape[0] else jnp.int64(0)
-    starts = cum - counts                  # exclusive prefix sum
+    starts = (cum - counts).astype(jnp.int32)  # exclusive prefix sum
+    n_probe = counts.shape[0]
+    # count==0 probes park at distinct out-of-bounds slots (mode=drop);
+    # unique_indices keeps the scatter parallel on TPU
+    park = out_capacity + 1 + jnp.arange(n_probe, dtype=jnp.int32)
+    pos = jnp.where(counts > 0, starts, park)
+    marks = (
+        jnp.full(out_capacity + 1, -1, dtype=jnp.int32)
+        .at[pos].set(jnp.arange(n_probe, dtype=jnp.int32),
+                     mode="drop", unique_indices=True)
+    )[:out_capacity]
+    probe_idx = jnp.maximum(jax.lax.cummax(marks), 0)
     out_j = jnp.arange(out_capacity, dtype=jnp.int64)
-    probe_idx = jnp.searchsorted(cum, out_j, side="right")
-    probe_idx = jnp.minimum(probe_idx, counts.shape[0] - 1)
-    k = out_j - jnp.take(starts, probe_idx)
+    k = out_j - jnp.take(starts, probe_idx).astype(jnp.int64)
     build_pos = jnp.take(left, probe_idx) + k
     build_pos = jnp.clip(build_pos, 0, build_perm.shape[0] - 1)
     build_idx = jnp.take(build_perm, build_pos)

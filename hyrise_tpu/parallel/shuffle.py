@@ -164,12 +164,21 @@ def local_equi_join(build_keys, build_valid, probe_keys, probe_valid,
     counts = jnp.where(probe_valid, right - left, 0)
     cum = jnp.cumsum(counts)
     total = cum[-1]
-    starts = cum - counts
+    starts = (cum - counts).astype(jnp.int32)
     out_j = jnp.arange(out_cap, dtype=jnp.int64)
-    probe_idx = jnp.minimum(
-        jnp.searchsorted(cum, out_j, side="right"), counts.shape[0] - 1
-    )
-    k = out_j - jnp.take(starts, probe_idx)
+    # run expansion via scatter + running max (searchsorted over the
+    # HBM-resident prefix sum ran ~23 dependent random-gather rounds;
+    # see kernels/joins.py::expand_matches)
+    n_probe = counts.shape[0]
+    park = out_cap + 1 + jnp.arange(n_probe, dtype=jnp.int32)
+    pos = jnp.where(counts > 0, starts, park)
+    marks = (
+        jnp.full(out_cap + 1, -1, dtype=jnp.int32)
+        .at[pos].set(jnp.arange(n_probe, dtype=jnp.int32),
+                     mode="drop", unique_indices=True)
+    )[:out_cap]
+    probe_idx = jnp.maximum(jax.lax.cummax(marks), 0)
+    k = out_j - jnp.take(starts, probe_idx).astype(jnp.int64)
     build_pos = jnp.clip(jnp.take(left, probe_idx) + k, 0, perm.shape[0] - 1)
     build_idx = jnp.take(perm, build_pos)
     pair_valid = out_j < total

@@ -39,24 +39,16 @@ if os.environ.get("HYRISE_TPU_X64", "1") == "1":
 
 # Persistent compilation cache: query-stage executables survive across
 # processes (critical on remote-compile TPU backends where each stage
-# compile costs seconds).  The default directory carries a host
-# fingerprint: XLA:CPU writes machine-specific AOT artifacts, and loading
-# another machine's output can SIGILL/segfault.
+# compile costs seconds).  The default lives INSIDE the repo checkout —
+# /tmp does not survive host recycling, and a cold cache costs ~75 s of
+# remote compiles per TPC-H query.  TPU executables are device artifacts
+# (not host-specific), and JAX keys every entry by backend + compiler
+# fingerprint, so a stale cache degrades to a miss, never a crash.
 
 
 def _default_cache_dir() -> str:
-    import hashlib
-    import platform
-
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((line for line in f if line.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    fp = hashlib.sha1(
-        (platform.machine() + platform.release() + flags).encode()
-    ).hexdigest()[:12]
-    return f"/tmp/hyrise_tpu_jax_cache_{fp}"
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo_root, ".jax_cache")
 
 
 _cache_dir = os.environ.get("HYRISE_TPU_COMPILE_CACHE")

@@ -31,6 +31,26 @@ def _build(src: str, out: str) -> bool:
         return False
 
 
+def _native_cache_dir() -> str:
+    """Machine-fingerprinted /tmp dir for -march=native artifacts.
+
+    Deliberately NOT the (repo-local, committed) jax compile cache: a
+    shared object built on another machine could SIGILL here, and nothing
+    built locally should land in the source tree."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((line for line in f if line.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    fp = hashlib.sha1(
+        (platform.machine() + platform.release() + flags).encode()
+    ).hexdigest()[:12]
+    return f"/tmp/hyrise_tpu_native_{fp}"
+
+
 def get_native_lib() -> Optional[ctypes.CDLL]:
     """The compiled native library, or None when unavailable.
 
@@ -45,12 +65,10 @@ def get_native_lib() -> Optional[ctypes.CDLL]:
         _TRIED = True
         import hashlib
 
-        from hyrise_tpu import _default_cache_dir
-
         src = os.path.join(_DIR, "tbl_parser.cpp")
         with open(src, "rb") as f:
             digest = hashlib.sha1(f.read()).hexdigest()[:12]
-        cache = _default_cache_dir()
+        cache = _native_cache_dir()
         os.makedirs(cache, exist_ok=True)
         out = os.path.join(cache, f"libtbl_parser_{digest}.so")
         if not os.path.exists(out):

@@ -36,6 +36,10 @@ class SQLiteOracle:
     def __init__(self):
         self.conn = sqlite3.connect(":memory:")
         self.conn.create_aggregate("stddev_samp", 1, _StddevSamp)
+        # sqlite's LIKE is case-INSENSITIVE by default; the engine follows
+        # the SQL standard (and the reference / PostgreSQL): 'Yolanda'
+        # LIKE '%An%' must be false.  Align the oracle with the engine.
+        self.conn.execute("PRAGMA case_sensitive_like = ON")
 
     def load_table(self, name: str, table: Table) -> None:
         type_map = {

@@ -59,6 +59,12 @@ class TPCCTableGenerator:
 
         tables = self.generate()
         for name, t in tables.items():
+            # reserve insert headroom: growth reshapes re-key every compiled
+            # stage on a table, so give the write-hot tables 2x slack (plus
+            # a floor for the tiny ones) before MVCC arrays are sized
+            if name in ("orders", "order_line", "new_order", "history",
+                        "customer", "stock"):
+                t.reserve(max(2 * t.num_rows, t.num_rows + 2048))
             t.mvcc = MvccData(t.capacity, t.num_rows, initial_cid=0)
             if storage_manager.has_table(name):
                 storage_manager.drop_table(name)

@@ -25,7 +25,11 @@ from hyrise_tpu.expression import ast
 from hyrise_tpu.kernels import aggregates as aggk
 from hyrise_tpu.kernels import joins as joink
 from hyrise_tpu.operators.base import AbstractReadOnlyOperator
-from hyrise_tpu.operators.compiled import run_arrays, run_stage
+from hyrise_tpu.operators.compiled import (
+    run_arrays,
+    run_stage,
+    used_column_indices as _used_cols,
+)
 from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import (
@@ -195,6 +199,9 @@ class Aggregate(AbstractReadOnlyOperator):
                 tuple(dense_domains) if dense_domains else None,
             ),
             cacheable=cacheable,
+            used_cols=_used_cols(
+                cmap, list(self.group_by) + list(self.dependent) + arg_list
+            ),
         )
         key_meta, arg_meta, dep_meta = meta
         from hyrise_tpu.operators.base import _sync_is_expensive

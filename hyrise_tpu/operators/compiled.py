@@ -93,7 +93,16 @@ def rebind_params(bound: Dict[int, object], traced: tuple) -> Dict[int, object]:
     return out
 
 
-def table_signature(table: Table) -> tuple:
+def table_signature(table: Table, used_cols=None) -> tuple:
+    """Cache-key material for a stage input table.
+
+    `used_cols` (frozenset of column indices, from the stage's expression
+    set) scopes DICTIONARY identity to the columns the builder actually
+    consults: a stage bakes dictionary values (LUTs, literal codes, output
+    metadata) only for referenced columns, so growth of an unreferenced
+    column's dictionary must not re-key — and recompile — the stage.
+    OLTP inserts of fresh strings (TPC-C ol_dist_info/h_data) otherwise
+    recompile every statement on the table.  None = conservative (all)."""
     return (
         table.capacity,
         tuple(table.column_names),
@@ -103,10 +112,13 @@ def table_signature(table: Table) -> tuple:
                 c.data_type,
                 c.data.signature() if c.is_encoded else str(c.data.dtype),
                 c.validity is not None,
-                id(c.dictionary) if c.dictionary is not None else None,
+                (id(c.dictionary)
+                 if c.dictionary is not None
+                 and (used_cols is None or i in used_cols)
+                 else None),
                 c.dict_sorted,
             )
-            for c in table.columns
+            for i, c in enumerate(table.columns)
         ),
     )
 
@@ -205,6 +217,22 @@ def subs_traceable(subs: Optional[Dict[tuple, Table]]) -> bool:
     )
 
 
+def used_column_indices(column_map: Dict[tuple, int], exprs) -> frozenset:
+    """Column indices an expression set can touch (superset is safe: a
+    false positive only loses a cache hit; a false negative would reuse a
+    stage with stale baked dictionary values).  Walks every node so
+    common-subexpression shortcuts in the evaluator stay covered."""
+    used = set()
+    for e in exprs:
+        if e is None:
+            continue
+        for node in e.walk():
+            i = column_map.get(node.key())
+            if i is not None:
+                used.add(i)
+    return frozenset(used)
+
+
 def run_stage(
     tag: str,
     table: Table,
@@ -213,6 +241,7 @@ def run_stage(
     cacheable: bool = True,
     params: Optional[Dict[int, object]] = None,
     subs: Optional[Dict[tuple, Table]] = None,
+    used_cols: Optional[frozenset] = None,
 ):
     """Run `builder(traced_table) -> (arrays_pytree, static_meta)` as one
     jitted stage; returns (arrays, meta).
@@ -240,7 +269,7 @@ def run_stage(
         extra_key = extra_key + (skey,)
     key: Optional[tuple] = None
     if cacheable:
-        key = (tag, extra_key, table_signature(table))
+        key = (tag, extra_key, table_signature(table, used_cols))
         hit = _CACHE.get(key)
         if hit is not None:
             fn, meta = hit

@@ -269,10 +269,13 @@ class Update(AbstractReadWriteOperator):
                 meta.append((r.dtype, r.dictionary, r.dict_sorted))
             return (head, arrays), meta
 
+        from hyrise_tpu.operators.compiled import used_column_indices
+
         (head, arrays), meta = run_stage(
             "point_update", raw, build,
             extra_key=(K, tuple(e.key() for e in exprs)),
             params=self.parameters if self.parameters else None,
+            used_cols=used_column_indices(cmap, exprs),
         )
         head = np.asarray(head)  # the statement's one host sync
         cnt = int(head[0])

@@ -47,7 +47,10 @@ class Projection(AbstractReadOnlyOperator):
                     meta.append((r.dtype, r.dictionary, r.dict_sorted))
                 return arrays, meta
 
-            from hyrise_tpu.operators.compiled import subs_traceable
+            from hyrise_tpu.operators.compiled import (
+                subs_traceable,
+                used_column_indices,
+            )
 
             sub_results = getattr(self, "_sub_results", None)
             traceable = subs_traceable(sub_results)
@@ -57,6 +60,7 @@ class Projection(AbstractReadOnlyOperator):
                 cacheable=traceable or not self.uncorrelated_subquery_plans,
                 params=self.parameters if self.parameters else None,
                 subs=sub_results if traceable else None,
+                used_cols=used_column_indices(cmap, computed),
             )
             computed_cols = {
                 e.key(): Column(dtype, data, validity, dictionary, ds)

@@ -53,10 +53,17 @@ class Sort(AbstractReadOnlyOperator):
             sel = jnp.arange(perm.shape[0], dtype=jnp.int64) < count
             return (datas, valids, sel), None
 
+        from hyrise_tpu.operators.compiled import used_column_indices
+
         (datas, valids, sel), _ = run_stage(
             "sort", table, build,
             extra_key=tuple((e.key(), m) for e, m in self.sort_definitions),
             cacheable=not self.uncorrelated_subquery_plans,
+            # non-key columns are gathered as raw codes; their dictionaries
+            # are re-read from the live table for the output below
+            used_cols=used_column_indices(
+                cmap, [e for e, _ in self.sort_definitions]
+            ),
         )
         cols = [
             Column(c.data_type, d, v, c.dictionary, c.dict_sorted)

@@ -34,7 +34,10 @@ class TableScan(AbstractReadOnlyOperator):
 
         # numeric subquery results enter the stage as traced inputs, so
         # re-execution with new subquery values reuses the executable
-        from hyrise_tpu.operators.compiled import subs_traceable
+        from hyrise_tpu.operators.compiled import (
+            subs_traceable,
+            used_column_indices,
+        )
 
         sub_results = getattr(self, "_sub_results", None)
         traceable = subs_traceable(sub_results)
@@ -44,6 +47,7 @@ class TableScan(AbstractReadOnlyOperator):
             cacheable=traceable or not self.uncorrelated_subquery_plans,
             params=self.parameters if self.parameters else None,
             subs=sub_results if traceable else None,
+            used_cols=used_column_indices(cmap, [self.predicate]),
         )
         out = Table(table.column_names, table.columns, table.num_rows,
                     selection=mask)

@@ -334,7 +334,16 @@ def recode_to_dictionary(
         lut = np.where(found, pos_clipped, -1).astype(np.int32)
     if len(lut) == 0:
         return jnp.full(col.data.shape, -1, dtype=jnp.int32)
-    return jnp.take(jnp.asarray(lut), jnp.clip(col.data, 0, len(lut) - 1), axis=0)
+    # pad the LUT to a power-of-two bucket: dictionary growth would
+    # otherwise change this gather's input shape every OLTP insert, and
+    # each new shape is a fresh (eager) XLA compile
+    n = len(lut)
+    bucket = 1 << max(n - 1, 1).bit_length()
+    if bucket > n:
+        lut = np.concatenate(
+            [lut, np.full(bucket - n, -1, dtype=np.int32)]
+        )
+    return jnp.take(jnp.asarray(lut), jnp.clip(col.data, 0, n - 1), axis=0)
 
 
 def merge_with_luts(a: np.ndarray, b: np.ndarray):

@@ -114,6 +114,28 @@ class Table:
             for n, c in zip(self.column_names, self.columns)
         ]
 
+    def reserve(self, capacity: int) -> None:
+        """Grow padded capacity without changing num_rows, so upcoming
+        inserts fit without a reshape (a capacity change re-keys every
+        compiled stage on the table — the analogue of the reference
+        pre-allocating mutable chunks, chunk.hpp:52).  No-op when the
+        current capacity suffices; unsupported on encoded columns
+        (encoded tables are immutable, like the reference's encoded
+        chunks)."""
+        import jax.numpy as jnp
+
+        new_cap = padded_size(capacity)
+        if new_cap <= self.capacity or any(c.is_encoded for c in self.columns):
+            return
+        if self.mvcc is not None:
+            self.mvcc.grow(new_cap)
+        for c in self.columns:
+            data = jnp.zeros(new_cap, dtype=c.data.dtype)
+            c.data = data.at[: c.data.shape[0]].set(c.data)
+            if c.validity is not None:
+                valid = jnp.zeros(new_cap, dtype=bool)
+                c.validity = valid.at[: c.validity.shape[0]].set(c.validity)
+
     # ------------------------------------------------------------------ build
 
     @staticmethod
@@ -139,14 +161,18 @@ class Table:
         num_rows: Optional[int] = None,
         encode: bool = False,
         validity: Optional[Dict[str, np.ndarray]] = None,
+        capacity: Optional[int] = None,
     ) -> "Table":
         """`encode=True` packs eligible columns host-side BEFORE upload
         (bulk-load path; post-upload encoding would round-trip every
         column through the device tunnel).  `validity` maps column name ->
-        bool array (True = non-NULL) for columns with NULLs."""
+        bool array (True = non-NULL) for columns with NULLs.  `capacity`
+        reserves padded headroom beyond num_rows so OLTP inserts don't
+        reshape (and recompile) early in a run — the analogue of the
+        reference pre-allocating a mutable chunk (chunk.hpp:52)."""
         names = list(data.keys())
         n = num_rows if num_rows is not None else len(next(iter(data.values())))
-        cap = padded_size(n)
+        cap = max(padded_size(n), padded_size(capacity) if capacity else 0)
         validity = validity or {}
         cols = [
             Column.from_numpy(np.asarray(data[name]), types[name],

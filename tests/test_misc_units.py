@@ -164,3 +164,65 @@ def test_explain_statement():
     assert "optimized logical plan" in text
     assert "Aggregate" in text and "TableScan" in text
     assert "physical plan" in text
+
+
+def test_stage_key_scopes_dictionary_identity_to_used_columns():
+    """Growth of an UNREFERENCED column's dictionary must not re-key (and
+    recompile) a cached stage; growth of a referenced one must."""
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.operators import compiled
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+    from hyrise_tpu.storage.table import Table
+
+    db = Database.get()
+    if db.storage_manager.has_table("skdict"):
+        db.storage_manager.drop_table("skdict")
+    db.storage_manager.add_table(
+        "skdict",
+        Table.from_dict({"a": [1, 2, 3], "s": ["x", "y", "z"],
+                         "u": ["p", "q", "r"]}),
+    )
+
+    def run(q):
+        return SQLPipelineBuilder(q).create_pipeline().get_result_table()
+
+    sel = "SELECT a FROM skdict WHERE a > 1"
+    assert len(run(sel).to_pylist()) == 2
+    before = len(compiled._CACHE)
+    # INSERT with a NEW value for u (and s): both dictionaries grow
+    run("INSERT INTO skdict VALUES (9, 'zz', 'rr')")
+    assert len(run(sel).to_pylist()) == 3
+    # the numeric scan references only `a`: its stage key is unchanged, so
+    # re-running it after dictionary growth must not mint new executables
+    grew = len(compiled._CACHE) - before
+    run(sel)
+    assert len(compiled._CACHE) - before == grew, (
+        "numeric scan re-keyed after unrelated dictionary growth"
+    )
+    # a scan REFERENCING the grown column must see the new value
+    assert len(run("SELECT a FROM skdict WHERE s = 'zz'").to_pylist()) == 1
+    db.storage_manager.drop_table("skdict")
+
+
+def test_table_reserve_preserves_semantics_and_mvcc():
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+
+    db = Database.get()
+    if db.storage_manager.has_table("rsv"):
+        db.storage_manager.drop_table("rsv")
+
+    def run(q):
+        return SQLPipelineBuilder(q).create_pipeline().get_result_table()
+
+    run("CREATE TABLE rsv (a INT, s VARCHAR)")
+    run("INSERT INTO rsv VALUES (1, 'x')")
+    t = db.storage_manager.get_table("rsv")
+    old_cap = t.capacity
+    t.reserve(old_cap + 1000)
+    assert t.capacity >= old_cap + 1000
+    # MVCC arrays grew with the columns: visibility still works
+    run("INSERT INTO rsv VALUES (2, 'y')")
+    assert run("SELECT a FROM rsv ORDER BY a").to_pylist() == [(1,), (2,)]
+    assert t.capacity >= old_cap + 1000  # inserts fit without reshape
+    db.storage_manager.drop_table("rsv")

@@ -741,12 +741,12 @@ class ExpressionEvaluator:
         bvalid = padding_mask(n, bkeys.shape[0])
         if col.validity is not None:
             bvalid = bvalid & col.validity
-        sk, perm, nv = joink.build_sorted(bkeys, bvalid)
         kvalid = (
             operand.validity if operand.validity is not None
             else jnp.ones(self.capacity, bool)
         )
-        member = joink.contains(sk, nv, keys, kvalid)
+        _, _, _cnt = joink.merge_probe(bkeys, bvalid, keys, kvalid)
+        member = _cnt > 0
         # SQL null semantics for IN: if no match but the set has NULLs or
         # the operand is NULL -> result is NULL (matters for NOT IN).
         # Computed device-side so the subquery result may be a traced

@@ -130,6 +130,124 @@ def segment_sum_sq(values, seg_ids, valid, num_segments: int):
     return jax.ops.segment_sum(acc, seg_ids, num_segments=num_segments)
 
 
+# ----------------------------------------------------------- sorted segments
+# When rows are already sorted by segment id (the group_rows path), segment
+# reductions do NOT need scatter-adds: jax.ops.segment_sum lowers to a
+# colliding scatter-add that XLA:TPU serializes per duplicate (~460 ms for
+# 6M rows on v5e).  On sorted ids a segment total is the difference of the
+# inclusive cumsum at the run's last row and the exclusive cumsum at its
+# first row — one linear cumsum plus two provably-unique scatter-sets.
+# (Analogue of the reference's cache-local immediate aggregation over
+# sorted chunks, ref: operators/aggregate_sort.cpp.)
+
+
+def _run_bounds(seg_sorted):
+    change = seg_sorted[1:] != seg_sorted[:-1]
+    start = jnp.concatenate([jnp.ones(1, bool), change])
+    end = jnp.concatenate([change, jnp.ones(1, bool)])
+    return start, end
+
+
+def _bound_targets(seg_sorted, flags, num_segments: int):
+    """Scatter targets: each flagged row -> its segment slot; everything
+    else parks at a distinct out-of-bounds slot (mode=drop) so the scatter
+    stays provably unique (one flagged row per segment by construction)."""
+    n = seg_sorted.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    seg32 = seg_sorted.astype(jnp.int32)
+    ok = flags & (seg32 >= 0) & (seg32 < num_segments)
+    return jnp.where(ok, seg32, num_segments + 1 + iota)
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_sum_sorted(values, seg_sorted, valid, num_segments: int):
+    acc = jnp.where(valid, values.astype(_acc_dtype(values.dtype)), 0)
+    c = jnp.cumsum(acc)
+    start, end = _run_bounds(seg_sorted)
+    e = (
+        jnp.zeros(num_segments, dtype=c.dtype)
+        .at[_bound_targets(seg_sorted, end, num_segments)]
+        .set(c, mode="drop", unique_indices=True)
+    )
+    b = (
+        jnp.zeros(num_segments, dtype=c.dtype)
+        .at[_bound_targets(seg_sorted, start, num_segments)]
+        .set(c - acc, mode="drop", unique_indices=True)
+    )
+    return e - b
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_count_sorted(seg_sorted, valid, num_segments: int):
+    c = jnp.cumsum(valid.astype(jnp.int32))
+    start, end = _run_bounds(seg_sorted)
+    e = (
+        jnp.zeros(num_segments, dtype=jnp.int32)
+        .at[_bound_targets(seg_sorted, end, num_segments)]
+        .set(c, mode="drop", unique_indices=True)
+    )
+    b = (
+        jnp.zeros(num_segments, dtype=jnp.int32)
+        .at[_bound_targets(seg_sorted, start, num_segments)]
+        .set(c - valid.astype(jnp.int32), mode="drop", unique_indices=True)
+    )
+    return (e - b).astype(jnp.int64)
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_sum_sq_sorted(values, seg_sorted, valid, num_segments: int):
+    sq = values.astype(jnp.float64)
+    return segment_sum_sorted(sq * sq, seg_sorted, valid, num_segments)
+
+
+def _segmented_scan(op, vals, start):
+    """Segmented inclusive scan: op-combine within runs, reset at starts."""
+
+    def comb(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return (f1 | f2, jnp.where(f2, v2, op(v1, v2)))
+
+    _, res = jax.lax.associative_scan(comb, (start, vals))
+    return res
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_min_sorted(values, seg_sorted, valid, num_segments: int):
+    vals = jnp.where(valid, values, _max_sentinel(values.dtype))
+    start, end = _run_bounds(seg_sorted)
+    run = _segmented_scan(jnp.minimum, vals, start)
+    return (
+        jnp.full(num_segments, _max_sentinel(values.dtype), dtype=values.dtype)
+        .at[_bound_targets(seg_sorted, end, num_segments)]
+        .set(run, mode="drop", unique_indices=True)
+    )
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_max_sorted(values, seg_sorted, valid, num_segments: int):
+    vals = jnp.where(valid, values, _min_sentinel(values.dtype))
+    start, end = _run_bounds(seg_sorted)
+    run = _segmented_scan(jnp.maximum, vals, start)
+    return (
+        jnp.full(num_segments, _min_sentinel(values.dtype), dtype=values.dtype)
+        .at[_bound_targets(seg_sorted, end, num_segments)]
+        .set(run, mode="drop", unique_indices=True)
+    )
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_first_sorted(seg_sorted, num_segments: int):
+    """First sorted position of each segment (0 for empty slots)."""
+    start, _ = _run_bounds(seg_sorted)
+    iota = jnp.arange(seg_sorted.shape[0], dtype=jnp.int64)
+    return (
+        jnp.zeros(num_segments, dtype=jnp.int64)
+        .at[_bound_targets(seg_sorted, start, num_segments)]
+        .set(iota, mode="drop", unique_indices=True)
+    )
+
+
 def _acc_dtype(dtype):
     if jnp.issubdtype(dtype, jnp.floating):
         return jnp.float64

@@ -132,6 +132,79 @@ def total_matches(counts: jax.Array) -> jax.Array:
     return jnp.sum(counts, dtype=jnp.int64)
 
 
+@jax.jit
+def merge_probe(bk: jax.Array, bv: jax.Array, pk: jax.Array, pv: jax.Array):
+    """Build + probe in ONE merged sort (no searchsorted).
+
+    searchsorted lowers to log2(n_build) DEPENDENT random-gather rounds
+    over the HBM-resident build side — ~220 ms per search for 600k-into-
+    600k on v5e, and probe_counts needs two.  Sorting the concatenated
+    (build ++ probe) keys once and counting builds with cumsum gives the
+    same (left, counts) in one O(n log n) fused sort + linear passes.
+
+    Equal keys order builds before probes (side flag is the tie-break sort
+    key), so at a probe row's sorted position the inclusive build-count
+    cumsum IS its `right` bound, and the exclusive build count at the
+    run's first row IS its `left` bound (ref semantics:
+    join_hash_steps.hpp probe ranges).
+
+    Returns (build_perm, left, counts): build_perm[r] = original build row
+    at build-key rank r (valid keys first, key order); left[p] = rank of
+    the first matching build row for probe p; counts[p] = matches.
+    """
+    n_b, n_p = bk.shape[0], pk.shape[0]
+    n = n_b + n_p
+    dt = common_key_dtype(bk, pk)
+    sent = key_sentinel_max(dt)
+    keys = jnp.concatenate([
+        jnp.where(bv, bk.astype(dt), sent),
+        jnp.where(pv, pk.astype(dt), sent),
+    ])
+    side = jnp.concatenate([
+        jnp.zeros(n_b, dtype=jnp.int8), jnp.ones(n_p, dtype=jnp.int8)
+    ])
+    iota = jnp.arange(n, dtype=jnp.int32)
+    skeys, sside, sorig = jax.lax.sort((keys, side, iota), num_keys=2,
+                                       is_stable=True)
+    is_build = sside == 0
+    # count only VALID builds (invalid ones carry the sentinel key; a valid
+    # probe key equal to the sentinel must not match them).  Row counts fit
+    # int32 — int64 is emulated on TPU at ~2x cost.
+    countable = jnp.take(jnp.concatenate([bv, jnp.zeros(n_p, bool)]), sorig)
+    bcum = jnp.cumsum(countable.astype(jnp.int32))          # inclusive
+    run_start = jnp.concatenate(
+        [jnp.ones(1, bool), skeys[1:] != skeys[:-1]]
+    )
+    excl = bcum - countable.astype(jnp.int32)               # builds < pos
+    # broadcast the run-start exclusive count to the whole run: excl at
+    # run starts is non-decreasing, so a running max over masked marks
+    # forward-fills without any gather
+    left_run = jax.lax.cummax(jnp.where(run_start, excl, jnp.int32(-1)))
+    counts_sorted = jnp.where(is_build, 0, bcum - left_run)
+    # scatter probe results back to original probe positions (parked
+    # out-of-bounds targets keep every index provably unique)
+    park = n_p + 1 + jnp.arange(n, dtype=jnp.int32)
+    ptarget = jnp.where(is_build, park, sorig - n_b)
+    left = (
+        jnp.zeros(n_p, dtype=jnp.int32)
+        .at[ptarget].set(left_run, mode="drop", unique_indices=True)
+    )
+    counts = (
+        jnp.zeros(n_p, dtype=jnp.int32)
+        .at[ptarget].set(counts_sorted, mode="drop", unique_indices=True)
+    )
+    counts = jnp.where(pv, counts, 0)
+    # build_perm: original build row per build-key rank (ALL builds ranked;
+    # invalid ones sort last, past every reachable left+k < n_valid)
+    brank = jnp.cumsum(is_build.astype(jnp.int32)) - 1
+    btarget = jnp.where(is_build, brank, n_b + 1 + jnp.arange(n, dtype=jnp.int32))
+    build_perm = (
+        jnp.zeros(n_b, dtype=jnp.int32)
+        .at[btarget].set(sorig, mode="drop", unique_indices=True)
+    )
+    return build_perm, left.astype(jnp.int64), counts.astype(jnp.int64)
+
+
 # -------------------------------------------------- dense direct addressing
 # For unique int build keys with a known small [lo, hi] range (PK columns:
 # orderkey, custkey, partkey ...), the build becomes ONE scatter and each

@@ -228,6 +228,41 @@ class Aggregate(AbstractReadOnlyOperator):
             for a in self.aggregates
         )
 
+        # rows arrive sorted by segment id on the group_rows path: segment
+        # totals become cumsum diffs at run bounds (linear passes) instead
+        # of scatter-adds, which XLA:TPU serializes per colliding index
+        segs_sorted = bool(self.group_by) and dense_domains is None
+
+        def _seg_count(seg_c, valid):
+            if segs_sorted:
+                return aggk.segment_count_sorted(seg_c, valid,
+                                                 num_segments=out_cap)
+            return aggk.segment_count(seg_c, valid, num_segments=out_cap)
+
+        def _seg_sum(vals, seg_c, valid):
+            if segs_sorted:
+                return aggk.segment_sum_sorted(vals, seg_c, valid,
+                                               num_segments=out_cap)
+            return aggk.segment_sum(vals, seg_c, valid, num_segments=out_cap)
+
+        def _seg_min(vals, seg_c, valid):
+            if segs_sorted:
+                return aggk.segment_min_sorted(vals, seg_c, valid,
+                                               num_segments=out_cap)
+            return aggk.segment_min(vals, seg_c, valid, num_segments=out_cap)
+
+        def _seg_max(vals, seg_c, valid):
+            if segs_sorted:
+                return aggk.segment_max_sorted(vals, seg_c, valid,
+                                               num_segments=out_cap)
+            return aggk.segment_max(vals, seg_c, valid, num_segments=out_cap)
+
+        def _seg_sum_sq(vals, seg_c, valid):
+            if segs_sorted:
+                return aggk.segment_sum_sq_sorted(vals, seg_c, valid,
+                                                  num_segments=out_cap)
+            return aggk.segment_sum_sq(vals, seg_c, valid, num_segments=out_cap)
+
         def build2(perm, seg_ids, n_mask, key_arrays, arg_arrays, dep_arrays):
             cap = perm.shape[0]
             sorted_real = jnp.take(n_mask, perm)
@@ -236,16 +271,21 @@ class Aggregate(AbstractReadOnlyOperator):
             seg_orig = jnp.full(cap, out_cap, dtype=jnp.int64).at[perm].set(
                 seg_c, unique_indices=True)  # perm is a permutation
             out_arrays = []
-            occupied = aggk.segment_count(seg_c, sorted_real, num_segments=out_cap)
+            occupied = _seg_count(seg_c, sorted_real)
             out_arrays.append((occupied, None))
             rep_rows = None
             if self.group_by:
-                pos = jnp.arange(cap, dtype=jnp.int64)
-                first_pos = jax.ops.segment_min(
-                    jnp.where(sorted_real, pos, _POS_SENTINEL),
-                    seg_c, num_segments=out_cap,
-                )
-                first_pos = jnp.clip(first_pos, 0, cap - 1)
+                if segs_sorted:
+                    first_pos = aggk.segment_first_sorted(
+                        seg_c, num_segments=out_cap
+                    )
+                else:
+                    pos = jnp.arange(cap, dtype=jnp.int64)
+                    first_pos = jax.ops.segment_min(
+                        jnp.where(sorted_real, pos, _POS_SENTINEL),
+                        seg_c, num_segments=out_cap,
+                    )
+                    first_pos = jnp.clip(first_pos, 0, cap - 1)
                 rep_rows = jnp.take(perm, first_pos)
                 for (data, valid) in key_arrays + dep_arrays:
                     kd = jnp.take(data, rep_rows)
@@ -253,8 +293,7 @@ class Aggregate(AbstractReadOnlyOperator):
                     out_arrays.append((kd, kv))
             for (fn, distinct, argi) in agg_spec:
                 if argi < 0:
-                    counts = aggk.segment_count(seg_c, sorted_real,
-                                                num_segments=out_cap)
+                    counts = _seg_count(seg_c, sorted_real)
                     out_arrays.append((counts.astype(jnp.int64), None))
                     continue
                 data, valid = arg_arrays[argi]
@@ -267,34 +306,27 @@ class Aggregate(AbstractReadOnlyOperator):
                     continue
                 sv = jnp.take(data, perm)
                 svalid = jnp.take(valid, perm) & sorted_real
-                counts = aggk.segment_count(seg_c, svalid, num_segments=out_cap)
+                counts = _seg_count(seg_c, svalid)
                 nonempty = counts > 0
                 if fn == AggregateFunction.COUNT:
                     out_arrays.append((counts.astype(jnp.int64), None))
                 elif fn == AggregateFunction.SUM:
-                    sums = aggk.segment_sum(sv, seg_c, svalid, num_segments=out_cap)
+                    sums = _seg_sum(sv, seg_c, svalid)
                     out_arrays.append((sums, nonempty))
                 elif fn == AggregateFunction.AVG:
-                    sums = aggk.segment_sum(
-                        sv.astype(jnp.float64), seg_c, svalid,
-                        num_segments=out_cap,
-                    )
+                    sums = _seg_sum(sv.astype(jnp.float64), seg_c, svalid)
                     out_arrays.append(
                         (sums / jnp.maximum(counts, 1), nonempty)
                     )
                 elif fn in (AggregateFunction.MIN, AggregateFunction.ANY):
-                    vals = aggk.segment_min(sv, seg_c, svalid, num_segments=out_cap)
+                    vals = _seg_min(sv, seg_c, svalid)
                     out_arrays.append((jnp.where(nonempty, vals, 0), nonempty))
                 elif fn == AggregateFunction.MAX:
-                    vals = aggk.segment_max(sv, seg_c, svalid, num_segments=out_cap)
+                    vals = _seg_max(sv, seg_c, svalid)
                     out_arrays.append((jnp.where(nonempty, vals, 0), nonempty))
                 elif fn == AggregateFunction.STDDEV_SAMP:
-                    sums = aggk.segment_sum(
-                        sv.astype(jnp.float64), seg_c, svalid,
-                        num_segments=out_cap,
-                    )
-                    sumsq = aggk.segment_sum_sq(sv, seg_c, svalid,
-                                                num_segments=out_cap)
+                    sums = _seg_sum(sv.astype(jnp.float64), seg_c, svalid)
+                    sumsq = _seg_sum_sq(sv, seg_c, svalid)
                     n = counts.astype(jnp.float64)
                     var = (sumsq - sums * sums / jnp.maximum(n, 1)) / jnp.maximum(
                         n - 1, 1
@@ -308,7 +340,7 @@ class Aggregate(AbstractReadOnlyOperator):
         out_arrays, _ = run_arrays(
             "agg2", build2,
             (perm, seg_ids, n_mask, key_arrays, arg_arrays, dep_arrays),
-            extra_key=(agg_spec, out_cap, bool(self.group_by),
+            extra_key=(agg_spec, out_cap, bool(self.group_by), segs_sorted,
                        tuple(e.key() for e in self.group_by),
                        tuple(e.key() for e in self.dependent)),
             cacheable=cacheable,

@@ -26,6 +26,7 @@ from hyrise_tpu.expression.evaluator import ExpressionEvaluator, ExprResult
 from hyrise_tpu.kernels import joins as joink
 from hyrise_tpu.kernels import masks
 from hyrise_tpu.operators.base import AbstractReadOnlyOperator
+from hyrise_tpu.operators.compiled import used_column_indices
 from hyrise_tpu.storage.column import (
     Column,
     merge_dictionaries,
@@ -193,8 +194,8 @@ class Join(AbstractReadOnlyOperator):
                     _, cnt = joink.dense_probe(slot, pk, pv, lo, dsize)
                     member = cnt > 0
                 else:
-                    sk, perm, nv = joink.build_sorted(bk, bv)
-                    member = joink.contains(sk, nv, pk, pv)
+                    _, _, cnt = joink.merge_probe(bk, bv, pk, pv)
+                    member = cnt > 0
                 if eff_mode == JoinMode.SEMI:
                     mask = member
                 elif eff_mode == JoinMode.ANTI_NULL_AS_FALSE:
@@ -231,10 +232,7 @@ class Join(AbstractReadOnlyOperator):
                 left_pos, counts = joink.dense_probe(slot, pk, pv, lo, dsize)
                 total = jnp.sum(counts, dtype=jnp.int64)
                 return (left_pos, counts, slot, pv, bkv, total), None
-            sorted_keys, build_perm, n_build_valid = joink.build_sorted(bk, bv)
-            left_pos, counts = joink.probe_counts(
-                sorted_keys, n_build_valid, pk, pv
-            )
+            build_perm, left_pos, counts = joink.merge_probe(bk, bv, pk, pv)
             total = jnp.sum(counts, dtype=jnp.int64)
             return (left_pos, counts, build_perm, pv, bkv, total), None
 
@@ -286,19 +284,45 @@ class Join(AbstractReadOnlyOperator):
                     left_pos, counts, build_perm, out_cap
                 )
             if sec_preds:
-                ptbl = pt.take(probe_idx, out_cap)
-                btbl = bt.take(build_idx, out_cap)
+                # the pair table only feeds secondary-predicate evaluation
+                # (output assembly gathers separately below): gather only
+                # the columns the predicates reference — a full two-sided
+                # take at expansion width dominated joins with residual
+                # predicates, e.g. TPC-H Q21's semi/anti self-joins
+                sec_children = [c for pr in sec_preds for c in pr.children]
+                p_keep = sorted(used_column_indices(
+                    {e.key(): i
+                     for i, e in enumerate(probe_op.output_expressions)},
+                    sec_children,
+                ))
+                b_keep = sorted(used_column_indices(
+                    {e.key(): i
+                     for i, e in enumerate(build_op.output_expressions)},
+                    sec_children,
+                ))
+                pred = Table(
+                    [pt.column_names[i] for i in p_keep],
+                    [pt.columns[i] for i in p_keep],
+                    pt.num_rows,
+                )
+                bred = Table(
+                    [bt.column_names[i] for i in b_keep],
+                    [bt.columns[i] for i in b_keep],
+                    bt.num_rows,
+                )
+                ptbl = pred.take(probe_idx, out_cap)
+                btbl = bred.take(build_idx, out_cap)
                 pair_table = Table(
                     ptbl.column_names + btbl.column_names,
                     ptbl.columns + btbl.columns,
                     out_cap,
                 )
                 cmap2 = {}
-                for i, e in enumerate(probe_op.output_expressions):
-                    cmap2[e.key()] = i
+                for pos, i in enumerate(p_keep):
+                    cmap2[probe_op.output_expressions[i].key()] = pos
                 off = len(ptbl.columns)
-                for i, e in enumerate(build_op.output_expressions):
-                    cmap2[e.key()] = off + i
+                for pos, i in enumerate(b_keep):
+                    cmap2[build_op.output_expressions[i].key()] = off + pos
                 ev2 = self.make_evaluator(pair_table, cmap2)
                 for pr in sec_preds:
                     # secondary predicate operands are (probe, build) pairs

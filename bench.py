@@ -126,38 +126,74 @@ def main() -> None:
     from hyrise_tpu.database import Database
     from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    # ---- persisted sqlite baseline (times + verified rows), committed by
+    # scripts/make_tpch_baseline.py: the driver budget is spent on the
+    # ENGINE, not on re-running sqlite every round (ref:
+    # benchmark_runner.hpp:71-77 — report/verify separate from measurement).
+    seed = 19920101
+    baseline = None
+    try:
+        import gzip
+
+        from scripts.make_tpch_baseline import (baseline_path,
+                                                generator_fingerprint)
+
+        path = baseline_path(sf, seed, skewed)
+        if os.path.exists(path):
+            with gzip.open(path, "rt") as fh:
+                cand = json.load(fh)
+            if cand.get("generator_sha") == generator_fingerprint():
+                baseline = cand
+                print(f"# using persisted sqlite baseline {path} "
+                      f"({len(baseline['queries'])} queries)",
+                      file=sys.stderr)
+            else:
+                print("# persisted baseline is stale (generator changed) — "
+                      "falling back to live sqlite", file=sys.stderr)
+    except Exception as exc:
+        print(f"# persisted baseline unavailable: {exc}", file=sys.stderr)
+
     db = Database.get()
     gen_start = time.perf_counter()
-    gen = TPCHTableGenerator(scale_factor=sf, keep_host=True, skewed=skewed)
+    gen = TPCHTableGenerator(scale_factor=sf, seed=seed,
+                             keep_host=baseline is None, skewed=skewed)
     tables = gen.generate_into(db.storage_manager)
     gen_s = time.perf_counter() - gen_start
     total_rows = sum(t.num_rows for t in tables.values())
     print(f"# generated TPC-H SF{sf}: {total_rows} rows in {gen_s:.1f}s",
           file=sys.stderr)
 
-    # ---- sqlite oracle on identical data (per-query, capped wall time).
+    # ---- live sqlite oracle fallback on identical data (capped wall time).
     # Loaded from the generator's HOST numpy (not device tables): the TPU's
     # f64 emulation perturbs round-tripped values and corrupts the oracle.
     baseline_cap_s = float(os.environ.get("HYRISE_TPU_BENCH_BASELINE_CAP", "30"))
     oracle = None
-    try:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from tests.sqlite_oracle import SQLiteOracle
-        from tests.test_tpch import sqlite_compat
+    if baseline is None:
+        try:
+            from tests.sqlite_oracle import SQLiteOracle
 
-        oracle = SQLiteOracle()
-        for name, (data, typs) in gen.host_tables.items():
-            oracle.load_numpy(name, data, typs)
-        gen.host_tables = {}
-    except Exception as exc:  # baseline is best-effort
-        print(f"# sqlite baseline unavailable: {exc}", file=sys.stderr)
+            oracle = SQLiteOracle()
+            for name, (data, typs) in gen.host_tables.items():
+                oracle.load_numpy(name, data, typs)
+            gen.host_tables = {}
+        except Exception as exc:  # baseline is best-effort
+            print(f"# sqlite baseline unavailable: {exc}", file=sys.stderr)
 
     verify = os.environ.get("HYRISE_TPU_BENCH_VERIFY", "1") == "1"
 
     def sqlite_run(qid):
-        """-> (seconds, rows) or (None, None) past the cap."""
+        """-> (seconds, rows) or (None, None) past the cap / missing."""
+        if baseline is not None:
+            ent = baseline["queries"].get(str(qid))
+            if ent is None:
+                return None, None
+            return ent["seconds"], [tuple(r) for r in ent["rows"]]
         if oracle is None:
             return None, None
+        from tests.test_tpch import sqlite_compat
+
         deadline = time.perf_counter() + baseline_cap_s
         oracle.conn.set_progress_handler(
             lambda: 1 if time.perf_counter() > deadline else 0, 200_000

@@ -94,7 +94,7 @@ class DistributedUnsupported(Exception):
 
 # introspection for tests/meta tables: counts of distributed work executed
 STATS = {"subtrees": 0, "nodes": 0, "joins": 0, "aggregates": 0,
-         "shuffle_retries": 0}
+         "shuffle_retries": 0, "topk": 0}
 
 
 def reset_stats() -> None:
@@ -121,6 +121,35 @@ def rewrite_distributed(root: L.LQPNode) -> L.LQPNode:
     lowering = _Lowering()
 
     def rec(node: L.LQPNode) -> L.LQPNode:
+        # Distributed top-k: Limit(Sort(lowerable)) keeps only the k best
+        # rows PER SHARD on-device before gathering, so the final stage
+        # moves at most k*n_shards rows instead of the whole subtree
+        # result (ref: operators/sort.cpp:423 + SURVEY §2.17 — the
+        # ORDER-BY-LIMIT cliff for Q3/Q10-shaped plans).  The single-chip
+        # Sort+Limit re-run on the gathered superset preserves exact
+        # ordering/tie semantics.
+        if (isinstance(node, L.LimitNode)
+                and isinstance(node.left, L.SortNode)
+                and lowering.lowerable(node.left.left)):
+            k = _literal_rows(node.row_count)
+            off = 0 if node.offset is None else _literal_rows(node.offset)
+            if k is not None and off is not None:
+                try:
+                    dt = lowering.execute(node.left.left)
+                    dt = _topk(dt, node.left.sort_items, k + off)
+                    out_exprs = node.left.left.output_expressions()
+                    table = gather_dtable(dt.select(out_exprs))
+                    STATS["subtrees"] += 1
+                    STATS["topk"] += 1
+                    STATS["nodes"] += sum(1 for _ in node.left.left.walk())
+                    static = L.StaticTableNode(table, out_exprs)
+                    sort_clone = copy.copy(node.left)
+                    sort_clone.left = static
+                    limit_clone = copy.copy(node)
+                    limit_clone.left = sort_clone
+                    return limit_clone
+                except DistributedUnsupported:
+                    pass
         if lowering.lowerable(node):
             try:
                 dt = lowering.execute(node)
@@ -178,13 +207,21 @@ class _Lowering:
         if t is L.PredicateNode:
             return self.lowerable(node.left) and _no_subquery([node.predicate])
         if t is L.ProjectionNode:
-            return (
-                self.lowerable(node.left)
-                and _no_subquery(node.expressions)
-                and not any(e.contains_aggregate() for e in node.expressions)
-                and not any(isinstance(e, ast.WindowExpression)
-                            for e in node.expressions)
-            )
+            if not self.lowerable(node.left):
+                return False
+            # An expression that IS a child output column (incl. aggregate
+            # results above an AggregateNode) forwards without evaluation —
+            # the evaluator resolves cmap keys before dispatch.  Computed
+            # expressions must be aggregate/window/subquery-free.
+            child_keys = {e.key() for e in node.left.output_expressions()}
+            for e in node.expressions:
+                if e.key() in child_keys:
+                    continue
+                if not _no_subquery([e]) or e.contains_aggregate() or any(
+                    isinstance(s, ast.WindowExpression) for s in e.walk()
+                ):
+                    return False
+            return True
         if t is L.JoinNode:
             return self._join_lowerable(node)
         if t is L.AggregateNode:
@@ -311,6 +348,86 @@ class _Lowering:
         except Exception:
             pass
         return float(dt.est_rows or (dt.n_shards * dt.rows_per_shard))
+
+
+def _literal_rows(e: ast.Expression) -> Optional[int]:
+    """Literal LIMIT/OFFSET row count, or None when not statically known."""
+    if isinstance(e, ast.Literal) and isinstance(e.value, (int, np.integer)):
+        v = int(e.value)
+        return v if 0 <= v <= 1_000_000 else None
+    return None
+
+
+def _topk(dt: DTable, sort_items, k: int) -> DTable:
+    """Shard-local top-k by the GLOBAL sort order: sort each shard's rows
+    by (row-validity, per-item null-order, key...) and keep the first k.
+    The union over shards is a superset of the global top-k, so the host
+    Sort+Limit above reproduces exact semantics on k*n_shards rows."""
+    kp = padded_size(max(k, LANE), LANE)
+    if kp >= dt.rows_per_shard:
+        return dt  # no reduction possible
+    # pre-validate sortability (host-side; raises before any device work)
+    for e, _m in sort_items:
+        if e.data_type() == DataType.STRING:
+            col = dt.column_for(e) if isinstance(e, ast.ColumnRef) else None
+            if col is None or col.dictionary is None or not col.dict_sorted:
+                raise DistributedUnsupported("unsorted string sort key")
+    sig = ("dtopk", tuple((e.key(), m) for e, m in sort_items), kp,
+           dtable_signature(dt))
+    datas, valids, rv = flatten_dtable(dt)
+    mesh = dt.mesh
+
+    def build():
+        def local(datas, valids, rv):
+            t, cm, d_f, v_f, rvf = _flat_cols(dt, datas, valids, rv)
+            ev = ExpressionEvaluator(t, cm)
+            keys = [(~rvf).astype(jnp.int32)]  # invalid rows sort last
+            for e, m in sort_items:
+                r = ev.evaluate(e)
+                data = r.data
+                if data.dtype == jnp.bool_:
+                    data = data.astype(jnp.int32)
+                desc = not m.ascending
+                if jnp.issubdtype(data.dtype, jnp.floating):
+                    key = -data if desc else data  # no 64-bit bitcasts on TPU
+                else:
+                    key = data.astype(jnp.int64)
+                    if desc:
+                        key = -key
+                if r.validity is not None:
+                    null_rank = (r.validity if m.nulls_first
+                                 else ~r.validity).astype(jnp.int32)
+                    keys.append(null_rank)
+                    key = jnp.where(r.validity, key,
+                                    jnp.zeros((), key.dtype))
+                keys.append(key)
+            idx = jnp.arange(rvf.shape[0], dtype=jnp.int32)
+            sorted_ops = jax.lax.sort(tuple(keys) + (idx,),
+                                      num_keys=len(keys))
+            take = jax.lax.slice_in_dim(sorted_ops[-1], 0, kp)
+            out_d, out_v = _take_cols(d_f, v_f, take)
+            rv2 = jnp.take(rvf, take)
+            return (
+                [d.reshape(1, -1) for d in out_d],
+                [v.reshape(1, -1) if v is not None else None
+                 for v in out_v],
+                rv2.reshape(1, -1),
+            )
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh.mesh, in_specs=(_PS, _PS, _PS),
+            out_specs=(_PS, _PS, _PS), check_vma=False,
+        ))
+        return fn, {}
+
+    (out_d, out_v, rv2), _ = run_dstage(sig, build, (datas, valids, rv))
+    cols = [
+        DColumn(d, v, m[0], m[1], m[2])
+        for d, v, m in zip(out_d, out_v, _col_metas(dt))
+    ]
+    est = dt.est_rows
+    return DTable(list(dt.exprs), cols, rv2, mesh,
+                  min(est, kp * mesh.n) if est else kp * mesh.n)
 
 
 def _no_subquery(exprs: Sequence[ast.Expression]) -> bool:

@@ -107,8 +107,9 @@ WHERE d1.d_month_seq BETWEEN 24 AND 35 AND d1.d_date_sk = ss_sold_date_sk
 
 @pytest.mark.parametrize("qid", [q for q in sorted(ROLLUP_QIDS) if q not in (36, 86)])
 def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
-    ours = (SQLPipelineBuilder(TPCDS_QUERIES[qid]).create_pipeline()
-            .get_result_table().to_pylist())
+    if qid != 67:  # 67 runs a canonicalized variant below
+        ours = (SQLPipelineBuilder(TPCDS_QUERIES[qid]).create_pipeline()
+                .get_result_table().to_pylist())
     if qid == 22:
         theirs = tpcds_env.execute(_rollup_union(
             ["i_product_name", "i_brand", "i_class", "i_category"],
@@ -158,10 +159,20 @@ def test_tpcds_rollup_query(tpcds_env, qid):  # 36,86 have dedicated tests
             "ORDER BY ca_country, ca_state, ca_county, i_item_id LIMIT 100",
         ))
     else:  # 67
+        # Canonicalize the float SUM to 2 decimals BEFORE the RANK: summation
+        # -order drift (engine vs sqlite) otherwise flips near-ties at the
+        # rk<=10 / LIMIT 100 boundaries and the row SETS genuinely differ
+        # (ref: utils/check_table_equal.cpp canonicalizes before comparing).
+        # Both engines get the same rounding, so ties become exact ties and
+        # RANK selects identical sets.
+        ours = (SQLPipelineBuilder(TPCDS_QUERIES[qid].replace(
+            "SUM(ss_sales_price * ss_quantity) AS sumsales",
+            "ROUND(SUM(ss_sales_price * ss_quantity), 2) AS sumsales"))
+            .create_pipeline().get_result_table().to_pylist())
         inner = _rollup_union(
             ["i_category", "i_class", "i_brand", "i_product_name",
              "d_year", "d_qoy", "d_moy", "s_store_id"],
-            ["SUM(ss_sales_price * ss_quantity) AS sumsales"],
+            ["ROUND(SUM(ss_sales_price * ss_quantity), 2) AS sumsales"],
             "FROM store_sales, date_dim, store, item "
             "WHERE ss_sold_date_sk = d_date_sk AND ss_item_sk = i_item_sk "
             "AND ss_store_sk = s_store_sk AND d_month_seq BETWEEN 24 AND 35",

@@ -71,9 +71,32 @@ class AbstractProcedure:
         raise NotImplementedError
 
 
+_LINE_PAD = 15  # max order lines; padded IN lists keep ONE plan per shape
+
+
+def _in_list(n: int) -> str:
+    return ", ".join("?" for _ in range(n))
+
+
+def _case_pairs(col: str, n: int, else_: str) -> str:
+    return ("CASE " + col + " " + " ".join("WHEN ? THEN ?" for _ in range(n))
+            + f" ELSE {else_} END")
+
+
+def _or_pairs(col_a: str, col_b: str, n: int) -> str:
+    return " OR ".join(f"({col_a} = ? AND {col_b} = ?)" for _ in range(n))
+
+
 class NewOrder(AbstractProcedure):
     """Ref: tpcc_new_order.cpp — insert an order with 5-15 lines, update
-    district next-o-id and stock quantities."""
+    district next-o-id and stock quantities.
+
+    SET-BASED: the per-line loop (3 statements x 5-15 lines in the
+    reference) collapses into 4 batched statements — one padded-IN stock
+    fetch, one CASE-driven stock update, one padded-IN price fetch, one
+    multi-row order-line insert — because every statement here costs a
+    full device dispatch round; TPU OLTP throughput is statement-count
+    bound, not row-count bound."""
 
     def _execute(self, ctx) -> None:
         rng = self.rng
@@ -81,6 +104,8 @@ class NewOrder(AbstractProcedure):
         d_id = rng.randint(1, self.districts)
         c_id = rng.randint(1, self.customers)
         n_lines = rng.randint(5, 15)
+        line_items = [rng.randint(1, self.items) for _ in range(n_lines)]
+        line_qty = [rng.randint(1, 10) for _ in range(n_lines)]
 
         rows = self._exec(
             "no_get_district",
@@ -106,9 +131,66 @@ class NewOrder(AbstractProcedure):
             "INSERT INTO new_order (no_w_id, no_d_id, no_o_id) VALUES (?, ?, ?)",
             (w_id, d_id, o_id), ctx,
         )
-        for ol in range(1, n_lines + 1):
-            i_id = rng.randint(1, self.items)
-            qty = rng.randint(1, 10)
+        if len(set(line_items)) != n_lines:
+            # rare duplicate-item order: the sequential per-line loop
+            # preserves order-dependent stock-update semantics
+            self._per_line_fallback(ctx, w_id, d_id, o_id, line_items,
+                                    line_qty)
+            return
+
+        pad_i = line_items + [line_items[-1]] * (_LINE_PAD - n_lines)
+        srows = self._exec(
+            "no_get_stock_batch",
+            "SELECT s_i_id, s_quantity FROM stock WHERE s_w_id = ? "
+            f"AND s_i_id IN ({_in_list(_LINE_PAD)})",
+            tuple([w_id] + pad_i), ctx,
+        )
+        s_qty = {i: q for i, q in srows}
+        new_qty, ytd_add = {}, {}
+        for i, q in zip(line_items, line_qty):
+            sq = s_qty.get(i, 50)
+            new_qty[i] = sq - q if sq - q >= 10 else sq - q + 91
+            ytd_add[i] = q
+        case_q, case_y = [], []
+        for i in line_items:
+            case_q += [i, new_qty[i]]
+            case_y += [i, ytd_add[i]]
+        pad_pair_q = case_q[-2:] * (_LINE_PAD - n_lines)
+        pad_pair_y = case_y[-2:] * (_LINE_PAD - n_lines)
+        self._exec(
+            "no_update_stock_batch",
+            "UPDATE stock SET "
+            f"s_quantity = {_case_pairs('s_i_id', _LINE_PAD, 's_quantity')}, "
+            "s_order_cnt = s_order_cnt + 1, "
+            f"s_ytd = s_ytd + {_case_pairs('s_i_id', _LINE_PAD, '0')} "
+            f"WHERE s_w_id = ? AND s_i_id IN ({_in_list(_LINE_PAD)})",
+            tuple(case_q + pad_pair_q + case_y + pad_pair_y
+                  + [w_id] + pad_i), ctx,
+        )
+        prows = self._exec(
+            "no_get_price_batch",
+            f"SELECT i_id, i_price FROM item WHERE i_id IN "
+            f"({_in_list(_LINE_PAD)})",
+            tuple(pad_i), ctx,
+        )
+        price = {i: p for i, p in prows}
+        line_params = []
+        for ol, (i, q) in enumerate(zip(line_items, line_qty), start=1):
+            line_params += [w_id, d_id, o_id, ol, i, w_id, q,
+                            round(price.get(i, 1.0) * q, 2)]
+        row_sql = "(?, ?, ?, ?, ?, ?, '1970-01-01', ?, ?, 'dist')"
+        self._exec(
+            f"no_insert_lines_{n_lines}",
+            "INSERT INTO order_line (ol_w_id, ol_d_id, ol_o_id, "
+            "ol_number, ol_i_id, ol_supply_w_id, ol_delivery_d, "
+            "ol_quantity, ol_amount, ol_dist_info) VALUES "
+            + ", ".join(row_sql for _ in range(n_lines)),
+            tuple(line_params), ctx,
+        )
+
+    def _per_line_fallback(self, ctx, w_id, d_id, o_id, line_items,
+                           line_qty) -> None:
+        for ol, (i_id, qty) in enumerate(zip(line_items, line_qty), start=1):
             srow = self._exec(
                 "no_get_stock",
                 "SELECT s_quantity FROM stock WHERE s_w_id = ? AND s_i_id = ?",
@@ -177,7 +259,9 @@ class Payment(AbstractProcedure):
 
 
 class OrderStatus(AbstractProcedure):
-    """Ref: tpcc_order_status.cpp (read-only)."""
+    """Ref: tpcc_order_status.cpp (read-only).  The latest order id is a
+    MAX aggregate, not a sort: ORDER BY DESC LIMIT 1 paid a full padded
+    device sort per execution."""
 
     def _execute(self, ctx) -> None:
         rng = self.rng
@@ -186,11 +270,11 @@ class OrderStatus(AbstractProcedure):
         c_id = rng.randint(1, self.customers)
         rows = self._exec(
             "os_last_order",
-            "SELECT o_id FROM \"order\" WHERE o_w_id = ? "
-            "AND o_d_id = ? AND o_c_id = ? ORDER BY o_id DESC LIMIT 1",
+            "SELECT MAX(o_id) FROM \"order\" WHERE o_w_id = ? "
+            "AND o_d_id = ? AND o_c_id = ?",
             (w_id, d_id, c_id), ctx,
         )
-        if rows:
+        if rows and rows[0][0] is not None:
             o_id = rows[0][0]
             self._exec(
                 "os_lines",
@@ -201,60 +285,79 @@ class OrderStatus(AbstractProcedure):
 
 
 class Delivery(AbstractProcedure):
-    """Ref: tpcc_delivery.cpp — deliver the oldest new order per district."""
+    """Ref: tpcc_delivery.cpp — deliver the oldest new order per district.
+
+    SET-BASED: the reference loops 10 districts x 7 statements; here all
+    districts process in 7 batched statements (one GROUP BY finds every
+    district's oldest order, padded (district, order) OR-pair predicates
+    drive the deletes/updates, a CASE keyed on district pays customers)."""
 
     def _execute(self, ctx) -> None:
         rng = self.rng
         w_id = rng.randint(1, self.w)
         carrier = rng.randint(1, 10)
-        for d_id in range(1, self.districts + 1):
-            rows = self._exec(
-                "dl_oldest",
-                "SELECT MIN(no_o_id) FROM new_order "
-                "WHERE no_w_id = ? AND no_d_id = ?",
-                (w_id, d_id), ctx,
-            )
-            if not rows or rows[0][0] is None:
-                continue
-            o_id = rows[0][0]
-            self._exec(
-                "dl_pop_new_order",
-                "DELETE FROM new_order WHERE no_w_id = ? "
-                "AND no_d_id = ? AND no_o_id = ?",
-                (w_id, d_id, o_id), ctx,
-            )
-            self._exec(
-                "dl_carrier",
-                "UPDATE \"order\" SET o_carrier_id = ? "
-                "WHERE o_w_id = ? AND o_d_id = ? AND o_id = ?",
-                (carrier, w_id, d_id, o_id), ctx,
-            )
-            self._exec(
-                "dl_lines_date",
-                "UPDATE order_line SET ol_delivery_d = '2026-08-17' "
-                "WHERE ol_w_id = ? AND ol_d_id = ? AND ol_o_id = ?",
-                (w_id, d_id, o_id), ctx,
-            )
-            amount_rows = self._exec(
-                "dl_amount",
-                "SELECT SUM(ol_amount), MAX(ol_number) FROM order_line "
-                "WHERE ol_w_id = ? AND ol_d_id = ? AND ol_o_id = ?",
-                (w_id, d_id, o_id), ctx,
-            )
-            c_rows = self._exec(
-                "dl_customer_of",
-                "SELECT o_c_id FROM \"order\" WHERE o_w_id = ? "
-                "AND o_d_id = ? AND o_id = ?",
-                (w_id, d_id, o_id), ctx,
-            )
-            if amount_rows and c_rows and amount_rows[0][0] is not None:
-                self._exec(
-                    "dl_pay_customer",
-                    "UPDATE customer SET c_balance = c_balance + ?, "
-                    "c_delivery_cnt = c_delivery_cnt + 1 "
-                    "WHERE c_w_id = ? AND c_d_id = ? AND c_id = ?",
-                    (amount_rows[0][0], w_id, d_id, c_rows[0][0]), ctx,
-                )
+        rows = self._exec(
+            "dl_oldest_all",
+            "SELECT no_d_id, MIN(no_o_id) FROM new_order "
+            "WHERE no_w_id = ? GROUP BY no_d_id",
+            (w_id,), ctx,
+        )
+        pairs = [(d, o) for d, o in rows if o is not None]
+        if not pairs:
+            return
+        n = self.districts
+        pad = pairs + [pairs[-1]] * (n - len(pairs))
+        flat = [x for p in pad for x in p]
+        self._exec(
+            "dl_pop_batch",
+            "DELETE FROM new_order WHERE no_w_id = ? AND "
+            f"({_or_pairs('no_d_id', 'no_o_id', n)})",
+            tuple([w_id] + flat), ctx,
+        )
+        self._exec(
+            "dl_carrier_batch",
+            "UPDATE \"order\" SET o_carrier_id = ? WHERE o_w_id = ? AND "
+            f"({_or_pairs('o_d_id', 'o_id', n)})",
+            tuple([carrier, w_id] + flat), ctx,
+        )
+        self._exec(
+            "dl_lines_date_batch",
+            "UPDATE order_line SET ol_delivery_d = '2026-08-17' "
+            "WHERE ol_w_id = ? AND "
+            f"({_or_pairs('ol_d_id', 'ol_o_id', n)})",
+            tuple([w_id] + flat), ctx,
+        )
+        amount_rows = self._exec(
+            "dl_amount_batch",
+            "SELECT ol_d_id, SUM(ol_amount) FROM order_line "
+            "WHERE ol_w_id = ? AND "
+            f"({_or_pairs('ol_d_id', 'ol_o_id', n)}) GROUP BY ol_d_id",
+            tuple([w_id] + flat), ctx,
+        )
+        c_rows = self._exec(
+            "dl_customer_batch",
+            "SELECT o_d_id, o_c_id FROM \"order\" WHERE o_w_id = ? AND "
+            f"({_or_pairs('o_d_id', 'o_id', n)})",
+            tuple([w_id] + flat), ctx,
+        )
+        amount = {d: a for d, a in amount_rows if a is not None}
+        cust = {d: c for d, c in c_rows}
+        pay = [(d, cust[d], amount[d]) for d, _ in pairs
+               if d in amount and d in cust]
+        if not pay:
+            return
+        pay_pad = pay + [pay[-1]] * (n - len(pay))
+        case_amt = [x for d, _, a in pay_pad for x in (d, a)]
+        cust_pairs = [x for d, c, _ in pay_pad for x in (d, c)]
+        self._exec(
+            "dl_pay_batch",
+            "UPDATE customer SET c_balance = c_balance + "
+            f"{_case_pairs('c_d_id', n, '0.0')}, "
+            "c_delivery_cnt = c_delivery_cnt + 1 "
+            "WHERE c_w_id = ? AND "
+            f"({_or_pairs('c_d_id', 'c_id', n)})",
+            tuple(case_amt + [w_id] + cust_pairs), ctx,
+        )
 
 
 class StockLevel(AbstractProcedure):

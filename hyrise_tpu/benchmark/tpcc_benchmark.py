@@ -20,10 +20,12 @@ import sys
 import time
 
 
-def _run_mix(make_proc, seconds: float, seed: int):
+def _run_mix(make_proc, seconds: float, seed: int, periodic=None):
     """Drive the weighted mix for `seconds`; returns (counts, aborts, tps).
     `make_proc(name, rng) -> procedure` so engine and baseline runs share
-    the exact transaction schedule (same seed, same weights)."""
+    the exact transaction schedule (same seed, same weights).  `periodic`
+    (engine runs: the MVCC GC pass) is called between transactions and
+    its time COUNTS toward the wall clock."""
     from hyrise_tpu.benchmark.tpcc.procedures import PROCEDURES
 
     rng = random.Random(seed)
@@ -32,6 +34,8 @@ def _run_mix(make_proc, seconds: float, seed: int):
     aborts = 0
     start = time.perf_counter()
     while time.perf_counter() - start < seconds:
+        if periodic is not None:
+            periodic()
         r = rng.random()
         acc = 0.0
         for name, (cls, w) in PROCEDURES.items():
@@ -135,7 +139,23 @@ def main(argv=None) -> None:
         except Exception as exc:  # pragma: no cover - diagnostics only
             print(f"- warmup {name} failed: {exc}", file=sys.stderr)
 
-    counts, aborts, tps = _run_mix(make_engine_proc, args.seconds, args.seed)
+    # MVCC garbage collection runs as in the reference's deployed posture
+    # (MvccDeletePlugin background loop, mvcc_delete_plugin.hpp:34-68):
+    # version churn otherwise grows every hot table past its padded
+    # capacity, recompiling the whole statement-stage cache per growth.
+    from hyrise_tpu.plugins.mvcc_delete_plugin import MvccDeletePlugin
+
+    gc_plugin = MvccDeletePlugin()
+    gc_state = {"last": time.perf_counter()}
+
+    def periodic_gc():
+        now = time.perf_counter()
+        if now - gc_state["last"] >= 2.0:
+            gc_plugin.clean_all()
+            gc_state["last"] = now
+
+    counts, aborts, tps = _run_mix(make_engine_proc, args.seconds, args.seed,
+                                   periodic=periodic_gc)
     report = {
         "warehouses": args.warehouses,
         "density": args.density,

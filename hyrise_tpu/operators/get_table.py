@@ -82,10 +82,13 @@ class GetTable(AbstractReadOnlyOperator):
         if stats is None or stats.row_count != base.num_rows:
             stats = build_pruning_statistics(base, column_names=())
             base.pruning_statistics = stats
+        predicates = self._resolve_dynamic_predicates(stats)
+        if not predicates:
+            return out
         # only the predicate columns ever pull to the host
-        for p in self.pruning_predicates:
+        for p in predicates:
             ensure_column(stats, base, p.children[0].display_name)
-        keep = blocks_surviving(stats, base, self.pruning_predicates)
+        keep = blocks_surviving(stats, base, predicates)
         self.blocks_total = stats.n_blocks
         self.blocks_kept = int(keep.sum())
         if self.blocks_kept >= stats.n_blocks:
@@ -115,6 +118,46 @@ class GetTable(AbstractReadOnlyOperator):
             selection=valid,
         )
         return packed
+
+    def _resolve_dynamic_predicates(self, stats):
+        """Replace uncorrelated-subquery operands with their concrete
+        scalar values (ref: get_table.hpp:57-58 dynamic chunk pruning).
+        The scalar extraction is a device->host sync, so it only happens
+        when the table spans >1 block (pruning can actually pay); a
+        missing / NULL / non-scalar result drops that predicate (keeping
+        every block is always sound — the scan above still filters)."""
+        resolved = []
+        for p in self.pruning_predicates:
+            if not any(isinstance(c, ast.Subquery) for c in p.children[1:]):
+                resolved.append(p)
+                continue
+            if stats.n_blocks < 2:
+                continue
+            operands = [p.children[0]]
+            ok = True
+            for c in p.children[1:]:
+                if not isinstance(c, ast.Subquery):
+                    operands.append(c)
+                    continue
+                result = getattr(self, "_sub_results", {}).get(c.key())
+                if result is None:
+                    ok = False
+                    break
+                rows = result.to_pylist()
+                if len(rows) != 1 or len(rows[0]) != 1 or rows[0][0] is None:
+                    ok = False
+                    break
+                v = rows[0][0]
+                import numpy as np
+
+                if isinstance(v, np.integer):
+                    v = int(v)
+                elif isinstance(v, np.floating):
+                    v = float(v)
+                operands.append(ast.Literal(v))
+            if ok:
+                resolved.append(ast.Predicate(p.condition, operands))
+        return resolved
 
     def _describe_self(self) -> str:
         return f"GetTable({self.table_name})"

@@ -177,8 +177,9 @@ class Update(AbstractReadWriteOperator):
 
     # rows a fused point update handles before falling back to the
     # general path (OLTP updates touch a handful of rows; the general
-    # path costs ~4 stages + 3 compactions per statement)
-    POINT_UPDATE_CAP = 64
+    # path costs ~4 stages + 3 compactions per statement).  192 covers
+    # a full batched TPC-C Delivery (10 districts x 15 order lines).
+    POINT_UPDATE_CAP = 192
 
     def _on_execute(self) -> Optional[Table]:
         from hyrise_tpu.operators.projection import Projection

@@ -134,6 +134,39 @@ class DummyTableNode(LQPNode):
         return []
 
 
+class ParamValuesNode(LQPNode):
+    """Parameterized multi-row VALUES source for prepared INSERTs: the
+    rows materialize host-side from the bound parameters at execution
+    (one tiny upload), so the stored plan — and every downstream compiled
+    stage keyed on table signature — is reused across bindings (ref: the
+    reference binding placeholders into the cached PQP,
+    prepared_plan.cpp + operators/insert.cpp)."""
+
+    def __init__(self, rows, columns, types):
+        super().__init__()
+        self.rows = [list(r) for r in rows]  # rows of ast expressions
+        self.columns = list(columns)
+        self.types = dict(types)  # column -> DataType
+        self._outputs = [
+            ast.ColumnRef(c, self.types[c], True) for c in self.columns
+        ]
+
+    def output_expressions(self):
+        return self._outputs
+
+    def node_expressions(self):
+        return [e for r in self.rows for e in r]
+
+    def description(self):
+        return f"ParamValues({len(self.rows)}x{len(self.columns)})"
+
+    def _self_key(self):
+        return (
+            tuple(tuple(e.key() for e in r) for r in self.rows),
+            tuple(self.columns),
+        )
+
+
 class PredicateNode(LQPNode):
     def __init__(self, predicate: ast.Expression, left: LQPNode):
         super().__init__(left)

@@ -73,6 +73,10 @@ class LQPTranslator:
                 include_row_ids=node.include_row_ids,
                 pruning_predicates=node.pruning_predicates,
             )
+            # dynamic pruning: subquery-valued pruning predicates need
+            # their subplans executed before the leaf reads blocks (ref:
+            # get_table.hpp:57-58 + operator_task.cpp:63-99 pruning edges)
+            self._wire_subqueries(op, node.pruning_predicates, cache)
             return op
         if t is L.StaticTableNode:
             op = TableWrapper(node.table)
@@ -83,6 +87,12 @@ class LQPTranslator:
 
             op = TableWrapper(Table.from_dict({"dummy": [0]}))
             op.output_expressions = []
+            return op
+        if t is L.ParamValuesNode:
+            from hyrise_tpu.operators.param_values import ParamValues
+
+            op = ParamValues(node.rows, node.columns, node.types)
+            op.output_expressions = node.output_expressions()
             return op
         if t is L.PredicateNode:
             idx_op = self._try_composite_index_scan(node, cache)

@@ -94,7 +94,12 @@ class MvccDeletePlugin(AbstractPlugin):
                 return
             keep_idx = np.nonzero(keep)[0]
             new_n = len(keep_idx)
-            idx_dev = jnp.asarray(keep_idx)
+            # PRESERVE the table's capacity: every compiled stage is keyed
+            # on the array shapes, so a shrink (then regrow) would recompile
+            # the whole statement cache twice per GC cycle.  Rows past
+            # new_n are dead padding behind num_rows/row_mask.
+            pad = np.zeros(table.capacity - new_n, dtype=keep_idx.dtype)
+            idx_dev = jnp.asarray(np.concatenate([keep_idx, pad]))
             compacted = table.take(idx_dev, new_n)
             new_mvcc = MvccData(compacted.capacity, 0)
             new_mvcc.begin_cids[:new_n] = begin[keep_idx]
@@ -109,6 +114,8 @@ class MvccDeletePlugin(AbstractPlugin):
             table.num_rows = new_n
             table.mvcc = new_mvcc
             table.statistics = None
+            table.pruning_statistics = None
+            db.index_registry.invalidate(name)
             db.log_manager.add_message(
                 "MvccDeletePlugin",
                 f"compacted {name!r}: {n} -> {new_n} rows",

@@ -656,14 +656,29 @@ class SQLTranslator:
             # so the plan is reusable across bindings (ref: the reference
             # binds placeholders into the cached PQP,
             # operators/insert.cpp + prepared_plan.cpp).
-            if len(stmt.values) != 1:
-                raise TranslationError(
-                    "parameterized INSERT supports a single VALUES row"
-                )
             if columns is None:
                 raise TranslationError(
                     "parameterized INSERT needs a known target table"
                 )
+            if len(stmt.values) != 1:
+                # multi-row: rows materialize from bound params at
+                # execution (ParamValues leaf) — one statement appends
+                # the whole batch (e.g. all TPC-C order lines)
+                if target is None:
+                    raise TranslationError(
+                        "parameterized multi-row INSERT needs an existing "
+                        "target table"
+                    )
+                for row in stmt.values:
+                    for e in row:
+                        if not isinstance(e, (ast.Literal, ast.Parameter,
+                                              ast.UnaryMinus)):
+                            raise TranslationError(
+                                "parameterized multi-row INSERT values must "
+                                "be literals or placeholders"
+                            )
+                types = {c: target.column(c).data_type for c in columns}
+                return L.ParamValuesNode(stmt.values, columns, types)
             exprs = list(stmt.values[0])
             proj = L.ProjectionNode(exprs, L.DummyTableNode())
             return L.AliasNode(exprs, list(columns), proj)

@@ -188,9 +188,21 @@ def blocks_surviving(stats: BlockStatistics, table: Table,
     return keep
 
 
+def _prunable_operand(c: ast.Expression) -> bool:
+    """Literal, or an uncorrelated scalar subquery whose value GetTable
+    resolves at runtime (ref: get_table.hpp:57-58 — chunks dynamically
+    pruned from uncorrelated-subquery results)."""
+    if isinstance(c, ast.Literal):
+        return True
+    return (isinstance(c, ast.Subquery) and not c.is_correlated()
+            and len(c.lqp.output_expressions()) == 1)
+
+
 def collect_pruning_predicates(node) -> List[ast.Predicate]:
     """Simple comparisons usable for block pruning from a predicate
-    expression (conjunctions recursed; OR branches ignored)."""
+    expression (conjunctions recursed; OR branches ignored).  Operands
+    may be literals (static pruning) or uncorrelated scalar subqueries
+    (dynamic pruning, resolved per execution by GetTable)."""
     out: List[ast.Predicate] = []
 
     def rec(e):
@@ -201,7 +213,7 @@ def collect_pruning_predicates(node) -> List[ast.Predicate]:
         if (isinstance(e, ast.Predicate)
                 and e.condition in _RANGE_CONDS
                 and isinstance(e.children[0], ast.ColumnRef)
-                and all(isinstance(c, ast.Literal) for c in e.children[1:])):
+                and all(_prunable_operand(c) for c in e.children[1:])):
             out.append(e)
 
     rec(node)

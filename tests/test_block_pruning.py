@@ -131,3 +131,29 @@ def test_index_scan_with_block_pruning_parity(small_blocks):
     assert got == [(i, i % 7) for i in range(700, 720)]
     got2 = run("SELECT x FROM bt WHERE x = 1000")
     assert got2 == [(1000,)]
+
+
+def test_dynamic_pruning_from_uncorrelated_subquery():
+    """WHERE col <= (SELECT ...) prunes blocks using the subquery's
+    runtime scalar (ref: get_table.hpp:57-58 dynamic chunk pruning)."""
+    db = Database.get()
+    db.storage_manager.add_table("events", _clustered_table())
+    db.storage_manager.add_table("bound", Table.from_numpy(
+        {"b": np.array([300], dtype=np.int64)}, {"b": DataType.LONG}))
+    q = "SELECT SUM(v) FROM events WHERE ts <= (SELECT MAX(b) FROM bound)"
+    st, gt = _get_table_op(q)
+    assert gt.blocks_total == 16
+    assert 0 < gt.blocks_kept <= 2, f"kept {gt.blocks_kept} blocks"
+    expected = float(sum((i * 7 % 100) for i in range(0, 301)))
+    assert st.get_result_table().to_pylist() == [(expected,)]
+
+
+def test_dynamic_pruning_null_scalar_keeps_blocks():
+    """A NULL subquery scalar must not prune (scan filters to empty)."""
+    db = Database.get()
+    db.storage_manager.add_table("events", _clustered_table())
+    db.storage_manager.add_table("bound", Table.from_dict({"b": [None]}))
+    q = "SELECT v FROM events WHERE ts < (SELECT MAX(b) FROM bound)"
+    st, gt = _get_table_op(q)
+    assert gt.blocks_kept == gt.blocks_total
+    assert st.get_result_table().to_pylist() == []

@@ -18,9 +18,9 @@ import sys
 import time
 
 
-def _emit(sf, our_times, sqlite_times) -> None:
+def _emit(suite, sf, our_times, sqlite_times) -> None:
     if not our_times:
-        print(json.dumps({"metric": f"tpch_sf{sf}_geomean_query_time",
+        print(json.dumps({"metric": f"{suite}_sf{sf}_geomean_query_time",
                           "value": -1, "unit": "ms", "vs_baseline": 0.0}),
               flush=True)
         return
@@ -33,7 +33,7 @@ def _emit(sf, our_times, sqlite_times) -> None:
             / len(common)
         )
     print(json.dumps({
-        "metric": f"tpch_sf{sf}_geomean_query_time",
+        "metric": f"{suite}_sf{sf}_geomean_query_time",
         "value": round(geo * 1e3, 3),
         "unit": "ms",
         "vs_baseline": round(vs, 3),
@@ -68,9 +68,10 @@ def supervise() -> None:
         (ln for ln in (out or "").splitlines() if ln.startswith("{")), None
     )
     if line is None:
+        suite = os.environ.get("HYRISE_TPU_BENCH_SUITE", "tpch")
         sf = os.environ.get("HYRISE_TPU_BENCH_SF", "0.1")
         line = json.dumps({
-            "metric": f"tpch_sf{sf}_geomean_query_time",
+            "metric": f"{suite}_sf{sf}_geomean_query_time",
             "value": -1, "unit": "ms", "vs_baseline": 0.0,
         })
     print(line, flush=True)
@@ -93,20 +94,37 @@ def main() -> None:
     except Exception:
         pass
 
-    sf = float(os.environ.get("HYRISE_TPU_BENCH_SF", "0.1"))
-    skewed = os.environ.get("HYRISE_TPU_BENCH_SKEW", "0") == "1"  # JCC-H
+    suite = os.environ.get("HYRISE_TPU_BENCH_SUITE", "tpch")
+    sf = float(os.environ.get(
+        "HYRISE_TPU_BENCH_SF", {"tpch": "0.1", "ssb": "1",
+                                "tpcds": "0.01"}[suite]))
+    skewed = (suite == "tpch"
+              and os.environ.get("HYRISE_TPU_BENCH_SKEW", "0") == "1")
     runs = int(os.environ.get("HYRISE_TPU_BENCH_RUNS", "3"))
     budget_s = float(os.environ.get("HYRISE_TPU_BENCH_BUDGET", "480"))
-    # Core driver subset first (the metric-bearing 8), then the rest of the
-    # 22 — with a warm compile cache (committed under .jax_cache) the whole
-    # suite fits the budget; cold, the loop stops when the next query's
-    # estimated cost would overrun the parent's kill deadline.
-    core = [1, 3, 5, 6, 10, 12, 14, 19]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from scripts.bench_baselines import (
+        SUITE_SEEDS,
+        load_baseline,
+        suite_queries,
+    )
+
+    queries = suite_queries(suite)
+    # TPC-H: core driver subset first (the metric-bearing 8), then the
+    # rest of the 22 — with a warm compile cache (committed under
+    # .jax_cache) the whole suite fits the budget; cold, the loop stops
+    # when the next query's estimated cost would overrun the deadline.
     qids_env = os.environ.get("HYRISE_TPU_BENCH_QUERIES")
     if qids_env:
-        qids = [int(x) for x in qids_env.split(",") if x.strip()]
+        want = [x.strip() for x in qids_env.split(",") if x.strip()]
+        by_str = {str(q): q for q in queries}
+        qids = [by_str[w] for w in want if w in by_str]
+    elif suite == "tpch":
+        core = [1, 3, 5, 6, 10, 12, 14, 19]
+        qids = core + [q for q in sorted(queries) if q not in core]
     else:
-        qids = core + [q for q in range(1, 23) if q not in core]
+        qids = sorted(queries)
     start_all = time.perf_counter()
 
     # emit partial results if the driver kills us mid-compile
@@ -115,62 +133,63 @@ def main() -> None:
     def on_term(signum, frame):
         if not state["emitted"]:
             state["emitted"] = True
-            _emit(sf, state["our"], state["sqlite"])
+            _emit(suite, sf, state["our"], state["sqlite"])
         os._exit(0)
 
     signal.signal(signal.SIGTERM, on_term)
     signal.signal(signal.SIGINT, on_term)
 
-    from hyrise_tpu.benchmark.tpch.generator import TPCHTableGenerator
-    from hyrise_tpu.benchmark.tpch.queries import TPCH_QUERIES
     from hyrise_tpu.database import Database
     from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
 
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
     # ---- persisted sqlite baseline (times + verified rows), committed by
-    # scripts/make_tpch_baseline.py: the driver budget is spent on the
+    # scripts/make_bench_baseline.py: the driver budget is spent on the
     # ENGINE, not on re-running sqlite every round (ref:
     # benchmark_runner.hpp:71-77 — report/verify separate from measurement).
-    seed = 19920101
+    seed = SUITE_SEEDS[suite]
     baseline = None
     try:
-        import gzip
-
-        from scripts.make_tpch_baseline import (baseline_path,
-                                                generator_fingerprint)
-
-        path = baseline_path(sf, seed, skewed)
-        if os.path.exists(path):
-            with gzip.open(path, "rt") as fh:
-                cand = json.load(fh)
-            if cand.get("generator_sha") == generator_fingerprint():
-                baseline = cand
-                print(f"# using persisted sqlite baseline {path} "
-                      f"({len(baseline['queries'])} queries)",
-                      file=sys.stderr)
-            else:
-                print("# persisted baseline is stale (generator changed) — "
-                      "falling back to live sqlite", file=sys.stderr)
+        baseline = load_baseline(suite, sf, seed, skewed)
+        if baseline is not None:
+            print(f"# using persisted sqlite baseline for {suite} sf{sf} "
+                  f"({len(baseline['queries'])} queries)", file=sys.stderr)
+        else:
+            print("# no (or stale) persisted baseline — live sqlite "
+                  "fallback where possible", file=sys.stderr)
     except Exception as exc:
         print(f"# persisted baseline unavailable: {exc}", file=sys.stderr)
 
     db = Database.get()
     gen_start = time.perf_counter()
-    gen = TPCHTableGenerator(scale_factor=sf, seed=seed,
-                             keep_host=baseline is None, skewed=skewed)
-    tables = gen.generate_into(db.storage_manager)
+    gen = None
+    if suite == "tpch":
+        from hyrise_tpu.benchmark.tpch.generator import TPCHTableGenerator
+
+        gen = TPCHTableGenerator(scale_factor=sf, seed=seed,
+                                 keep_host=baseline is None, skewed=skewed)
+        tables = gen.generate_into(db.storage_manager)
+    elif suite == "ssb":
+        from hyrise_tpu.benchmark.ssb.generator import SSBTableGenerator
+
+        tables = SSBTableGenerator(scale_factor=sf, seed=seed).generate_into(
+            db.storage_manager)
+    else:
+        from hyrise_tpu.benchmark.tpcds.generator import TPCDSTableGenerator
+
+        tables = TPCDSTableGenerator(scale_factor=sf, seed=seed).generate_into(
+            db.storage_manager)
     gen_s = time.perf_counter() - gen_start
     total_rows = sum(t.num_rows for t in tables.values())
-    print(f"# generated TPC-H SF{sf}: {total_rows} rows in {gen_s:.1f}s",
+    print(f"# generated {suite} SF{sf}: {total_rows} rows in {gen_s:.1f}s",
           file=sys.stderr)
 
-    # ---- live sqlite oracle fallback on identical data (capped wall time).
-    # Loaded from the generator's HOST numpy (not device tables): the TPU's
-    # f64 emulation perturbs round-tripped values and corrupts the oracle.
+    # ---- live sqlite oracle fallback on identical data (capped wall
+    # time; TPC-H only).  Loaded from the generator's HOST numpy (not
+    # device tables): the TPU's f64 emulation perturbs round-tripped
+    # values and corrupts the oracle.
     baseline_cap_s = float(os.environ.get("HYRISE_TPU_BENCH_BASELINE_CAP", "30"))
     oracle = None
-    if baseline is None:
+    if baseline is None and suite == "tpch":
         try:
             from tests.sqlite_oracle import SQLiteOracle
 
@@ -200,7 +219,7 @@ def main() -> None:
         )
         t0 = time.perf_counter()
         try:
-            rows = oracle.execute(sqlite_compat(TPCH_QUERIES[qid]))
+            rows = oracle.execute(sqlite_compat(queries[qid]))
             return time.perf_counter() - t0, rows
         except Exception:
             return None, None  # interrupted past the cap or unsupported
@@ -222,7 +241,7 @@ def main() -> None:
                   flush=True)
             break
         block_start = time.perf_counter()
-        sql = TPCH_QUERIES[qid]
+        sql = queries[qid]
         try:
             warm = SQLPipelineBuilder(sql).create_pipeline().get_result_table()
             our_rows = warm.to_pylist() if warm is not None else []
@@ -253,7 +272,7 @@ def main() -> None:
         worst_block = max(worst_block, time.perf_counter() - block_start)
 
     state["emitted"] = True
-    _emit(sf, our_times, sqlite_times)
+    _emit(suite, sf, our_times, sqlite_times)
 
 
 if __name__ == "__main__":

@@ -93,6 +93,10 @@ def main(argv=None) -> None:
     ap.add_argument("--density", type=float, default=0.01,
                     help="per-warehouse row-count scale (1.0 = spec)")
     ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--warmup", type=float, default=20.0,
+                    help="seconds of mix execution before the timed window "
+                         "(compiles every statement shape; ref: "
+                         "benchmark_config.hpp warmup)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--baseline", action="store_true",
                     help="also run the identical mix on in-memory sqlite")
@@ -130,14 +134,22 @@ def main(argv=None) -> None:
                    gen.districts_per_w, gen.customers_per_d)
 
     # warmup pass: compile every statement shape once so the timed window
-    # measures steady-state OLTP latency, not XLA compiles (the reference
-    # similarly caches per-procedure PQPs before its timed runs)
+    # measures steady-state OLTP latency, not XLA compiles (ref:
+    # benchmark_config.hpp warmup duration + cached per-procedure PQPs).
+    # NewOrder alone has 11 multi-row insert shapes (5-15 lines), so the
+    # warmup drives the full mix for --warmup seconds.
     warm_rng = random.Random(args.seed + 1)
-    for name in PROCEDURES:
-        try:
-            make_engine_proc(name, warm_rng).run()
-        except Exception as exc:  # pragma: no cover - diagnostics only
-            print(f"- warmup {name} failed: {exc}", file=sys.stderr)
+    warm_start = time.perf_counter()
+    warm_n = 0
+    while time.perf_counter() - warm_start < args.warmup:
+        for name in PROCEDURES:
+            try:
+                make_engine_proc(name, warm_rng).run()
+                warm_n += 1
+            except Exception as exc:  # pragma: no cover - diagnostics only
+                print(f"- warmup {name} failed: {exc}", file=sys.stderr)
+    print(f"- warmup: {warm_n} transactions in "
+          f"{time.perf_counter() - warm_start:.1f}s", file=sys.stderr)
 
     # MVCC garbage collection runs as in the reference's deployed posture
     # (MvccDeletePlugin background loop, mvcc_delete_plugin.hpp:34-68):

@@ -81,6 +81,7 @@ class MvccData:
         self.max_begin_cid = initial_cid  # all committed below this are visible
         self._any_end = False
         self._any_uncommitted = False
+        self._locked_count = 0  # rows with tid != 0 (kept incrementally)
         self._invalid_rows = 0
 
     # ------------------------------------------------------------- growth
@@ -105,15 +106,14 @@ class MvccData:
     def register_insert(self, rows: Sequence[int], tid: int) -> None:
         with self._lock:
             rows = list(rows)
-            self.tids[rows] = tid
-            self._any_uncommitted = True
+            self._set_tids(rows, tid)
             self._mirror(rows, tids=tid)
 
     def commit_insert(self, rows: Sequence[int], commit_id: int) -> None:
         with self._lock:
             rows = list(rows)
             self.begin_cids[rows] = commit_id
-            self.tids[rows] = 0
+            self._set_tids(rows, 0)
             self.max_begin_cid = max(self.max_begin_cid, commit_id)
             self._mirror(rows, begin=commit_id, tids=0)
 
@@ -122,7 +122,7 @@ class MvccData:
             rows = list(rows)
             # rows stay invisible forever (begin stays MAX); count as invalid
             self.end_cids[rows] = 0
-            self.tids[rows] = 0
+            self._set_tids(rows, 0)
             self._invalid_rows += len(rows)
             self._any_end = True
             self._mirror(rows, end=0, tids=0)
@@ -139,21 +139,21 @@ class MvccData:
             already_deleted = self.end_cids[rows] != MAX_COMMIT_ID
             if conflict.any() or already_deleted.any():
                 return False, []
-            self.tids[rows] = tid
+            self._set_tids(rows, tid)
             self._mirror(rows, tids=tid)
             return True, rows
 
     def unlock_rows(self, rows: Sequence[int]) -> None:
         with self._lock:
             rows = list(rows)
-            self.tids[rows] = 0
+            self._set_tids(rows, 0)
             self._mirror(rows, tids=0)
 
     def commit_delete(self, rows: Sequence[int], commit_id: int) -> None:
         with self._lock:
             rows = list(rows)
             self.end_cids[rows] = commit_id
-            self.tids[rows] = 0
+            self._set_tids(rows, 0)
             self._invalid_rows += len(rows)
             self._any_end = True
             self._mirror(rows, end=commit_id, tids=0)
@@ -225,7 +225,19 @@ class MvccData:
                 self._drop_pending()
             return self._device_cache
 
+    def _set_tids(self, rows, value) -> None:
+        """Assign tids keeping the locked-row count incremental (a full
+        rescan per commit cost ~0.4 ms per table per OLTP statement).
+        Must run under self._lock."""
+        before = int((self.tids[rows] != 0).sum())
+        self.tids[rows] = value
+        after = len(rows) if value != 0 else 0
+        self._locked_count += after - before
+        self._any_uncommitted = self._locked_count > 0
+
     def snapshot_uncommitted_flags(self) -> None:
-        # recompute _any_uncommitted after commits (cheap scan)
+        # full recount (only needed after direct tids[] array surgery,
+        # e.g. the GC plugin rebuilding MvccData)
         with self._lock:
-            self._any_uncommitted = bool((self.tids != 0).any())
+            self._locked_count = int((self.tids != 0).sum())
+            self._any_uncommitted = self._locked_count > 0

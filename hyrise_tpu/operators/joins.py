@@ -124,7 +124,7 @@ class Join(AbstractReadOnlyOperator):
             (p.condition, p.left.key(), p.right.key()) for p in self.predicates
         ) + (swap, used, eff_mode)
 
-        def make_keys(pt: Table, bt: Table):
+        def make_keys(pt: Table, bt: Table, extra: Optional[JoinPredicate] = None):
             pev = self.make_evaluator(pt, self._column_map(probe_op))
             bev = self.make_evaluator(bt, self._column_map(build_op))
 
@@ -166,6 +166,9 @@ class Join(AbstractReadOnlyOperator):
                 bk1 = joink.pack_keys(bk1.astype(jnp.int32), bk2.astype(jnp.int32))
                 pv1 = pv1 & pv2
                 bv1 = bv1 & bv2
+            if extra is not None:
+                pe2, be2, pv2e, bv2e = one_key(extra)
+                return (pk1, pv1), (bk1, bv1), (pe2, pv2e), (be2, bv2e)
             return (pk1, pv1), (bk1, bv1)
 
         # dense direct-address fast path: int build key with fresh
@@ -181,21 +184,49 @@ class Join(AbstractReadOnlyOperator):
             pred_key = pred_key + (dense_range,)
 
         # ------------- fast path: semi/anti without secondary predicates —
-        # a pure selection mask on the probe side, zero host syncs
+        # a pure selection mask on the probe side, zero host syncs.
+        # A single `<>` residual (the TPC-H Q21 self-join shape) also
+        # avoids pair expansion: EXISTS(build: K match AND s differs)
+        # <=> count(builds with key K) > count(builds with key (K, s)),
+        # two merged-sort count queries instead of a multi-million-row
+        # expansion + gather + evaluator pass.
+        neq_fast = (
+            eff_mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_FALSE)
+            and len(secondary) == 1
+            and secondary[0].condition == PredicateCondition.NOT_EQUALS
+            and used == 1
+            and narrow(equi[0])
+            and narrow(secondary[0])
+        )
         if eff_mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
-                        JoinMode.ANTI_NULL_AS_FALSE) and not secondary:
+                        JoinMode.ANTI_NULL_AS_FALSE) and (
+                            not secondary or neq_fast):
             def build_fast(pt: Table, bt: Table):
-                (pk, pkv), (bk, bkv) = make_keys(pt, bt)
-                pv = pkv & pt.row_mask()
-                bv = bkv & bt.row_mask()
-                if dense_range is not None:
-                    lo, dsize = dense_range
-                    slot = joink.dense_build(bk, bv, lo, dsize)
-                    _, cnt = joink.dense_probe(slot, pk, pv, lo, dsize)
-                    member = cnt > 0
+                if neq_fast:
+                    ((pk, pkv), (bk, bkv),
+                     (ps, psv), (bs, bsv)) = make_keys(pt, bt, secondary[0])
+                    pv = pkv & pt.row_mask()
+                    # builds with NULL s can never satisfy `<>`
+                    bv = bkv & bt.row_mask() & bsv
+                    _, _, cnt_k = joink.merge_probe(bk, bv, pk, pv)
+                    pk2 = joink.pack_keys(pk.astype(jnp.int32),
+                                          ps.astype(jnp.int32))
+                    bk2 = joink.pack_keys(bk.astype(jnp.int32),
+                                          bs.astype(jnp.int32))
+                    _, _, cnt_ks = joink.merge_probe(bk2, bv, pk2, pv & psv)
+                    member = pv & psv & (cnt_k > cnt_ks)
                 else:
-                    _, _, cnt = joink.merge_probe(bk, bv, pk, pv)
-                    member = cnt > 0
+                    (pk, pkv), (bk, bkv) = make_keys(pt, bt)
+                    pv = pkv & pt.row_mask()
+                    bv = bkv & bt.row_mask()
+                    if dense_range is not None:
+                        lo, dsize = dense_range
+                        slot = joink.dense_build(bk, bv, lo, dsize)
+                        _, cnt = joink.dense_probe(slot, pk, pv, lo, dsize)
+                        member = cnt > 0
+                    else:
+                        _, _, cnt = joink.merge_probe(bk, bv, pk, pv)
+                        member = cnt > 0
                 if eff_mode == JoinMode.SEMI:
                     mask = member
                 elif eff_mode == JoinMode.ANTI_NULL_AS_FALSE:
@@ -579,6 +610,11 @@ def _rows_unique_for(op, origin: str) -> bool:
                     break
             else:
                 return False
+        if _derived_unique(other_keys, other):
+            # the other side is an aggregate/distinct keyed by the join
+            # columns: at most one matching row per key, so `side`'s rows
+            # cannot multiply (TPC-H Q17: lineitem x per-part AVG)
+            return _rows_unique_for(side, origin)
         if not _declared_unique(other_keys):
             return False
         return (

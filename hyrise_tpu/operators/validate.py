@@ -11,11 +11,27 @@ pure elementwise formula — ideal VPU work.
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 from hyrise_tpu.database import Database
 from hyrise_tpu.operators.base import AbstractReadOnlyOperator
 from hyrise_tpu.storage.table import Table
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _visibility_mask(begin, end, tids, snapshot, our_tid, num_rows,
+                     selection, cap):
+    """One fused dispatch for the visibility formula (the eager op chain
+    cost ~2.5 ms per OLTP statement on capacity-sized tables)."""
+    b, e, t = begin[:cap], end[:cap], tids[:cap]
+    vis = (snapshot < e) & ((snapshot >= b) != (t == our_tid))
+    vis = vis & (jnp.arange(cap) < num_rows)
+    if selection is not None:
+        vis = vis & selection
+    return vis
 
 
 class Validate(AbstractReadOnlyOperator):
@@ -39,15 +55,16 @@ class Validate(AbstractReadOnlyOperator):
         if mvcc.all_visible_shortcut(snapshot):
             return table
         begin, end, tids = mvcc.device_arrays()
-        cap = table.capacity
-        begin = begin[:cap]
-        end = end[:cap]
-        tids = tids[:cap]
-        visible = (snapshot < end) & (
-            (snapshot >= begin) != (tids == our_tid)
+        visible = _visibility_mask(
+            begin, end, tids,
+            jnp.asarray(snapshot, dtype=begin.dtype),
+            jnp.asarray(our_tid, dtype=tids.dtype),
+            jnp.asarray(table.num_rows, dtype=jnp.int32),
+            table.selection,
+            table.capacity,
         )
         out = Table(table.column_names, table.columns, table.num_rows,
-                    selection=visible & table.row_mask())
+                    selection=visible)
         return out
 
     def _describe_self(self) -> str:

@@ -97,14 +97,17 @@ class SQLiteOracle:
         return [tuple(r) for r in cur.fetchall()]
 
 
-def make_env(tables: Dict[str, dict], types: Optional[dict] = None):
-    """Create identical tables in hyrise_tpu and sqlite."""
+def make_env(tables: Dict[str, dict], types: Optional[dict] = None,
+             encode: bool = False):
+    """Create identical tables in hyrise_tpu and sqlite.  `encode=True`
+    applies packed/RLE device encodings (the all-encodings corpus run,
+    ref: base_test.hpp:84-119)."""
     db = Database.get()
     oracle = SQLiteOracle()
     for name, data in tables.items():
         t = Table.from_dict(data, (types or {}).get(name))
-        db.storage_manager.add_table(name, t)
-        oracle.load_table(name, t)
+        oracle.load_table(name, t)  # before encode: exact host values
+        db.storage_manager.add_table(name, t, encode=encode)
     return oracle
 
 

@@ -705,11 +705,11 @@ class TPCDSTableGenerator:
         if ss is not None and ss.num_rows:
             cross = np.flatnonzero(rng.random(n) < 0.3)
             src = rng.integers(0, ss.num_rows, size=len(cross))
-            item_sk[cross] = np.asarray(ss.column("ss_item_sk").data)[src]
-            cust_sk[cross] = np.asarray(ss.column("ss_customer_sk").data)[src]
+            item_sk[cross] = ss.column("ss_item_sk").host_raw()[src]
+            cust_sk[cross] = ss.column("ss_customer_sk").host_raw()[src]
             # repeat purchases cluster in time near the store visit
             sold[cross] = np.minimum(
-                np.asarray(ss.column("ss_sold_date_sk").data)[src]
+                ss.column("ss_sold_date_sk").host_raw()[src]
                 + rng.integers(0, 60, size=len(cross)),
                 2450815 + n_dates - 126,
             ).astype(np.int32)
@@ -804,7 +804,7 @@ class TPCDSTableGenerator:
         n = len(idx)
 
         def col(name):
-            return np.asarray(ss.column(name).data)[:n_ss][idx]
+            return ss.column(name).host_raw(n_ss)[idx]
 
         sold = col("ss_sold_date_sk")
         quantity = np.maximum(
@@ -856,7 +856,7 @@ class TPCDSTableGenerator:
         n = len(idx)
 
         def col(name):
-            return np.asarray(sales.column(name).data)[:n_s][idx]
+            return sales.column(name).host_raw(n_s)[idx]
 
         sold = col(f"{sp}_sold_date_sk")
         quantity = np.maximum(
@@ -917,7 +917,7 @@ class TPCDSTableGenerator:
         """Weekly item × warehouse stock levels (ref: tpcds spec §2.4.11);
         item stride caps the cross product at test/bench scales."""
         rng = self.rng
-        dates = np.asarray(tables["date_dim"].column("d_date_sk").data)[
+        dates = tables["date_dim"].column("d_date_sk").host_raw()[
             : tables["date_dim"].num_rows
         ]
         weeks = dates[::7]

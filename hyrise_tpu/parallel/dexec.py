@@ -23,10 +23,19 @@ XLA collectives:
   merged-dictionary recode, operators/joins.py)
 
 The executed subtree's (small) result gathers to the host and re-enters
-the plan as a StaticTableNode; sort/limit/having/window and anything
-unsupported continue on the single-chip engine.  Because EVERY sharded
-leaf is at minimum gatherable, any SQL statement over distributed tables
-still executes.
+the plan as a StaticTableNode; sort/having/window and anything
+unsupported continue on the single-chip engine.  ORDER BY + LIMIT above
+a lowerable subtree lowers as shard-local top-k: each shard keeps only
+its k best rows by the global sort order, so the final gather moves at
+most k*n_shards rows (see `_topk`).  Because EVERY sharded leaf is at
+minimum gatherable, any SQL statement over distributed tables still
+executes.
+
+Known limits (by design, documented in PARITY.md): sharded tables are
+read-optimized — they carry no MVCC sidecar, and DML against them raises
+(drop the sharded twin and re-distribute after bulk maintenance); outer
+joins, distinct aggregates and window subtrees gather and continue
+single-chip.
 
 Reference being re-expressed: NUMA scheduling + per-chunk parallelism
 (node_queue_scheduler.hpp:76, join_hash.cpp:306-327) — SURVEY §2.17 maps

@@ -161,6 +161,33 @@ def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
     t = _time(gather, price, idx, iters=iters)
     record("gather_f32", t, n_rows * 12, n_rows)
 
+    # ---- row-batched gather: the late-materialization fix.  One random
+    # access that pulls a whole k-column row amortizes the per-access
+    # latency that bounds TPU gathers; Table.take groups same-dtype
+    # columns into one such row gather.
+    mat8 = jnp.stack([price] * 8, axis=1)
+
+    @jax.jit
+    def gather_rows(mat, i):
+        return jnp.take(mat, i, axis=0)
+
+    t = _time(gather_rows, mat8, idx, iters=iters)
+    record("gather_rows_f32x8", t, n_rows * 8 * 4 + n_rows * 4, n_rows)
+
+    # small-source gather (dense-slot / dictionary-LUT shape): the
+    # random-access floor is size-independent — evidence for the
+    # cost model notes in kernels/joins.py
+    for m in (4096, 32768):
+        small = jnp.asarray(rng.integers(0, 1 << 20, m), dtype=jnp.int32)
+        sidx = jnp.asarray(rng.integers(0, m, n_rows), dtype=jnp.int32)
+
+        @jax.jit
+        def take_small(src, i):
+            return jnp.take(src, i)
+
+        t = _time(take_small, small, sidx, iters=iters)
+        record(f"gather_small_take(m={m})", t, n_rows * 8 + m * 4, n_rows)
+
     return results
 
 

@@ -62,9 +62,15 @@ class TPCCTableGenerator:
             # reserve insert headroom: growth reshapes re-key every compiled
             # stage on a table, so give the write-hot tables 2x slack (plus
             # a floor for the tiny ones) before MVCC arrays are sized
-            if name in ("orders", "order_line", "new_order", "history",
-                        "customer", "stock"):
-                t.reserve(max(2 * t.num_rows, t.num_rows + 2048))
+            if name in ("orders", "order_line", "new_order", "history"):
+                # append-only growth: generous slack
+                t.reserve(max(int(1.5 * t.num_rows), t.num_rows + 2048))
+            elif name in ("customer", "stock"):
+                # update churn only: the MVCC GC pass reclaims versions
+                # every ~2s, so modest slack suffices — every statement's
+                # device work is proportional to CAPACITY, and the 2x
+                # headroom these tables used to get doubled OLTP scan cost
+                t.reserve(max(int(1.25 * t.num_rows), t.num_rows + 4096))
             t.mvcc = MvccData(t.capacity, t.num_rows, initial_cid=0)
             if storage_manager.has_table(name):
                 storage_manager.drop_table(name)

@@ -197,13 +197,51 @@ class Table:
     def take(self, indices, n: int, null_where_negative: bool = False) -> "Table":
         """Row gather: new table of the first n gathered rows.  Callers
         must only gather real rows (materialize first when a selection is
-        pending)."""
-        out = Table(
-            self.column_names,
-            [c.take(indices, null_where_negative) for c in self.columns],
-            n,
-        )
-        return out
+        pending).
+
+        Raw same-dtype payloads stack into one matrix and gather as ROWS:
+        a random access that pulls k*itemsize bytes amortizes the per-
+        access latency that dominates TPU gathers — measured 5.2x over
+        per-column takes for 8 f32 columns at 4M rows (ROOFLINE_TPU.json
+        gather_rows_f32x8 vs gather_f32)."""
+        from collections import defaultdict
+        from dataclasses import replace as _replace
+
+        safe = jnp.maximum(indices, 0)
+        ok = (indices >= 0) if null_where_negative else None
+        groups = defaultdict(list)  # physical dtype -> [(array, tag)]
+        for i, c in enumerate(self.columns):
+            if c.is_encoded:
+                continue
+            groups[str(c.data.dtype)].append((c.data, ("d", i)))
+            if c.validity is not None:
+                groups["bool"].append((c.validity, ("v", i)))
+        res_data: dict = {}
+        res_valid: dict = {}
+
+        def _set(tag, arr):
+            (kind, i) = tag
+            (res_data if kind == "d" else res_valid)[i] = arr
+
+        for items in groups.values():
+            if len(items) == 1:
+                arr, tag = items[0]
+                _set(tag, jnp.take(arr, safe, axis=0))
+            else:
+                mat = jnp.stack([a for a, _ in items], axis=1)
+                gm = jnp.take(mat, safe, axis=0)
+                for j, (_, tag) in enumerate(items):
+                    _set(tag, gm[:, j])
+        out_cols = []
+        for i, c in enumerate(self.columns):
+            if c.is_encoded:
+                out_cols.append(c.take(indices, null_where_negative))
+                continue
+            validity = res_valid.get(i)
+            if null_where_negative:
+                validity = ok if validity is None else (validity & ok)
+            out_cols.append(_replace(c, data=res_data[i], validity=validity))
+        return Table(self.column_names, out_cols, n)
 
     def row_mask(self):
         """Mask of real (non-padding, selected) rows over capacity."""

@@ -91,3 +91,4 @@ def test_engine_dense_aggregate_via_pallas(monkeypatch):
     for g, cnt, s in got:
         assert cnt == int((gs == g).sum())
         assert abs(s - float(vs[gs == g].sum())) < 1e-3
+

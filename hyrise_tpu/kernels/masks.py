@@ -39,6 +39,30 @@ def padding_mask(n: int, capacity: int) -> jax.Array:
     return jnp.arange(capacity) < n
 
 
+def _grouped_take(arrays, idx):
+    """Gather many same-length arrays at the same indices, batching
+    same-dtype arrays into ONE row gather: a random access pulling a
+    whole k-column row amortizes the per-access latency that bounds TPU
+    gathers (see Table.take / ROOFLINE_TPU.json gather_rows_f32x8)."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, a in enumerate(arrays):
+        if a is not None:
+            groups[str(a.dtype)].append(i)
+    out = [None] * len(arrays)
+    for idxs in groups.values():
+        if len(idxs) == 1:
+            i = idxs[0]
+            out[i] = jnp.take(arrays[i], idx, axis=0)
+        else:
+            mat = jnp.stack([arrays[i] for i in idxs], axis=1)
+            g = jnp.take(mat, idx, axis=0)
+            for j, i in enumerate(idxs):
+                out[i] = g[:, j]
+    return out
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def compact_columns(datas, valids, selection, num_rows, out_size: int):
     """Whole-table compaction in ONE dispatch: build the row mask, turn it
@@ -53,10 +77,10 @@ def compact_columns(datas, valids, selection, num_rows, out_size: int):
     if selection is not None:
         mask = mask & selection
     (idx,) = jnp.nonzero(mask, size=out_size, fill_value=cap - 1)
-    out_d = tuple(jnp.take(d, idx, axis=0) for d in datas)
-    out_v = tuple(
-        None if v is None else jnp.take(v, idx, axis=0) for v in valids
-    )
+    n_d = len(datas)
+    taken = _grouped_take(list(datas) + list(valids), idx)
+    out_d = tuple(taken[:n_d])
+    out_v = tuple(taken[n_d:])
     return out_d, out_v
 
 
@@ -74,10 +98,10 @@ def compact_columns_counted(datas, valids, selection, num_rows,
         mask = mask & selection
     cnt = jnp.sum(mask, dtype=jnp.int64)
     (idx,) = jnp.nonzero(mask, size=out_size, fill_value=cap - 1)
-    out_d = tuple(jnp.take(d, idx, axis=0) for d in datas)
-    out_v = tuple(
-        None if v is None else jnp.take(v, idx, axis=0) for v in valids
-    )
+    n_d = len(datas)
+    taken = _grouped_take(list(datas) + list(valids), idx)
+    out_d = tuple(taken[:n_d])
+    out_v = tuple(taken[n_d:])
     return cnt, out_d, out_v
 
 

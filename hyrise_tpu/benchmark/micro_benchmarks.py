@@ -34,6 +34,40 @@ def _device_bw() -> float:
     return HBM_GBPS["cpu"] if jax.default_backend() == "cpu" else 819.0
 
 
+_SYNC_RTT = 0.0  # measured once per process by _calibrate_sync
+
+
+def _calibrate_sync() -> float:
+    """Force real-wait sync semantics and measure the per-sync floor.
+
+    Through the axon tunnel, block_until_ready does not actually wait
+    until the process has performed its first device->host transfer;
+    afterwards EVERY sync pays a ~24 ms round trip.  Kernels are timed as
+    a chain of dispatches per sync with the measured sync floor
+    subtracted — per-iteration syncs would read as RTT for every sub-ms
+    kernel, and no-D2H timing reads impossibly fast (the >100%-roofline
+    artifact in earlier ROOFLINE_TPU.json revisions)."""
+    global _SYNC_RTT
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones(16)
+    jax.block_until_ready(x)
+    _ = np.asarray(x)  # switch the tunnel into real-wait mode
+    times = []
+    for _i in range(5):
+        y = x + 1.0
+        t0 = time.perf_counter()
+        jax.block_until_ready(y)
+        _ = np.asarray(y[:1])
+        times.append(time.perf_counter() - t0)
+    _SYNC_RTT = min(times)
+    return _SYNC_RTT
+
+
+_CHAIN = 16  # dispatches per sync when timing
+
+
 def _time(fn, *args, iters=5):
     import jax
 
@@ -42,10 +76,11 @@ def _time(fn, *args, iters=5):
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
+        for _k in range(_CHAIN):
+            out = fn(*args)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return max((best - _SYNC_RTT) / _CHAIN, 1e-9)
 
 
 def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
@@ -59,6 +94,9 @@ def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
     bw = _device_bw() * 1e9
     rng = np.random.default_rng(0)
     results = []
+    rtt = _calibrate_sync()
+    print(f"# sync floor: {rtt * 1e3:.1f} ms (subtracted; {_CHAIN} "
+          f"dispatches per sync)", file=sys.stderr, flush=True)
 
     def record(name, seconds, bytes_touched, rows):
         achieved = bytes_touched / seconds

@@ -87,6 +87,23 @@ def _or_pairs(col_a: str, col_b: str, n: int) -> str:
     return " OR ".join(f"({col_a} = ? AND {col_b} = ?)" for _ in range(n))
 
 
+# Pair-membership via ONE packed derived key: (a, b) IN {...} evaluates as
+# a*2^24 + b IN (?, ...) — 12 vectorized passes over the column instead of
+# ~4 per OR-branch (the Delivery statements scan order_line, the biggest
+# table, so predicate passes dominate their latency).  Sound while
+# b < 2^24, which holds for every TPC-C id at any benchmark duration.
+_PAIR_BASE = 1 << 24
+
+
+def _packed_pairs(col_a: str, col_b: str, n: int) -> str:
+    return (f"{col_a} * {_PAIR_BASE} + {col_b} IN ("
+            + ", ".join("?" for _ in range(n)) + ")")
+
+
+def _pack_pair_params(pairs) -> list:
+    return [a * _PAIR_BASE + b for a, b in pairs]
+
+
 class NewOrder(AbstractProcedure):
     """Ref: tpcc_new_order.cpp — insert an order with 5-15 lines, update
     district next-o-id and stock quantities.
@@ -307,38 +324,38 @@ class Delivery(AbstractProcedure):
             return
         n = self.districts
         pad = pairs + [pairs[-1]] * (n - len(pairs))
-        flat = [x for p in pad for x in p]
+        packed = _pack_pair_params(pad)
         self._exec(
             "dl_pop_batch",
             "DELETE FROM new_order WHERE no_w_id = ? AND "
-            f"({_or_pairs('no_d_id', 'no_o_id', n)})",
-            tuple([w_id] + flat), ctx,
+            f"({_packed_pairs('no_d_id', 'no_o_id', n)})",
+            tuple([w_id] + packed), ctx,
         )
         self._exec(
             "dl_carrier_batch",
             "UPDATE \"order\" SET o_carrier_id = ? WHERE o_w_id = ? AND "
-            f"({_or_pairs('o_d_id', 'o_id', n)})",
-            tuple([carrier, w_id] + flat), ctx,
+            f"({_packed_pairs('o_d_id', 'o_id', n)})",
+            tuple([carrier, w_id] + packed), ctx,
         )
         self._exec(
             "dl_lines_date_batch",
             "UPDATE order_line SET ol_delivery_d = '2026-08-17' "
             "WHERE ol_w_id = ? AND "
-            f"({_or_pairs('ol_d_id', 'ol_o_id', n)})",
-            tuple([w_id] + flat), ctx,
+            f"({_packed_pairs('ol_d_id', 'ol_o_id', n)})",
+            tuple([w_id] + packed), ctx,
         )
         amount_rows = self._exec(
             "dl_amount_batch",
             "SELECT ol_d_id, SUM(ol_amount) FROM order_line "
             "WHERE ol_w_id = ? AND "
-            f"({_or_pairs('ol_d_id', 'ol_o_id', n)}) GROUP BY ol_d_id",
-            tuple([w_id] + flat), ctx,
+            f"({_packed_pairs('ol_d_id', 'ol_o_id', n)}) GROUP BY ol_d_id",
+            tuple([w_id] + packed), ctx,
         )
         c_rows = self._exec(
             "dl_customer_batch",
             "SELECT o_d_id, o_c_id FROM \"order\" WHERE o_w_id = ? AND "
-            f"({_or_pairs('o_d_id', 'o_id', n)})",
-            tuple([w_id] + flat), ctx,
+            f"({_packed_pairs('o_d_id', 'o_id', n)})",
+            tuple([w_id] + packed), ctx,
         )
         amount = {d: a for d, a in amount_rows if a is not None}
         cust = {d: c for d, c in c_rows}
@@ -348,15 +365,15 @@ class Delivery(AbstractProcedure):
             return
         pay_pad = pay + [pay[-1]] * (n - len(pay))
         case_amt = [x for d, _, a in pay_pad for x in (d, a)]
-        cust_pairs = [x for d, c, _ in pay_pad for x in (d, c)]
+        cust_packed = _pack_pair_params([(d, c) for d, c, _ in pay_pad])
         self._exec(
             "dl_pay_batch",
             "UPDATE customer SET c_balance = c_balance + "
             f"{_case_pairs('c_d_id', n, '0.0')}, "
             "c_delivery_cnt = c_delivery_cnt + 1 "
             "WHERE c_w_id = ? AND "
-            f"({_or_pairs('c_d_id', 'c_id', n)})",
-            tuple(case_amt + [w_id] + cust_pairs), ctx,
+            f"({_packed_pairs('c_d_id', 'c_id', n)})",
+            tuple(case_amt + [w_id] + cust_packed), ctx,
         )
 
 

@@ -77,6 +77,7 @@ def split_params(parameters: Optional[Dict[int, object]]):
     import numpy as np
 
     ints: List[int] = []
+    longs: List[int] = []
     floats: List[float] = []
     key: List = []
     bound: Dict[int, object] = {}
@@ -89,15 +90,25 @@ def split_params(parameters: Optional[Dict[int, object]]):
             key.append((pid, "static", v))
             continue
         if isinstance(v, (int, np.integer)):
-            bound[pid] = _ParamSlot("i", len(ints))
-            ints.append(int(v))
-            key.append((pid, "int64"))
+            # int32 when the value fits: an int64 parameter promotes every
+            # comparison against int32 columns to 64-bit — 2x the passes
+            # on CPU and the emulated-64-bit tax on TPU (values >= 2^31
+            # re-key the stage and recompile once, which OLTP ids never do)
+            if -(2**31) <= int(v) < 2**31:
+                bound[pid] = _ParamSlot("i", len(ints))
+                ints.append(int(v))
+                key.append((pid, "int32"))
+            else:
+                bound[pid] = _ParamSlot("l", len(longs))
+                longs.append(int(v))
+                key.append((pid, "int64"))
         else:
             bound[pid] = _ParamSlot("f", len(floats))
             floats.append(float(v))
             key.append((pid, "float64"))
     traced_vals = (
-        jnp.asarray(np.asarray(ints, dtype=np.int64)),
+        jnp.asarray(np.asarray(ints, dtype=np.int32)),
+        jnp.asarray(np.asarray(longs, dtype=np.int64)),
         jnp.asarray(np.asarray(floats, dtype=np.float64)),
     )
     return bound, traced_vals, tuple(key)
@@ -108,11 +119,12 @@ def rebind_params(bound: Dict[int, object], traced: tuple) -> Dict[int, object]:
     traced parameter vectors."""
     if not traced:
         return dict(bound)
-    ivec, fvec = traced
+    ivec, lvec, fvec = traced
+    vecs = {"i": ivec, "l": lvec, "f": fvec}
     out = {}
     for pid, v in bound.items():
         if isinstance(v, _ParamSlot):
-            out[pid] = (ivec if v.kind == "i" else fvec)[v.idx]
+            out[pid] = vecs[v.kind][v.idx]
         else:
             out[pid] = v
     return out

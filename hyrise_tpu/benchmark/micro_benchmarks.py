@@ -87,10 +87,6 @@ def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):
     import jax
     import jax.numpy as jnp
 
-    from hyrise_tpu.kernels import aggregates as aggk
-    from hyrise_tpu.kernels import joins as joink
-    from hyrise_tpu.kernels import sortops
-
     bw = _device_bw() * 1e9
     rng = np.random.default_rng(0)
     results = []

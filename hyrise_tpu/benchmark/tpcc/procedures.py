@@ -11,8 +11,6 @@ analogue of the reference caching its PQPs per procedure
 from __future__ import annotations
 
 import random
-import time
-from typing import Optional
 
 from hyrise_tpu.database import Database
 from hyrise_tpu.sql.pipeline import SQLPipelineBuilder, TransactionConflict

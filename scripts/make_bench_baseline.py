@@ -19,7 +19,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.bench_baselines import (
     SUITE_SEEDS,
-    baseline_path,
     generate_into_oracle,
     generator_fingerprint,
     load_baseline,

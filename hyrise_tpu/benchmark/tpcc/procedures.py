@@ -42,13 +42,18 @@ class AbstractProcedure:
         return tables[-1].to_pylist() if tables and tables[-1] is not None else []
 
     def _exec(self, name: str, text: str, params, ctx):
-        """EXECUTE the named prepared statement (PREPARE on first use)."""
+        """EXECUTE the named prepared statement (PREPARE on first use).
+        Executions take the no-parse fast path: parameters are already
+        Python values, so formatting them into an EXECUTE statement only
+        to re-tokenize it cost ~10% of TPC-C wall time."""
         sm = Database.get().storage_manager
         if name not in _PREPARED or not sm.has_prepared_plan(name):
             self._sql(f"PREPARE {name} AS {text}", ctx)
             _PREPARED.add(name)
-        args = ", ".join(_fmt(p) for p in params)
-        return self._sql(f"EXECUTE {name} ({args})", ctx)
+        from hyrise_tpu.sql.pipeline import execute_prepared
+
+        res = execute_prepared(name, params, ctx)
+        return res.to_pylist() if res is not None else []
 
     def run(self) -> bool:
         """Execute under a fresh transaction; True on commit."""

@@ -98,6 +98,11 @@ def main(argv=None) -> None:
                          "(compiles every statement shape; ref: "
                          "benchmark_config.hpp warmup)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--clients", type=int, default=1,
+                    help="concurrent client threads driving independent "
+                         "mixes (ref: benchmark_config.hpp:17-55 clients; "
+                         "MVCC serializes conflicts, aborted transactions "
+                         "count as aborts)")
     ap.add_argument("--baseline", action="store_true",
                     help="also run the identical mix on in-memory sqlite")
     ap.add_argument("--platform", default=None, choices=("cpu", "axon"),
@@ -110,6 +115,18 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    # persistent compilation cache: repeat runs skip statement compiles
+    # entirely (bench.py does the same for TPC-H)
+    try:
+        import jax
+
+        from hyrise_tpu import _default_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", _default_cache_dir())
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from hyrise_tpu.benchmark.tpcc.generator import TPCCTableGenerator
     from hyrise_tpu.benchmark.tpcc.procedures import PROCEDURES
@@ -166,12 +183,37 @@ def main(argv=None) -> None:
             gc_plugin.clean_all()
             gc_state["last"] = now
 
-    counts, aborts, tps = _run_mix(make_engine_proc, args.seconds, args.seed,
-                                   periodic=periodic_gc)
+    if args.clients <= 1:
+        counts, aborts, tps = _run_mix(
+            make_engine_proc, args.seconds, args.seed, periodic=periodic_gc)
+    else:
+        # each client drives its own mix schedule; the GC pass stays on
+        # client 0 (clean_all takes the engine-global maintenance locks)
+        import threading
+
+        results = [None] * args.clients
+
+        def client(k: int):
+            results[k] = _run_mix(
+                make_engine_proc, args.seconds, args.seed + 101 * k,
+                periodic=periodic_gc if k == 0 else None)
+
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        counts = {n: sum(r[0][n] for r in results) for n in results[0][0]}
+        aborts = sum(r[1] for r in results)
+        tps = sum(counts.values()) / wall
     report = {
         "warehouses": args.warehouses,
         "density": args.density,
         "seconds": args.seconds,
+        "clients": args.clients,
         "transactions": counts,
         "total": sum(counts.values()),
         "aborts": aborts,

@@ -24,45 +24,54 @@ MAX_COMMIT_ID = np.int64(2**62)
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
-def _jit_apply_writes(b, e, t, bi, bv, ei, ev, ti, tv):
+def _jit_apply_writes(b, e, t, idx3, val3):
     """Replay queued host writes onto the device mirror in ONE dispatch
     (donated: updates in place; padding rows carry an out-of-range index
-    and drop).  Only under runtime.exclusive_access()."""
+    and drop).  The three fields' writes arrive STACKED as (3, bucket)
+    arrays — one upload for indices, one for values, instead of six 0-d/
+    1-d uploads per replay (~15 device_puts per TPC-C transaction came
+    from here).  Only under runtime.exclusive_access()."""
     return (
-        b.at[bi].set(bv, mode="drop"),
-        e.at[ei].set(ev, mode="drop"),
-        t.at[ti].set(tv, mode="drop"),
+        b.at[idx3[0]].set(val3[0], mode="drop"),
+        e.at[idx3[1]].set(val3[1], mode="drop"),
+        t.at[idx3[2]].set(val3[2], mode="drop"),
     )
 
 
 @jax.jit
-def _jit_apply_writes_copy(b, e, t, bi, bv, ei, ev, ti, tv):
+def _jit_apply_writes_copy(b, e, t, idx3, val3):
     """Non-donating variant for concurrent execution."""
     return (
-        b.at[bi].set(bv, mode="drop"),
-        e.at[ei].set(ev, mode="drop"),
-        t.at[ti].set(tv, mode="drop"),
+        b.at[idx3[0]].set(val3[0], mode="drop"),
+        e.at[idx3[1]].set(val3[1], mode="drop"),
+        t.at[idx3[2]].set(val3[2], mode="drop"),
     )
 
 
-def _pad_writes(writes, oob: int):
-    """(rows, value) pairs -> bucketed (idx, vals) arrays.  Deduplicated
-    last-wins on the host first: XLA scatter-set order is undefined at
-    duplicate indices."""
-    merged = {}
-    for rows, v in writes:
-        for r in rows:
-            merged[r] = v
-    n = len(merged)
+def _pad_writes3(pending, oob: int):
+    """The three fields' (rows, value) queues -> stacked (3, bucket)
+    index/value arrays, deduplicated last-wins on the host first (XLA
+    scatter-set order is undefined at duplicate indices).  One shared
+    bucket keeps the pair of uploads to exactly two."""
+    mergeds = []
+    n_max = 0
+    for field in ("begin", "end", "tids"):
+        merged = {}
+        for rows, v in pending[field]:
+            for r in rows:
+                merged[r] = v
+        mergeds.append(merged)
+        n_max = max(n_max, len(merged))
     bucket = 16
-    while bucket < n:
+    while bucket < n_max:
         bucket *= 2
-    idx = np.full(bucket, oob, dtype=np.int64)
-    vals = np.zeros(bucket, dtype=np.int64)
-    if n:
-        idx[:n] = list(merged.keys())
-        vals[:n] = list(merged.values())
-    return jnp.asarray(idx), jnp.asarray(vals)
+    idx3 = np.full((3, bucket), oob, dtype=np.int64)
+    val3 = np.zeros((3, bucket), dtype=np.int64)
+    for k, merged in enumerate(mergeds):
+        if merged:
+            idx3[k, : len(merged)] = list(merged.keys())
+            val3[k, : len(merged)] = list(merged.values())
+    return jnp.asarray(idx3), jnp.asarray(val3)
 
 
 class MvccData:
@@ -214,14 +223,10 @@ class MvccData:
 
                 oob = len(self.begin_cids)
                 b, e, t = self._device_cache
-                bi, bv = _pad_writes(self._pending["begin"], oob)
-                ei, ev = _pad_writes(self._pending["end"], oob)
-                ti, tv = _pad_writes(self._pending["tids"], oob)
+                idx3, val3 = _pad_writes3(self._pending, oob)
                 apply_ = (_jit_apply_writes if exclusive_access()
                           else _jit_apply_writes_copy)
-                self._device_cache = apply_(
-                    b, e, t, bi, bv, ei, ev, ti, tv
-                )
+                self._device_cache = apply_(b, e, t, idx3, val3)
                 self._drop_pending()
             return self._device_cache
 

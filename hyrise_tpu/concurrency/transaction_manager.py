@@ -128,6 +128,12 @@ class TransactionManager:
         return self._last_commit_id
 
     def new_transaction_context(self, is_auto_commit: bool = False) -> TransactionContext:
+        from hyrise_tpu.utils.runtime import transaction_begin
+
+        # transactions hold row numbers until commit/rollback: entry
+        # blocks while an exclusive section (MVCC GC compaction) is
+        # waiting or running, and the section drains open transactions
+        transaction_begin()
         with self._lock:
             tid = self._next_transaction_id
             self._next_transaction_id += 1
@@ -145,8 +151,13 @@ class TransactionManager:
     # ------------------------------------------------------------- internals
 
     def _deregister(self, ctx: TransactionContext) -> None:
+        from hyrise_tpu.utils.runtime import transaction_end
+
         with self._lock:
             self._active_snapshots.pop(ctx.transaction_id, None)
+        if not getattr(ctx, "_runtime_released", False):
+            ctx._runtime_released = True
+            transaction_end()
 
     def _new_commit_context(self) -> CommitContext:
         with self._lock:

@@ -106,10 +106,13 @@ def split_params(parameters: Optional[Dict[int, object]]):
             bound[pid] = _ParamSlot("f", len(floats))
             floats.append(float(v))
             key.append((pid, "float64"))
+    # empty groups stay None: an empty device vector still costs a
+    # device_put per stage dispatch, and most OLTP statements bind only
+    # one numeric kind (pkey records the kinds, so cache keys agree)
     traced_vals = (
-        jnp.asarray(np.asarray(ints, dtype=np.int32)),
-        jnp.asarray(np.asarray(longs, dtype=np.int64)),
-        jnp.asarray(np.asarray(floats, dtype=np.float64)),
+        jnp.asarray(np.asarray(ints, dtype=np.int32)) if ints else None,
+        jnp.asarray(np.asarray(longs, dtype=np.int64)) if longs else None,
+        jnp.asarray(np.asarray(floats, dtype=np.float64)) if floats else None,
     )
     return bound, traced_vals, tuple(key)
 

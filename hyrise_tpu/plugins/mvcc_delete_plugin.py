@@ -62,6 +62,19 @@ class MvccDeletePlugin(AbstractPlugin):
                 )
 
     def clean_all(self) -> None:
+        # physical compaction shifts row numbers and swaps MvccData: it
+        # must not overlap ANY in-flight statement (a reader pairing
+        # pre-compaction data with post-compaction version vectors sees
+        # arbitrary wrong rows) — drain and bar via exclusive_section
+        from hyrise_tpu.utils.runtime import ExclusiveTimeout, exclusive_section
+
+        try:
+            with exclusive_section():
+                self._clean_all_locked()
+        except ExclusiveTimeout:
+            return  # busy engine: skip this round, retry next period
+
+    def _clean_all_locked(self) -> None:
         db = Database.get()
         for name in db.storage_manager.table_names():
             table = db.storage_manager.get_table(name)

@@ -35,6 +35,32 @@ class SQLPipelineMetrics:
     execute_ns: int = 0
 
 
+_FAST_OPTIMIZER: Optional[Optimizer] = None
+
+
+def execute_prepared(name: str, params, transaction_context=None,
+                     use_mvcc: bool = True) -> Optional[Table]:
+    """Direct prepared-statement execution — semantics of
+    `EXECUTE name (...)` without re-parsing SQL text.  The OLTP hot path:
+    TPC-C procedures spend ~10% of their wall time tokenizing EXECUTE
+    statements whose literal parameters are already Python values (ref
+    analogue: the server's extended protocol binds parameters straight
+    into the cached plan, postgres_protocol_handler.hpp Bind/Execute)."""
+    global _FAST_OPTIMIZER
+    if _FAST_OPTIMIZER is None:
+        _FAST_OPTIMIZER = Optimizer.create_default_optimizer()
+    db = Database.get()
+    plan = db.storage_manager.get_prepared_plan(name)
+    inner = SQLPipelineStatement(
+        f"EXECUTE {name}", plan.statement, use_mvcc, _FAST_OPTIMIZER,
+        transaction_context, parameters=dict(enumerate(params)),
+        use_cache=False,
+    )
+    inner._lqp = plan.lqp  # cids stable across EXECUTEs -> stage hits
+    inner._execute()
+    return inner._result
+
+
 class SQLPipelineStatement:
     def __init__(
         self,
@@ -194,7 +220,15 @@ class SQLPipelineStatement:
 
         t0 = time.perf_counter_ns()
         tasks = OperatorTask.make_tasks_from_operator(pqp)
-        db.scheduler.schedule_and_wait_for_tasks(tasks)
+        try:
+            db.scheduler.schedule_and_wait_for_tasks(tasks)
+        except BaseException:
+            # an auto-commit context must not leak: open transactions are
+            # counted (runtime.transaction_begin) and the MVCC GC's
+            # exclusive section waits for them to drain
+            if auto and not ctx.aborted:
+                ctx.rollback()
+            raise
         self.metrics.execute_ns += time.perf_counter_ns() - t0
 
         if ctx is not None and ctx.aborted:

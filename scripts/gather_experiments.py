@@ -22,9 +22,13 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -74,28 +78,48 @@ def main(argv=None):
     rec("xla_take_sorted_pib+hint",
         _time(take_pib_sorted, src, idx_sorted, iters=args.iters))
 
+    # source-size sweep: gather a FIXED 4M indices from growing sources —
+    # ROOFLINE_TPU.json's 54 ms was at a 16M-row (64 MB) source while 4M
+    # (16 MB) rows measure ~0.03 ms; find the cliff (VMEM capacity?)
+    n_out_fixed = min(N, 1 << 22)
+    for logS in (22, 23, 24, 25):
+        Ssz = 1 << logS
+        big = jnp.asarray(rng.standard_normal(Ssz), dtype=jnp.float32)
+        ib = jnp.asarray(rng.integers(0, Ssz, n_out_fixed), dtype=jnp.int32)
+        rec(f"xla_take_random(src=2^{logS})",
+            _time(take, big, ib, iters=args.iters),
+            f"{Ssz * 4 // (1 << 20)} MB source")
+        del big, ib
+    # row-batched: 8 f32 columns stacked, 4M rows source
+    mat = jnp.asarray(
+        rng.standard_normal((1 << 22, 8)), dtype=jnp.float32)
+    im = jnp.asarray(rng.integers(0, 1 << 22, n_out_fixed), dtype=jnp.int32)
+
+    @jax.jit
+    def take_rows(m, i):
+        return jnp.take(m, i, axis=0)
+
+    rec("xla_take_rows_f32x8(src=2^22)",
+        _time(take_rows, mat, im, iters=args.iters), "128 MB source")
+    del mat, im
+
     # ------------------------------------ B: lane-batched take_along_axis
     # out[i,j] = x[idx[i,j], j]: per-lane gather across S sublanes.  The
     # scaling over S reveals the hardware dynamic-gather cost model.
-    @jax.jit
-    def taa0(x2d, i2d):
-        return jnp.take_along_axis(x2d, i2d, axis=0)
-
     for S in (8, 512, 4096, 32768):
         if S * 128 > N:
             continue
         n_ops = max(S * 128, min(N, 1 << 22))
         reps = n_ops // (S * 128)
         x2d = src[: S * 128].reshape(S, 128)
-        i2d = jnp.asarray(
-            rng.integers(0, S, (reps * S, 128)).astype(np.int32))
+        i3d = jnp.asarray(
+            rng.integers(0, S, (reps, S, 128)).astype(np.int32))
 
-        def run(x2d, i2d, S=S, reps=reps):
-            return jnp.concatenate(
-                [jnp.take_along_axis(x2d, i2d[k * S:(k + 1) * S], axis=0)
-                 for k in range(reps)], axis=0)
+        def run(x2d, i3d):
+            return jax.lax.map(
+                lambda ib: jnp.take_along_axis(x2d, ib, axis=0), i3d)
 
-        ms = _time(jax.jit(run), x2d, i2d, iters=args.iters)
+        ms = _time(jax.jit(run), x2d, i3d, iters=args.iters)
         scaled = ms * (N / n_ops)
         rec(f"xla_take_along_axis(S={S})", ms,
             f"{n_ops} outs; {scaled:.3f} ms scaled to N")

@@ -65,22 +65,44 @@ def _calibrate_sync() -> float:
     return _SYNC_RTT
 
 
-_CHAIN = 16  # dispatches per sync when timing
+_CHAIN = 8  # dispatches per sync when timing
 
 
-def _time(fn, *args, iters=5):
+def _time(fn, *args, iters=5, variants=None):
+    """Time fn as wall clock over _CHAIN dispatches per sync.
+
+    CRITICAL: the axon tunnel MEMOIZES identical dispatches — a chain of
+    calls on the SAME input arrays reports ~0 for arbitrarily expensive
+    work (a whole round of gather measurements was bogus-fast because of
+    this).  `variants` must supply _CHAIN argument tuples with DISTINCT
+    array contents; when omitted, the chain varies the FIRST argument by
+    a cheap elementwise rotation so every dispatch is unique."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
+    if variants is None:
+        first = args[0]
+
+        def variant(k):
+            if jnp.issubdtype(first.dtype, jnp.floating):
+                head = first + jnp.float32(k).astype(first.dtype)
+            elif first.dtype == jnp.bool_:
+                head = first
+            else:
+                head = jnp.bitwise_xor(first, jnp.asarray(k, first.dtype))
+            return (head,) + args[1:]
+
+        variants = [variant(k) for k in range(_CHAIN)]
+        jax.block_until_ready([v[0] for v in variants])
+    out = fn(*variants[0])
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        for _k in range(_CHAIN):
-            out = fn(*args)
-        jax.block_until_ready(out)
+        outs = [fn(*v) for v in variants]
+        jax.block_until_ready(outs)
         best = min(best, time.perf_counter() - t0)
-    return max((best - _SYNC_RTT) / _CHAIN, 1e-9)
+    return max((best - _SYNC_RTT) / len(variants), 1e-9)
 
 
 def run_micro_benchmarks(n_rows: int = 1 << 24, iters: int = 5):

@@ -62,6 +62,9 @@ class Join(AbstractReadOnlyOperator):
         super().__init__(left_op, right_op)
         self.mode = mode
         self.predicates = list(predicates)
+        # demand-driven output pruning (set by the LQP translator): the
+        # expression keys ancestors reference.  None = assemble all.
+        self.required_output_keys = None
         self._set_output_expressions()
 
     def _set_output_expressions(self):
@@ -304,6 +307,23 @@ class Join(AbstractReadOnlyOperator):
             ast.Predicate(p.condition, [p.left, p.right]) for p in secondary
         ]
 
+        # demand-driven assembly pruning: gather at expansion width ONLY
+        # the columns ancestors reference (translator-provided).  Spent
+        # join keys otherwise ride through every later join; Q7's final
+        # SF1 join gathered 15 six-million-row columns where 5 are used.
+        req = self.required_output_keys
+        p_out = list(probe_op.output_expressions)
+        b_out = list(build_op.output_expressions)
+        if req is not None and eff_mode in (JoinMode.INNER, JoinMode.LEFT,
+                                            JoinMode.FULL):
+            keep_p = [i for i, e in enumerate(p_out) if e.key() in req]
+            keep_b = [i for i, e in enumerate(b_out) if e.key() in req]
+            if not keep_p and not keep_b:
+                keep_p = [0] if p_out else []  # retain row extent
+        else:
+            keep_p = list(range(len(p_out)))
+            keep_b = list(range(len(b_out)))
+
         def build2(pt: Table, bt: Table, left_pos, counts, build_perm, pv, bkv):
             if build_unique:
                 # counts ∈ {0,1}: compaction scatter, no searchsorted
@@ -394,8 +414,12 @@ class Join(AbstractReadOnlyOperator):
             all_v = jnp.concatenate(pieces_v)
             null_p = eff_mode == JoinMode.FULL
             null_b = eff_mode in (JoinMode.LEFT, JoinMode.FULL)
-            ptab = pt.take(all_p, all_p.shape[0], null_where_negative=null_p)
-            btab = bt.take(all_b, all_b.shape[0], null_where_negative=null_b)
+            psub = Table([pt.column_names[i] for i in keep_p],
+                         [pt.columns[i] for i in keep_p], pt.num_rows)
+            bsub = Table([bt.column_names[i] for i in keep_b],
+                         [bt.columns[i] for i in keep_b], bt.num_rows)
+            ptab = psub.take(all_p, all_p.shape[0], null_where_negative=null_p)
+            btab = bsub.take(all_b, all_b.shape[0], null_where_negative=null_b)
             datas = [c.data for c in ptab.columns] + [c.data for c in btab.columns]
             valids = [c.validity for c in ptab.columns] + [
                 c.validity for c in btab.columns
@@ -406,7 +430,8 @@ class Join(AbstractReadOnlyOperator):
             "join2", probe_t, build_t,
             (left_pos, counts, build_perm, pv, bkv_raw),
             build2,
-            extra_key=pred_key + (out_cap,), cacheable=cacheable,
+            extra_key=pred_key + (out_cap, tuple(keep_p), tuple(keep_b)),
+            cacheable=cacheable,
         )
 
         if kind == "mask":
@@ -415,14 +440,16 @@ class Join(AbstractReadOnlyOperator):
                          probe_t.num_rows, selection=mask)
 
         datas, valids, sel = out_arrays
-        p_cols = probe_t.columns
-        b_cols = build_t.columns
-        src_cols = list(p_cols) + list(b_cols)
+        p_cols = [probe_t.columns[i] for i in keep_p]
+        b_cols = [build_t.columns[i] for i in keep_b]
+        src_cols = p_cols + b_cols
         out_cols = [
             Column(c.data_type, d, v, c.dictionary, c.dict_sorted)
             for c, d, v in zip(src_cols, datas, valids)
         ]
-        names = probe_t.column_names + build_t.column_names
+        names = ([probe_t.column_names[i] for i in keep_p]
+                 + [build_t.column_names[i] for i in keep_b])
+        out_exprs = [p_out[i] for i in keep_p] + [b_out[i] for i in keep_b]
         out = Table(names, out_cols, int(sel.shape[0]), selection=sel)
         if swap:
             # restore left-right column order (probe side was the right)
@@ -433,6 +460,8 @@ class Join(AbstractReadOnlyOperator):
                 [out_cols[i] for i in reorder],
                 out.num_rows, selection=sel,
             )
+            out_exprs = [out_exprs[i] for i in reorder]
+        self.output_expressions = out_exprs
         return out
 
     def _nested_loop(self, L: Table, R: Table) -> Table:

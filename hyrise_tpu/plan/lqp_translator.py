@@ -40,6 +40,66 @@ class LQPTranslationError(ValueError):
     pass
 
 
+def _compute_demands(root: L.LQPNode) -> Dict[int, set]:
+    """Per-node demand: the expression keys a node's ANCESTORS reference
+    (its own expressions excluded).  Joins use this to assemble only the
+    output columns someone above actually consumes — spent join keys
+    otherwise ride through every later join as 6M-row gathers (the
+    reference reaches the same effect via ColumnPruningRule's inserted
+    pruning projections, column_pruning_rule.cpp).
+
+    Conservative: every subexpression key in an ancestor counts, and
+    subquery plans contribute their whole expression surface (correlated
+    references into the outer plan stay live)."""
+    demands: Dict[int, set] = {}
+
+    def expr_keys(node: L.LQPNode) -> set:
+        ks: set = set()
+        stack = list(node.node_expressions())
+        seen_plans: set = set()
+        while stack:
+            e = stack.pop()
+            for sub in e.walk():
+                try:
+                    ks.add(sub.key())
+                except Exception:
+                    pass
+                if isinstance(sub, ast.Subquery) and sub.lqp is not None \
+                        and id(sub.lqp) not in seen_plans:
+                    seen_plans.add(id(sub.lqp))
+                    inner = [sub.lqp]
+                    iseen: set = set()
+                    while inner:
+                        n = inner.pop()
+                        if id(n) in iseen:
+                            continue
+                        iseen.add(id(n))
+                        stack.extend(n.node_expressions())
+                        inner.extend(n.inputs())
+        return ks
+
+    local_cache: Dict[int, set] = {}
+
+    def visit(node: L.LQPNode, above: set) -> None:
+        prev = demands.get(id(node))
+        if prev is not None:
+            if above <= prev:
+                return
+            prev |= above
+        else:
+            demands[id(node)] = set(above)
+        lk = local_cache.get(id(node))
+        if lk is None:
+            lk = expr_keys(node)
+            local_cache[id(node)] = lk
+        child_above = demands[id(node)] | lk
+        for ch in node.inputs():
+            visit(ch, child_above)
+
+    visit(root, {e.key() for e in root.output_expressions()})
+    return demands
+
+
 class LQPTranslator:
     def __init__(self):
         from hyrise_tpu.statistics.cardinality import CardinalityEstimator
@@ -48,6 +108,7 @@ class LQPTranslator:
 
     def translate(self, node: L.LQPNode) -> AbstractOperator:
         cache: Dict[int, AbstractOperator] = {}
+        self._demands = _compute_demands(node)
         return self._translate(node, cache)
 
     def _translate(self, node: L.LQPNode, cache) -> AbstractOperator:
@@ -382,7 +443,15 @@ class LQPTranslator:
             preds.append(jp)
         # equi predicates first (primary), then others
         preds.sort(key=lambda jp: jp.condition != PredicateCondition.EQUALS)
-        return Join(left, right, node.mode, preds)
+        op = Join(left, right, node.mode, preds)
+        # demand-driven output pruning: the join assembles (gathers at
+        # expansion width) ONLY the columns its ancestors reference.
+        # Spent join keys otherwise ride through every later join — Q7's
+        # final SF1 join gathered 15 columns at 6M rows where 5 are used
+        # (ref: column_pruning_rule.cpp prunes via inserted projections;
+        # here the join itself narrows, since the gathers happen in it).
+        op.required_output_keys = self._demands.get(id(node))
+        return op
 
     def _wire_subqueries(self, op: AbstractOperator,
                          expressions: List[ast.Expression], cache) -> None:

@@ -75,35 +75,66 @@ def group_rows(
     return perm, seg_ids, num_groups
 
 
+# jax.ops.segment_* on unsorted ids lowers to a colliding scatter that
+# XLA:TPU SERIALIZES per duplicate index — measured ~650 ms for a
+# 128-slot grouped sum over 2M rows (Q5's agg2).  At VERY small slot
+# counts XLA's lowering stays efficient (Q1's 8-slot aggregate measured
+# ~2 ms at SF1), so only the middle range reroutes to a chunked one-hot
+# compare + per-segment masked reduce: pure VPU compute at S x N
+# compares, exactly associative in the accumulator dtype (f64 sums stay
+# sqlite-exact, unlike an MXU f32 contraction).
+_SMALL_SEGMENTS_LO = 32    # <= this: XLA segment_* is already fast
+_SMALL_SEGMENTS = 1024     # <= this (and > LO): chunked one-hot reduce
+_CHUNK = 1 << 20           # few large scan steps, each VPU-saturating
+
+
+def _small(num_segments: int) -> bool:
+    return _SMALL_SEGMENTS_LO < num_segments <= _SMALL_SEGMENTS
+
+
+def _segment_reduce_small(vals_acc, seg_ids, num_segments: int,
+                          reducer, init):
+    n = vals_acc.shape[0]
+    pad = (-n) % _CHUNK
+    if pad:
+        vals_acc = jnp.concatenate(
+            [vals_acc, jnp.full(pad, init, vals_acc.dtype)])
+        seg_ids = jnp.concatenate(
+            [seg_ids, jnp.full(pad, num_segments, seg_ids.dtype)])
+    chunks_v = vals_acc.reshape(-1, _CHUNK)
+    chunks_s = seg_ids.reshape(-1, _CHUNK).astype(jnp.int32)
+    sids = jnp.arange(num_segments, dtype=jnp.int32)
+
+    def step(carry, cs):
+        sc, vc = cs
+        onehot = sc[None, :] == sids[:, None]          # (S, CHUNK)
+        part = reducer(jnp.where(onehot, vc[None, :], init), axis=1)
+        return reducer(jnp.stack([carry, part]), axis=0), None
+
+    out, _ = jax.lax.scan(
+        step, jnp.full(num_segments, init, vals_acc.dtype),
+        (chunks_s, chunks_v),
+    )
+    return out
+
+
 @partial(jax.jit, static_argnames=("num_segments",))
 def segment_sum(values, seg_ids, valid, num_segments: int):
-    if _use_pallas(num_segments):
-        # MXU one-hot contraction (kernels/pallas_ops.py): grouped sums
-        # ride the systolic array instead of scatter-adds.  f32
-        # accumulation — opt-in via HYRISE_TPU_PALLAS=1 for workloads
-        # where ~1e-7 relative error on sums is acceptable.
-        from hyrise_tpu.kernels.pallas_ops import pallas_dense_group_sum
-
-        out = pallas_dense_group_sum(
-            seg_ids.astype(jnp.int32), values.astype(jnp.float32), valid,
-            num_segments,
-        )
-        return out.astype(_acc_dtype(values.dtype))
     acc = values.astype(_acc_dtype(values.dtype))
     acc = jnp.where(valid, acc, 0)
+    if _small(num_segments):
+        return _segment_reduce_small(
+            acc, seg_ids, num_segments, jnp.sum,
+            jnp.zeros((), acc.dtype))
     return jax.ops.segment_sum(acc, seg_ids, num_segments=num_segments)
 
 
 @partial(jax.jit, static_argnames=("num_segments",))
 def segment_count(seg_ids, valid, num_segments: int):
-    if _use_pallas(num_segments):
-        from hyrise_tpu.kernels.pallas_ops import pallas_dense_group_sum
-
-        out = pallas_dense_group_sum(
-            seg_ids.astype(jnp.int32),
-            valid.astype(jnp.float32), valid, num_segments,
-        )
-        return out.astype(jnp.int64)  # counts < 2^24 are f32-exact
+    if _small(num_segments):
+        return _segment_reduce_small(
+            valid.astype(jnp.int64), seg_ids, num_segments, jnp.sum,
+            jnp.zeros((), jnp.int64))
     return jax.ops.segment_sum(
         valid.astype(jnp.int64), seg_ids, num_segments=num_segments
     )
@@ -113,6 +144,8 @@ def segment_count(seg_ids, valid, num_segments: int):
 def segment_min(values, seg_ids, valid, num_segments: int):
     big = _max_sentinel(values.dtype)
     vals = jnp.where(valid, values, big)
+    if _small(num_segments):
+        return _segment_reduce_small(vals, seg_ids, num_segments, jnp.min, big)
     return jax.ops.segment_min(vals, seg_ids, num_segments=num_segments)
 
 
@@ -120,6 +153,9 @@ def segment_min(values, seg_ids, valid, num_segments: int):
 def segment_max(values, seg_ids, valid, num_segments: int):
     small = _min_sentinel(values.dtype)
     vals = jnp.where(valid, values, small)
+    if _small(num_segments):
+        return _segment_reduce_small(vals, seg_ids, num_segments, jnp.max,
+                                     small)
     return jax.ops.segment_max(vals, seg_ids, num_segments=num_segments)
 
 
@@ -127,6 +163,9 @@ def segment_max(values, seg_ids, valid, num_segments: int):
 def segment_sum_sq(values, seg_ids, valid, num_segments: int):
     acc = values.astype(jnp.float64)
     acc = jnp.where(valid, acc * acc, 0.0)
+    if _small(num_segments):
+        return _segment_reduce_small(
+            acc, seg_ids, num_segments, jnp.sum, jnp.zeros((), acc.dtype))
     return jax.ops.segment_sum(acc, seg_ids, num_segments=num_segments)
 
 

@@ -25,6 +25,7 @@ from hyrise_tpu.expression import ast
 from hyrise_tpu.kernels import aggregates as aggk
 from hyrise_tpu.kernels import joins as joink
 from hyrise_tpu.operators.base import AbstractReadOnlyOperator
+from hyrise_tpu.operators.joins import _SYNC_SKIP_CAP
 from hyrise_tpu.operators.compiled import (
     run_arrays,
     run_stage,
@@ -211,10 +212,14 @@ class Aggregate(AbstractReadOnlyOperator):
             for _, _, size in dense_domains:
                 num_groups *= size
             out_cap = size_bucket(num_groups)
-        elif self.group_by and _sync_is_expensive():
+        elif self.group_by and _sync_is_expensive() \
+                and table.capacity <= _SYNC_SKIP_CAP:
             # defer the group-count sync (a tunnel RTT): groups <= rows, so
             # reductions run at input capacity and empty tail slots hide
-            # behind a selection mask exactly like the dense path
+            # behind a selection mask exactly like the dense path.  Above
+            # _SYNC_SKIP_CAP the padded reductions and representative-row
+            # gathers cost multiples of the RTT (Q20's 2-key aggregate at
+            # 8M capacity spent 2.2 s where 512k slots suffice) — sync.
             num_groups = None
             out_cap = size_bucket(table.capacity)
         else:

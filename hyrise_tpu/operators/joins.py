@@ -51,6 +51,12 @@ class JoinPredicate:
     condition: PredicateCondition = PredicateCondition.EQUALS
 
 
+# above this bound, assembling a unique-key join at the bounding side's
+# full capacity costs more in padded 10 ns/row gathers than the one sync
+# RTT it avoids (see _bounded_cap)
+_SYNC_SKIP_CAP = 1 << 21
+
+
 class Join(AbstractReadOnlyOperator):
     def __init__(
         self,
@@ -280,23 +286,34 @@ class Join(AbstractReadOnlyOperator):
         probe_unique = _build_key_unique(
             [side_exprs(p)[0] for p in equi[:used]], probe_op
         )
-        if build_unique and (
-            _sync_is_expensive()  # padded gathers cost << one sync RTT
-            or est_out is None
-            or size_bucket(max(int(est_out), 1)) * 4 > probe_t.capacity
-        ):
-            # <=1 match per probe row: the expansion fits probe capacity,
-            # so the expansion-size sync can be skipped entirely
-            out_cap = probe_t.capacity
-        elif probe_unique and (
-            _sync_is_expensive()
-            or est_out is None
-            or size_bucket(max(int(est_out), 1)) * 4 > build_t.capacity
-        ):
+
+        # Unique-key joins bound the expansion by one side, so the
+        # expansion-size sync CAN be skipped by assembling at that side's
+        # full capacity.  Whether it SHOULD be is a cost call: assembly
+        # gathers run ~10 ns/row on v5e, so a 6M-row padded assembly
+        # costs ~8x the ~50 ms sync RTT, while below ~2M rows padding is
+        # cheaper than the RTT (the SF0.1 driver regime).  Sync only when
+        # the avoided width exceeds _SYNC_SKIP_CAP and the estimate does
+        # not already predict a near-full expansion.
+        def _bounded_cap(bound_cap: int) -> int:
+            near_full = (
+                est_out is not None
+                and size_bucket(max(int(est_out), 1)) * 4 > bound_cap
+            )
+            if bound_cap <= _SYNC_SKIP_CAP or near_full or not _sync_is_expensive():
+                if not _sync_is_expensive() and est_out is not None \
+                        and not near_full:
+                    return size_bucket(int(total_dev))  # cheap sync: exact
+                return bound_cap
+            return size_bucket(max(int(total_dev), 1))  # one RTT, narrow
+
+        if build_unique:
+            # <=1 match per probe row: expansion fits probe capacity
+            out_cap = _bounded_cap(probe_t.capacity)
+        elif probe_unique:
             # <=1 match per BUILD row (the preserved probe side owns the
-            # unique key — the Q13 LEFT-join orientation): total matches
-            # are bounded by the build side, sync skipped
-            out_cap = build_t.capacity
+            # unique key — the Q13 LEFT-join orientation)
+            out_cap = _bounded_cap(build_t.capacity)
         else:
             total = int(total_dev)
             out_cap = size_bucket(total)

@@ -86,23 +86,29 @@ def group_rows(
 _SMALL_SEGMENTS_LO = 32    # <= this: XLA segment_* is already fast
 _SMALL_SEGMENTS = 1024     # <= this (and > LO): chunked one-hot reduce
 _CHUNK = 1 << 20           # few large scan steps, each VPU-saturating
+_SMALL_MIN_ROWS = 1 << 19  # below this the colliding scatter is cheap
+                           # anyway and S x N padding would dominate
+                           # (OLTP's 65k-row aggregates regressed 10x
+                           # when padded to the 1M chunk)
 
 
-def _small(num_segments: int) -> bool:
-    return _SMALL_SEGMENTS_LO < num_segments <= _SMALL_SEGMENTS
+def _small(num_segments: int, n_rows: int) -> bool:
+    return (_SMALL_SEGMENTS_LO < num_segments <= _SMALL_SEGMENTS
+            and n_rows >= _SMALL_MIN_ROWS)
 
 
 def _segment_reduce_small(vals_acc, seg_ids, num_segments: int,
                           reducer, init):
     n = vals_acc.shape[0]
-    pad = (-n) % _CHUNK
+    chunk = min(_CHUNK, max(1 << 14, 1 << (n - 1).bit_length()))
+    pad = (-n) % chunk
     if pad:
         vals_acc = jnp.concatenate(
             [vals_acc, jnp.full(pad, init, vals_acc.dtype)])
         seg_ids = jnp.concatenate(
             [seg_ids, jnp.full(pad, num_segments, seg_ids.dtype)])
-    chunks_v = vals_acc.reshape(-1, _CHUNK)
-    chunks_s = seg_ids.reshape(-1, _CHUNK).astype(jnp.int32)
+    chunks_v = vals_acc.reshape(-1, chunk)
+    chunks_s = seg_ids.reshape(-1, chunk).astype(jnp.int32)
     sids = jnp.arange(num_segments, dtype=jnp.int32)
 
     def step(carry, cs):
@@ -122,7 +128,7 @@ def _segment_reduce_small(vals_acc, seg_ids, num_segments: int,
 def segment_sum(values, seg_ids, valid, num_segments: int):
     acc = values.astype(_acc_dtype(values.dtype))
     acc = jnp.where(valid, acc, 0)
-    if _small(num_segments):
+    if _small(num_segments, values.shape[0]):
         return _segment_reduce_small(
             acc, seg_ids, num_segments, jnp.sum,
             jnp.zeros((), acc.dtype))
@@ -131,7 +137,7 @@ def segment_sum(values, seg_ids, valid, num_segments: int):
 
 @partial(jax.jit, static_argnames=("num_segments",))
 def segment_count(seg_ids, valid, num_segments: int):
-    if _small(num_segments):
+    if _small(num_segments, seg_ids.shape[0]):
         return _segment_reduce_small(
             valid.astype(jnp.int64), seg_ids, num_segments, jnp.sum,
             jnp.zeros((), jnp.int64))
@@ -144,7 +150,7 @@ def segment_count(seg_ids, valid, num_segments: int):
 def segment_min(values, seg_ids, valid, num_segments: int):
     big = _max_sentinel(values.dtype)
     vals = jnp.where(valid, values, big)
-    if _small(num_segments):
+    if _small(num_segments, values.shape[0]):
         return _segment_reduce_small(vals, seg_ids, num_segments, jnp.min, big)
     return jax.ops.segment_min(vals, seg_ids, num_segments=num_segments)
 
@@ -153,7 +159,7 @@ def segment_min(values, seg_ids, valid, num_segments: int):
 def segment_max(values, seg_ids, valid, num_segments: int):
     small = _min_sentinel(values.dtype)
     vals = jnp.where(valid, values, small)
-    if _small(num_segments):
+    if _small(num_segments, values.shape[0]):
         return _segment_reduce_small(vals, seg_ids, num_segments, jnp.max,
                                      small)
     return jax.ops.segment_max(vals, seg_ids, num_segments=num_segments)
@@ -163,7 +169,7 @@ def segment_max(values, seg_ids, valid, num_segments: int):
 def segment_sum_sq(values, seg_ids, valid, num_segments: int):
     acc = values.astype(jnp.float64)
     acc = jnp.where(valid, acc * acc, 0.0)
-    if _small(num_segments):
+    if _small(num_segments, values.shape[0]):
         return _segment_reduce_small(
             acc, seg_ids, num_segments, jnp.sum, jnp.zeros((), acc.dtype))
     return jax.ops.segment_sum(acc, seg_ids, num_segments=num_segments)

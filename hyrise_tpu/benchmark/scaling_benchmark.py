@@ -22,9 +22,19 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1 << 20)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (virtual mesh; default) or empty for the "
+                         "machine default")
+    ap.add_argument("--out", default=None,
+                    help="write SCALING.json-style artifact here")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.platform:
+        # must run BEFORE first jax use; the env var alone is overridden
+        # by the machine's sitecustomize (see CLAUDE.md)
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from hyrise_tpu.parallel.distributed import (
@@ -126,10 +136,74 @@ def main(argv=None) -> None:
                 "rows_per_s_m": round(rows_per_s / 1e6, 1),
                 "efficiency": round(rows_per_s / (base * n), 3),
             })
+    # ---- collective-cost breakdown: time the raw collectives the query
+    # steps lower to (psum for pre-aggregated reduction, all_to_all for
+    # the shuffle join, all_gather for broadcast joins) at each shard
+    # count, so the efficiency curve can be attributed
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    collectives = []
+    for n in shard_counts:
+        if n < 2:
+            continue
+        mesh = Mesh(np.array(devices[:n]), ("x",))
+        rps = max(args.rows // n, 128)
+        x = jnp.asarray(rng.random((n, rps), dtype=np.float32))
+
+        def timed(fn, *inp):
+            out = fn(*inp)
+            jax.block_until_ready(out)
+            best = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                out = fn(*inp)
+                jax.block_until_ready(out)
+                best = min(best, time.perf_counter() - t0)
+            return best * 1e3
+
+        def shmap(f):
+            return jax.jit(shard_map(
+                f, mesh=mesh, in_specs=P("x", None), out_specs=P("x", None),
+                check_rep=False,
+            ))
+
+        ent = {"shards": n, "rows_per_shard": rps}
+        ent["psum_ms"] = round(timed(
+            shmap(lambda a: jax.lax.psum(a, "x") * 0 + a), x), 3)
+        ent["all_gather_ms"] = round(timed(
+            shmap(lambda a: jnp.sum(
+                jax.lax.all_gather(a, "x"), axis=0, keepdims=True)), x), 3)
+        ent["all_to_all_ms"] = round(timed(
+            shmap(lambda a: jax.lax.all_to_all(
+                a.reshape(1, n, rps // n), "x", 1, 1
+            ).reshape(1, rps)), x), 3)
+        collectives.append(ent)
+
     for r in results:
         print(f"{r['step']:<24} shards={r['shards']:<3} "
               f"{r['rows_per_s_m']:>8.1f} M rows/s  eff={r['efficiency']}",
               file=sys.stderr)
+    if args.out:
+        artifact = {
+            "config": (
+                f"platform={args.platform or 'default'}, "
+                f"{len(devices)} devices, rows={args.rows}, "
+                "virtual-CPU-mesh numbers measure SPMD program overhead "
+                "and memory-bandwidth sharing, not ICI; on real v5e "
+                "meshes the collectives ride 1.6 TB/s ICI links so the "
+                "curve should be strictly better for bandwidth-bound "
+                "steps and similar for latency-bound ones"
+            ),
+            "date": time.strftime("%Y-%m-%d"),
+            "results": results,
+            "collective_ms": collectives,
+        }
+        with open(args.out, "w") as fh:
+            json.dump(artifact, fh, indent=1)
+        print(f"# wrote {args.out}", file=sys.stderr)
     print(json.dumps(results))
 
 

@@ -26,12 +26,24 @@ def _fmt(v) -> str:
 
 class AbstractProcedure:
     def __init__(self, rng: random.Random, warehouses: int, items: int,
-                 districts: int = 10, customers: int = 3000):
+                 districts: int = 10, customers: int = 3000,
+                 home=None):
         self.rng = rng
         self.w = warehouses
         self.items = items
         self.districts = districts
         self.customers = customers
+        # (w_id, d_id) terminal binding: the TPC-C spec assigns each
+        # terminal to one district, which is what makes multi-client
+        # throughput scale — unpinned clients collide on the district
+        # row (d_next_o_id / d_ytd CAS) and abort each other
+        self.home = home
+
+    def _pick_wd(self):
+        if self.home is not None:
+            return self.home
+        return (self.rng.randint(1, self.w),
+                self.rng.randint(1, self.districts))
 
     def _sql(self, query: str, ctx):
         pipeline = (
@@ -120,8 +132,7 @@ class NewOrder(AbstractProcedure):
 
     def _execute(self, ctx) -> None:
         rng = self.rng
-        w_id = rng.randint(1, self.w)
-        d_id = rng.randint(1, self.districts)
+        w_id, d_id = self._pick_wd()
         c_id = rng.randint(1, self.customers)
         n_lines = rng.randint(5, 15)
         line_items = [rng.randint(1, self.items) for _ in range(n_lines)]
@@ -246,8 +257,7 @@ class Payment(AbstractProcedure):
 
     def _execute(self, ctx) -> None:
         rng = self.rng
-        w_id = rng.randint(1, self.w)
-        d_id = rng.randint(1, self.districts)
+        w_id, d_id = self._pick_wd()
         c_id = rng.randint(1, self.customers)
         amount = round(rng.uniform(1.0, 5000.0), 2)
         self._exec(
@@ -285,8 +295,7 @@ class OrderStatus(AbstractProcedure):
 
     def _execute(self, ctx) -> None:
         rng = self.rng
-        w_id = rng.randint(1, self.w)
-        d_id = rng.randint(1, self.districts)
+        w_id, d_id = self._pick_wd()
         c_id = rng.randint(1, self.customers)
         rows = self._exec(
             "os_last_order",
@@ -314,7 +323,9 @@ class Delivery(AbstractProcedure):
 
     def _execute(self, ctx) -> None:
         rng = self.rng
-        w_id = rng.randint(1, self.w)
+        # Delivery is warehouse-scoped (all 10 districts batched); a
+        # home-bound terminal delivers for its own warehouse
+        w_id = self.home[0] if self.home else rng.randint(1, self.w)
         carrier = rng.randint(1, 10)
         rows = self._exec(
             "dl_oldest_all",
@@ -385,8 +396,7 @@ class StockLevel(AbstractProcedure):
 
     def _execute(self, ctx) -> None:
         rng = self.rng
-        w_id = rng.randint(1, self.w)
-        d_id = rng.randint(1, self.districts)
+        w_id, d_id = self._pick_wd()
         threshold = rng.randint(10, 20)
         rows = self._exec(
             "sl_next_o",

@@ -145,10 +145,10 @@ def main(argv=None) -> None:
         print("- loading sqlite baseline ...", file=sys.stderr)
         sqlite_procs = _sqlite_env(gen, tables)
 
-    def make_engine_proc(name, rng):
+    def make_engine_proc(name, rng, home=None):
         cls = PROCEDURES[name][0]
         return cls(rng, args.warehouses, gen.n_items,
-                   gen.districts_per_w, gen.customers_per_d)
+                   gen.districts_per_w, gen.customers_per_d, home=home)
 
     # warmup pass: compile every statement shape once so the timed window
     # measures steady-state OLTP latency, not XLA compiles (ref:
@@ -194,8 +194,15 @@ def main(argv=None) -> None:
         results = [None] * args.clients
 
         def client(k: int):
+            # TPC-C terminal binding: each client is a terminal pinned to
+            # one (warehouse, district) — without it clients collide on
+            # the district row and abort each other (42% aborts at 4
+            # clients/1 warehouse in round 4)
+            home = (1 + (k // gen.districts_per_w) % args.warehouses,
+                    1 + k % gen.districts_per_w)
             results[k] = _run_mix(
-                make_engine_proc, args.seconds, args.seed + 101 * k,
+                lambda name, rng: make_engine_proc(name, rng, home=home),
+                args.seconds, args.seed + 101 * k,
                 periodic=periodic_gc if k == 0 else None)
 
         threads = [threading.Thread(target=client, args=(k,))

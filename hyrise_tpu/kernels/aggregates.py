@@ -57,7 +57,9 @@ def group_rows(
     operands: List[jax.Array] = [(~n_mask).astype(jnp.int8)]
     for data, valid in zip(key_data, key_valid):
         operands.append((~valid).astype(jnp.int8))
-        operands.append(jnp.where(valid, data, jnp.int64(0)))
+        # sentinel in the key's NATIVE dtype: an int64-typed zero would
+        # promote int32 keys and pay the emulated-64-bit sort tax
+        operands.append(jnp.where(valid, data, jnp.zeros((), data.dtype)))
     iota = jnp.arange(capacity, dtype=jnp.int32)
     operands.append(iota)
     out = jax.lax.sort(tuple(operands), num_keys=len(operands) - 1, is_stable=True)
@@ -73,6 +75,55 @@ def group_rows(
     in_real = jnp.arange(capacity, dtype=jnp.int64) < n_real
     num_groups = jnp.sum(jnp.where(in_real, diff, False), dtype=jnp.int64)
     return perm, seg_ids, num_groups
+
+
+@jax.jit
+def group_rows_payload(
+    key_data: Tuple[jax.Array, ...],
+    key_valid: Tuple[jax.Array, ...],
+    n_mask: jax.Array,
+    payloads: Tuple[jax.Array, ...],
+):
+    """group_rows with payload columns riding the SAME fused sort.
+
+    Aggregate arguments / dependent columns come out already in sorted
+    order, so the reduction stage needs no permutation gathers at all —
+    take(x, perm) was a full-capacity random gather (~110 ms at 8M rows
+    on v5e) per array; lax.sort payload operands ride the O(n log n)
+    merge network's linear data movement instead.  Payload dtypes must be
+    sortable (bool is cast by the caller).
+
+    Returns (perm, seg_ids, num_groups, sorted_real, sorted_keys,
+    sorted_key_valid, sorted_payloads) — sorted_real and the sorted key
+    data/validity fall out of the sort operands for free (NULL keys carry
+    value 0 with validity False)."""
+    capacity = key_data[0].shape[0]
+    operands: List[jax.Array] = [(~n_mask).astype(jnp.int8)]
+    for data, valid in zip(key_data, key_valid):
+        operands.append((~valid).astype(jnp.int8))
+        operands.append(jnp.where(valid, data, jnp.zeros((), data.dtype)))
+    num_keys = len(operands)
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    operands.append(iota)
+    operands.extend(payloads)
+    out = jax.lax.sort(tuple(operands), num_keys=num_keys, is_stable=True)
+    sorted_cols = out[:num_keys]
+    perm = out[num_keys]
+    sorted_payloads = tuple(out[num_keys + 1:])
+    diff = jnp.zeros(capacity, dtype=bool).at[0].set(True)
+    for col in sorted_cols:
+        diff = diff | jnp.concatenate([jnp.ones(1, dtype=bool), col[1:] != col[:-1]])
+    seg_ids = jnp.cumsum(diff.astype(jnp.int64)) - 1
+    n_real = jnp.sum(n_mask, dtype=jnp.int64)
+    in_real = jnp.arange(capacity, dtype=jnp.int64) < n_real
+    num_groups = jnp.sum(jnp.where(in_real, diff, False), dtype=jnp.int64)
+    sorted_real = sorted_cols[0] == 0
+    sorted_keys = tuple(sorted_cols[2 + 2 * i] for i in range(len(key_data)))
+    sorted_key_valid = tuple(
+        sorted_cols[1 + 2 * i] == 0 for i in range(len(key_data))
+    )
+    return (perm, seg_ids, num_groups, sorted_real, sorted_keys,
+            sorted_key_valid, sorted_payloads)
 
 
 # jax.ops.segment_* on unsorted ids lowers to a colliding scatter that
@@ -278,6 +329,19 @@ def segment_max_sorted(values, seg_sorted, valid, num_segments: int):
         jnp.full(num_segments, _min_sentinel(values.dtype), dtype=values.dtype)
         .at[_bound_targets(seg_sorted, end, num_segments)]
         .set(run, mode="drop", unique_indices=True)
+    )
+
+
+@partial(jax.jit, static_argnames=("num_segments",))
+def segment_rep_sorted(values, seg_sorted, num_segments: int):
+    """Representative (run-start) value per segment: one provably-unique
+    scatter replaces the first_pos + double-gather chain (take(perm, ...)
+    then take(data, rep_rows) were full-capacity random gathers)."""
+    start, _ = _run_bounds(seg_sorted)
+    return (
+        jnp.zeros(num_segments, dtype=values.dtype)
+        .at[_bound_targets(seg_sorted, start, num_segments)]
+        .set(values, mode="drop", unique_indices=True)
     )
 
 

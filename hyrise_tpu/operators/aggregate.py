@@ -129,22 +129,75 @@ class Aggregate(AbstractReadOnlyOperator):
             )
             dense_domains = self._dense_domains(table, cmap)
 
+        # rows arrive sorted by segment id on the group_rows path: segment
+        # totals become cumsum diffs at run bounds (linear passes) instead
+        # of scatter-adds, which XLA:TPU serializes per colliding index
+        segs_sorted = bool(self.group_by) and dense_domains is None
+
         # ---------------- stage 1: keys, args, sort, segment ids ----------
+        def _conv(r):
+            return (r.data if r.data.dtype != jnp.bool_
+                    else r.data.astype(jnp.int32), r.validity)
+
         def build1(t: Table):
             ev = self.make_evaluator(t, cmap)
             n_mask = t.row_mask()
             key_results = [ev.evaluate(e) for e in self.group_by]
-            key_data = tuple(joink.normalize_key(r.data) for r in key_results)
-            key_valid = tuple(
-                r.validity if r.validity is not None
-                else jnp.ones(t.capacity, bool)
-                for r in key_results
+            dep_results = [ev.evaluate(e) for e in self.dependent]
+            arg_results = [ev.evaluate(e) for e in arg_list]
+            meta = (
+                [(r.dtype, r.dictionary, r.dict_sorted) for r in key_results],
+                [(r.dtype, r.dictionary, r.dict_sorted) for r in arg_results],
+                [(r.dtype, r.dictionary, r.dict_sorted) for r in dep_results],
             )
+            key_arrays = [_conv(r) for r in key_results]
+            arg_arrays = [_conv(r) for r in arg_results]
+            dep_arrays = [_conv(r) for r in dep_results]
+            if segs_sorted:
+                key_data = tuple(joink.normalize_key(d) for d, _ in key_arrays)
+                key_valid = tuple(
+                    v if v is not None else jnp.ones(t.capacity, bool)
+                    for _, v in key_arrays
+                )
+                # args + deps ride the sort as payload operands: the
+                # reduction stage then needs ZERO permutation gathers
+                # (take(x, perm) was a full-capacity random access)
+                payloads: List[jax.Array] = []
+                has_valid = []
+                for d, v in arg_arrays + dep_arrays:
+                    payloads.append(d)
+                    has_valid.append(v is not None)
+                    if v is not None:
+                        payloads.append(v.astype(jnp.int8))
+                (perm, seg_ids, num_groups, sorted_real, skeys, skv,
+                 spay) = aggk.group_rows_payload(
+                    key_data, key_valid, n_mask, tuple(payloads))
+                pairs = []
+                i = 0
+                for hv in has_valid:
+                    d = spay[i]
+                    i += 1
+                    v = None
+                    if hv:
+                        v = spay[i].astype(bool)
+                        i += 1
+                    pairs.append((d, v))
+                sarg = pairs[: len(arg_arrays)]
+                sdep = pairs[len(arg_arrays):]
+                skey = [
+                    (d, kv if orig_v is not None else None)
+                    for (d, kv), (_, orig_v) in zip(zip(skeys, skv), key_arrays)
+                ]
+                # DISTINCT passes re-group in ORIGINAL row order
+                dis = ((n_mask, arg_arrays) if needs_distinct_sort else None)
+                return (perm, seg_ids, num_groups, sorted_real,
+                        skey, sarg, sdep, dis), meta
+            # dense-domain / global grouping: segment ids stay in ORIGINAL
+            # row order (no sort, no permutation)
             if dense_domains is not None:
                 # dense slot = mixed-radix code over the key domains;
                 # NULLs take the extra top slot per key — no sort, and the
                 # output capacity is known statically (no host sync)
-                perm = jnp.arange(t.capacity, dtype=jnp.int32)
                 seg_ids = jnp.zeros(t.capacity, dtype=jnp.int64)
                 for r, (kind, offset, domain) in zip(key_results, dense_domains):
                     code = r.data.astype(jnp.int64) - offset
@@ -152,41 +205,13 @@ class Aggregate(AbstractReadOnlyOperator):
                         code = jnp.where(r.validity, code, domain - 1)
                     seg_ids = seg_ids * domain + jnp.clip(code, 0, domain - 1)
                 num_groups = jnp.int64(0)  # unused on the dense path
-            elif self.group_by:
-                perm, seg_ids, num_groups = aggk.group_rows(
-                    key_data, key_valid, n_mask
-                )
             else:
-                perm = jnp.arange(t.capacity, dtype=jnp.int32)
                 seg_ids = jnp.where(n_mask, 0, 1).astype(jnp.int64)
                 num_groups = jnp.int64(1)
-            dep_results = [ev.evaluate(e) for e in self.dependent]
-            arg_results = [ev.evaluate(e) for e in arg_list]
-            dep_arrays = [
-                (r.data if r.data.dtype != jnp.bool_ else r.data.astype(jnp.int32),
-                 r.validity)
-                for r in dep_results
-            ]
-            key_arrays = [
-                (r.data if r.data.dtype != jnp.bool_ else r.data.astype(jnp.int32),
-                 r.validity)
-                for r in key_results
-            ]
-            arg_arrays = [
-                (r.data if r.data.dtype != jnp.bool_ else r.data.astype(jnp.int32),
-                 r.validity)
-                for r in arg_results
-            ]
-            meta = (
-                [(r.dtype, r.dictionary, r.dict_sorted) for r in key_results],
-                [(r.dtype, r.dictionary, r.dict_sorted) for r in arg_results],
-                [(r.dtype, r.dictionary, r.dict_sorted) for r in dep_results],
-            )
-            return (perm, seg_ids, num_groups, n_mask, key_arrays,
+            return (seg_ids, num_groups, n_mask, key_arrays,
                     arg_arrays, dep_arrays), meta
 
-        (perm, seg_ids, num_groups_dev, n_mask, key_arrays, arg_arrays,
-         dep_arrays), meta = run_stage(
+        stage1, meta = run_stage(
             "agg1", table, build1,
             extra_key=(
                 tuple(e.key() for e in self.group_by),
@@ -198,6 +223,7 @@ class Aggregate(AbstractReadOnlyOperator):
                     + [a for a in self.aggregates],
                 ),
                 tuple(dense_domains) if dense_domains else None,
+                segs_sorted,
             ),
             cacheable=cacheable,
             used_cols=_used_cols(
@@ -205,6 +231,7 @@ class Aggregate(AbstractReadOnlyOperator):
             ),
         )
         key_meta, arg_meta, dep_meta = meta
+        num_groups_dev = stage1[2] if segs_sorted else stage1[1]
         from hyrise_tpu.operators.base import _sync_is_expensive
 
         if dense_domains is not None:
@@ -217,9 +244,8 @@ class Aggregate(AbstractReadOnlyOperator):
             # defer the group-count sync (a tunnel RTT): groups <= rows, so
             # reductions run at input capacity and empty tail slots hide
             # behind a selection mask exactly like the dense path.  Above
-            # _SYNC_SKIP_CAP the padded reductions and representative-row
-            # gathers cost multiples of the RTT (Q20's 2-key aggregate at
-            # 8M capacity spent 2.2 s where 512k slots suffice) — sync.
+            # _SYNC_SKIP_CAP the padded reductions cost multiples of the
+            # RTT — sync and reduce at the (much narrower) true width.
             num_groups = None
             out_cap = size_bucket(table.capacity)
         else:
@@ -233,118 +259,138 @@ class Aggregate(AbstractReadOnlyOperator):
             for a in self.aggregates
         )
 
-        # rows arrive sorted by segment id on the group_rows path: segment
-        # totals become cumsum diffs at run bounds (linear passes) instead
-        # of scatter-adds, which XLA:TPU serializes per colliding index
-        segs_sorted = bool(self.group_by) and dense_domains is None
+        def _agg_outputs(seg_c, occupied, fn, distinct, argi, sv, svalid,
+                         distinct_ctx):
+            """Shared aggregate lowering; sv/svalid are segment-aligned."""
+            sorted_k = segs_sorted
+            seg_count = (aggk.segment_count_sorted if sorted_k
+                         else aggk.segment_count)
+            seg_sum = (aggk.segment_sum_sorted if sorted_k
+                       else aggk.segment_sum)
+            seg_min = (aggk.segment_min_sorted if sorted_k
+                       else aggk.segment_min)
+            seg_max = (aggk.segment_max_sorted if sorted_k
+                       else aggk.segment_max)
+            seg_sum_sq = (aggk.segment_sum_sq_sorted if sorted_k
+                          else aggk.segment_sum_sq)
+            if argi < 0:
+                return (occupied.astype(jnp.int64), None)
+            if distinct or fn == AggregateFunction.COUNT_DISTINCT:
+                data, valid, seg_orig, n_mask = distinct_ctx()
+                return _distinct_agg(fn, data, valid, seg_orig, n_mask,
+                                     out_cap)
+            counts = seg_count(seg_c, svalid, num_segments=out_cap)
+            nonempty = counts > 0
+            if fn == AggregateFunction.COUNT:
+                return (counts.astype(jnp.int64), None)
+            if fn == AggregateFunction.SUM:
+                return (seg_sum(sv, seg_c, svalid, num_segments=out_cap),
+                        nonempty)
+            if fn == AggregateFunction.AVG:
+                sums = seg_sum(sv.astype(jnp.float64), seg_c, svalid,
+                               num_segments=out_cap)
+                return (sums / jnp.maximum(counts, 1), nonempty)
+            if fn in (AggregateFunction.MIN, AggregateFunction.ANY):
+                vals = seg_min(sv, seg_c, svalid, num_segments=out_cap)
+                return (jnp.where(nonempty, vals, 0), nonempty)
+            if fn == AggregateFunction.MAX:
+                vals = seg_max(sv, seg_c, svalid, num_segments=out_cap)
+                return (jnp.where(nonempty, vals, 0), nonempty)
+            if fn == AggregateFunction.STDDEV_SAMP:
+                sums = seg_sum(sv.astype(jnp.float64), seg_c, svalid,
+                               num_segments=out_cap)
+                sumsq = seg_sum_sq(sv, seg_c, svalid, num_segments=out_cap)
+                n = counts.astype(jnp.float64)
+                var = (sumsq - sums * sums / jnp.maximum(n, 1)) / jnp.maximum(
+                    n - 1, 1
+                )
+                return (jnp.sqrt(jnp.maximum(var, 0.0)), counts > 1)
+            raise NotImplementedError(f"aggregate {fn}")
 
-        def _seg_count(seg_c, valid):
-            if segs_sorted:
-                return aggk.segment_count_sorted(seg_c, valid,
-                                                 num_segments=out_cap)
-            return aggk.segment_count(seg_c, valid, num_segments=out_cap)
-
-        def _seg_sum(vals, seg_c, valid):
-            if segs_sorted:
-                return aggk.segment_sum_sorted(vals, seg_c, valid,
-                                               num_segments=out_cap)
-            return aggk.segment_sum(vals, seg_c, valid, num_segments=out_cap)
-
-        def _seg_min(vals, seg_c, valid):
-            if segs_sorted:
-                return aggk.segment_min_sorted(vals, seg_c, valid,
-                                               num_segments=out_cap)
-            return aggk.segment_min(vals, seg_c, valid, num_segments=out_cap)
-
-        def _seg_max(vals, seg_c, valid):
-            if segs_sorted:
-                return aggk.segment_max_sorted(vals, seg_c, valid,
-                                               num_segments=out_cap)
-            return aggk.segment_max(vals, seg_c, valid, num_segments=out_cap)
-
-        def _seg_sum_sq(vals, seg_c, valid):
-            if segs_sorted:
-                return aggk.segment_sum_sq_sorted(vals, seg_c, valid,
-                                                  num_segments=out_cap)
-            return aggk.segment_sum_sq(vals, seg_c, valid, num_segments=out_cap)
-
-        def build2(perm, seg_ids, n_mask, key_arrays, arg_arrays, dep_arrays):
+        def build2_sorted(perm, seg_ids, _ng, sorted_real, skey, sarg, sdep,
+                          dis):
             cap = perm.shape[0]
-            sorted_real = jnp.take(n_mask, perm)
             seg_c = jnp.where(sorted_real, seg_ids, out_cap)
-            # per-original-row group id (for distinct passes + dense path)
-            seg_orig = jnp.full(cap, out_cap, dtype=jnp.int64).at[perm].set(
-                seg_c, unique_indices=True)  # perm is a permutation
             out_arrays = []
-            occupied = _seg_count(seg_c, sorted_real)
+            occupied = aggk.segment_count_sorted(seg_c, sorted_real,
+                                                 num_segments=out_cap)
             out_arrays.append((occupied, None))
-            rep_rows = None
+            # representatives: run-start scatters (no gathers)
+            for (data, valid) in skey + sdep:
+                kd = aggk.segment_rep_sorted(data, seg_c,
+                                             num_segments=out_cap)
+                kv = None
+                if valid is not None:
+                    kv = aggk.segment_rep_sorted(
+                        valid.astype(jnp.int8), seg_c, num_segments=out_cap
+                    ).astype(bool)
+                out_arrays.append((kd, kv))
+            seg_orig_cell = {}
+
+            for (fn, distinct, argi) in agg_spec:
+                sv = svalid = None
+                if argi >= 0:
+                    sv, v0 = sarg[argi]
+                    svalid = ((v0 & sorted_real) if v0 is not None
+                              else sorted_real)
+
+                def distinct_ctx(argi=argi):
+                    n_mask, arg_arrays = dis
+                    data, valid = arg_arrays[argi]
+                    valid = (valid if valid is not None
+                             else jnp.ones(cap, bool))
+                    if "seg_orig" not in seg_orig_cell:
+                        seg_orig_cell["seg_orig"] = (
+                            jnp.full(cap, out_cap, dtype=jnp.int64)
+                            .at[perm].set(seg_c, unique_indices=True)
+                        )
+                    return data, valid, seg_orig_cell["seg_orig"], n_mask
+
+                out_arrays.append(_agg_outputs(
+                    seg_c, occupied, fn, distinct, argi, sv, svalid,
+                    distinct_ctx))
+            return out_arrays, None
+
+        def build2_direct(seg_ids, _ng, n_mask, key_arrays, arg_arrays,
+                          dep_arrays):
+            cap = seg_ids.shape[0]
+            seg_c = jnp.where(n_mask, seg_ids, out_cap)
+            out_arrays = []
+            occupied = aggk.segment_count(seg_c, n_mask,
+                                          num_segments=out_cap)
+            out_arrays.append((occupied, None))
             if self.group_by:
-                if segs_sorted:
-                    first_pos = aggk.segment_first_sorted(
-                        seg_c, num_segments=out_cap
-                    )
-                else:
-                    pos = jnp.arange(cap, dtype=jnp.int64)
-                    first_pos = jax.ops.segment_min(
-                        jnp.where(sorted_real, pos, _POS_SENTINEL),
-                        seg_c, num_segments=out_cap,
-                    )
-                    first_pos = jnp.clip(first_pos, 0, cap - 1)
-                rep_rows = jnp.take(perm, first_pos)
+                pos = jnp.arange(cap, dtype=jnp.int64)
+                first_pos = jax.ops.segment_min(
+                    jnp.where(n_mask, pos, _POS_SENTINEL),
+                    seg_c, num_segments=out_cap,
+                )
+                rep_rows = jnp.clip(first_pos, 0, cap - 1)
                 for (data, valid) in key_arrays + dep_arrays:
                     kd = jnp.take(data, rep_rows)
-                    kv = jnp.take(valid, rep_rows) if valid is not None else None
+                    kv = (jnp.take(valid, rep_rows)
+                          if valid is not None else None)
                     out_arrays.append((kd, kv))
             for (fn, distinct, argi) in agg_spec:
-                if argi < 0:
-                    counts = _seg_count(seg_c, sorted_real)
-                    out_arrays.append((counts.astype(jnp.int64), None))
-                    continue
-                data, valid = arg_arrays[argi]
-                valid = valid if valid is not None else jnp.ones(cap, bool)
-                if distinct or fn == AggregateFunction.COUNT_DISTINCT:
-                    out_arrays.append(
-                        _distinct_agg(fn, data, valid, seg_orig, n_mask,
-                                      out_cap)
-                    )
-                    continue
-                sv = jnp.take(data, perm)
-                svalid = jnp.take(valid, perm) & sorted_real
-                counts = _seg_count(seg_c, svalid)
-                nonempty = counts > 0
-                if fn == AggregateFunction.COUNT:
-                    out_arrays.append((counts.astype(jnp.int64), None))
-                elif fn == AggregateFunction.SUM:
-                    sums = _seg_sum(sv, seg_c, svalid)
-                    out_arrays.append((sums, nonempty))
-                elif fn == AggregateFunction.AVG:
-                    sums = _seg_sum(sv.astype(jnp.float64), seg_c, svalid)
-                    out_arrays.append(
-                        (sums / jnp.maximum(counts, 1), nonempty)
-                    )
-                elif fn in (AggregateFunction.MIN, AggregateFunction.ANY):
-                    vals = _seg_min(sv, seg_c, svalid)
-                    out_arrays.append((jnp.where(nonempty, vals, 0), nonempty))
-                elif fn == AggregateFunction.MAX:
-                    vals = _seg_max(sv, seg_c, svalid)
-                    out_arrays.append((jnp.where(nonempty, vals, 0), nonempty))
-                elif fn == AggregateFunction.STDDEV_SAMP:
-                    sums = _seg_sum(sv.astype(jnp.float64), seg_c, svalid)
-                    sumsq = _seg_sum_sq(sv, seg_c, svalid)
-                    n = counts.astype(jnp.float64)
-                    var = (sumsq - sums * sums / jnp.maximum(n, 1)) / jnp.maximum(
-                        n - 1, 1
-                    )
-                    out_arrays.append((jnp.sqrt(jnp.maximum(var, 0.0)),
-                                       counts > 1))
-                else:
-                    raise NotImplementedError(f"aggregate {fn}")
+                sv = svalid = None
+                if argi >= 0:
+                    sv, v0 = arg_arrays[argi]
+                    svalid = (v0 & n_mask) if v0 is not None else n_mask
+
+                def distinct_ctx(argi=argi):
+                    data, valid = arg_arrays[argi]
+                    valid = (valid if valid is not None
+                             else jnp.ones(cap, bool))
+                    return data, valid, seg_c, n_mask
+
+                out_arrays.append(_agg_outputs(
+                    seg_c, occupied, fn, distinct, argi, sv, svalid,
+                    distinct_ctx))
             return out_arrays, None
 
         out_arrays, _ = run_arrays(
-            "agg2", build2,
-            (perm, seg_ids, n_mask, key_arrays, arg_arrays, dep_arrays),
+            "agg2", build2_sorted if segs_sorted else build2_direct,
+            stage1,
             extra_key=(agg_spec, out_cap, bool(self.group_by), segs_sorted,
                        tuple(e.key() for e in self.group_by),
                        tuple(e.key() for e in self.dependent)),

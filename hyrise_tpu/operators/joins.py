@@ -287,6 +287,56 @@ class Join(AbstractReadOnlyOperator):
             [side_exprs(p)[0] for p in equi[:used]], probe_op
         )
 
+        # secondary predicates evaluate on (probe, build) pairs
+        sec_preds = [
+            ast.Predicate(p.condition, [p.left, p.right]) for p in secondary
+        ]
+
+        # demand-driven assembly pruning: gather at expansion width ONLY
+        # the columns ancestors reference (translator-provided).  Spent
+        # join keys otherwise ride through every later join; Q7's final
+        # SF1 join gathered 15 six-million-row columns where 5 are used.
+        req = self.required_output_keys
+        p_out = list(probe_op.output_expressions)
+        b_out = list(build_op.output_expressions)
+        if req is not None and eff_mode in (JoinMode.INNER, JoinMode.LEFT,
+                                            JoinMode.FULL):
+            keep_p = [i for i, e in enumerate(p_out) if e.key() in req]
+            keep_b = [i for i, e in enumerate(b_out) if e.key() in req]
+            if not keep_p and not keep_b:
+                keep_p = [0] if p_out else []  # retain row extent
+        else:
+            keep_p = list(range(len(p_out)))
+            keep_b = list(range(len(b_out)))
+
+        # ------------- row-aligned path: unique-build INNER/LEFT joins ----
+        # counts ∈ {0,1} make the join a probe-aligned column EXTENSION:
+        # probe columns pass through UNTOUCHED (the probe-side payload
+        # gathers at expansion width dominated SF1 join2 per
+        # SF1_STAGE_PROFILE.json), matches become a selection mask, and
+        # only ancestor-referenced build columns gather once at probe
+        # width.  No expansion scatter, no host sync.  (Ref analogue:
+        # join_hash_steps.hpp output writing + PosList single-chunk
+        # shortcut — here the "pos list" is the identity.)
+        if build_unique and eff_mode in (JoinMode.INNER, JoinMode.LEFT):
+            use_aligned = True
+            near_full = (
+                est_out is not None
+                and size_bucket(max(int(est_out), 1)) * 4 > probe_t.capacity
+            )
+            if probe_t.capacity > _SYNC_SKIP_CAP and not near_full:
+                # selective join at large width: a synced narrow expansion
+                # gathers probe+build at the (much smaller) match count,
+                # beating keep_b full-probe-width build gathers
+                if size_bucket(max(int(total_dev), 1)) * 4 < probe_t.capacity:
+                    use_aligned = False
+            if use_aligned:
+                return self._aligned_join(
+                    probe_t, build_t, probe_op, build_op, eff_mode,
+                    (left_pos, counts, build_perm), sec_preds,
+                    keep_p, keep_b, pred_key, cacheable, swap,
+                )
+
         # Unique-key joins bound the expansion by one side, so the
         # expansion-size sync CAN be skipped by assembling at that side's
         # full capacity.  Whether it SHOULD be is a cost call: assembly
@@ -320,27 +370,6 @@ class Join(AbstractReadOnlyOperator):
 
         # ------------- stage 2: expansion + secondary + assembly ----------
         # (orientation does not matter: the pair table holds both sides)
-        sec_preds = [
-            ast.Predicate(p.condition, [p.left, p.right]) for p in secondary
-        ]
-
-        # demand-driven assembly pruning: gather at expansion width ONLY
-        # the columns ancestors reference (translator-provided).  Spent
-        # join keys otherwise ride through every later join; Q7's final
-        # SF1 join gathered 15 six-million-row columns where 5 are used.
-        req = self.required_output_keys
-        p_out = list(probe_op.output_expressions)
-        b_out = list(build_op.output_expressions)
-        if req is not None and eff_mode in (JoinMode.INNER, JoinMode.LEFT,
-                                            JoinMode.FULL):
-            keep_p = [i for i, e in enumerate(p_out) if e.key() in req]
-            keep_b = [i for i, e in enumerate(b_out) if e.key() in req]
-            if not keep_p and not keep_b:
-                keep_p = [0] if p_out else []  # retain row extent
-        else:
-            keep_p = list(range(len(p_out)))
-            keep_b = list(range(len(b_out)))
-
         def build2(pt: Table, bt: Table, left_pos, counts, build_perm, pv, bkv):
             if build_unique:
                 # counts ∈ {0,1}: compaction scatter, no searchsorted
@@ -470,6 +499,97 @@ class Join(AbstractReadOnlyOperator):
         out = Table(names, out_cols, int(sel.shape[0]), selection=sel)
         if swap:
             # restore left-right column order (probe side was the right)
+            n_p = len(p_cols)
+            reorder = list(range(n_p, len(out_cols))) + list(range(n_p))
+            out = Table(
+                [names[i] for i in reorder],
+                [out_cols[i] for i in reorder],
+                out.num_rows, selection=sel,
+            )
+            out_exprs = [out_exprs[i] for i in reorder]
+        self.output_expressions = out_exprs
+        return out
+
+    def _aligned_join(self, probe_t: Table, build_t: Table, probe_op,
+                      build_op, eff_mode, stage1_arrays, sec_preds,
+                      keep_p, keep_b, pred_key, cacheable, swap) -> Table:
+        """Unique-build INNER/LEFT join as a probe-aligned column
+        extension: output row j IS probe row j; matches form a selection
+        mask (INNER) or build-side validity (LEFT).  Probe columns are
+        reused without any data movement; only the kept build columns
+        gather, at probe width."""
+        from hyrise_tpu.operators.compiled import run_stage2_extra
+
+        p_out = list(probe_op.output_expressions)
+        b_out = list(build_op.output_expressions)
+
+        def build2(pt: Table, bt: Table, left_pos, counts, build_perm):
+            brow = jnp.take(
+                build_perm,
+                jnp.clip(left_pos, 0,
+                         build_perm.shape[0] - 1).astype(jnp.int32),
+            )
+            matched = counts > 0
+            build_idx = jnp.where(matched, brow.astype(jnp.int64),
+                                  jnp.int64(-1))
+            if sec_preds:
+                # evaluate residual predicates on the aligned pairs: probe
+                # columns directly, referenced build columns gathered once
+                sec_children = [c for pr in sec_preds for c in pr.children]
+                b_keep = sorted(used_column_indices(
+                    {e.key(): i for i, e in enumerate(b_out)}, sec_children
+                ))
+                bred = Table([bt.column_names[i] for i in b_keep],
+                             [bt.columns[i] for i in b_keep], bt.num_rows)
+                btab = bred.take(build_idx, pt.capacity,
+                                 null_where_negative=True)
+                pair = Table(pt.column_names + btab.column_names,
+                             pt.columns + btab.columns, 0)
+                pair.num_rows = pt.num_rows
+                cmap2 = {e.key(): i for i, e in enumerate(p_out)}
+                off = len(pt.columns)
+                for pos, i in enumerate(b_keep):
+                    cmap2[b_out[i].key()] = off + pos
+                ev2 = self.make_evaluator(pair, cmap2)
+                for pr in sec_preds:
+                    matched = matched & ev2.selection_mask(
+                        ast.Predicate(pr.condition, pr.children)
+                    )
+                build_idx = jnp.where(matched, build_idx, jnp.int64(-1))
+            bsub = Table([bt.column_names[i] for i in keep_b],
+                         [bt.columns[i] for i in keep_b], bt.num_rows)
+            btab = bsub.take(build_idx, pt.capacity,
+                             null_where_negative=True)
+            datas = [c.data for c in btab.columns]
+            valids = [c.validity for c in btab.columns]
+            return (datas, valids, matched), None
+
+        left_pos, counts, build_perm = stage1_arrays
+        out_arrays, _ = run_stage2_extra(
+            "join2a", probe_t, build_t, (left_pos, counts, build_perm),
+            build2,
+            extra_key=pred_key + (tuple(keep_p), tuple(keep_b)),
+            cacheable=cacheable,
+        )
+        datas, valids, matched = out_arrays
+        p_cols = [probe_t.columns[i] for i in keep_p]
+        b_src = [build_t.columns[i] for i in keep_b]
+        b_cols = [
+            Column(c.data_type, d, v, c.dictionary, c.dict_sorted)
+            for c, d, v in zip(b_src, datas, valids)
+        ]
+        names = ([probe_t.column_names[i] for i in keep_p]
+                 + [build_t.column_names[i] for i in keep_b])
+        out_cols = p_cols + b_cols
+        out_exprs = [p_out[i] for i in keep_p] + [b_out[i] for i in keep_b]
+        if eff_mode == JoinMode.INNER:
+            # matched already excludes probe padding / deselected rows
+            # (stage-1 counts carry the probe row mask)
+            sel = matched
+        else:  # LEFT: every probe row survives; unmatched build side NULL
+            sel = probe_t.selection
+        out = Table(names, out_cols, probe_t.num_rows, selection=sel)
+        if swap:
             n_p = len(p_cols)
             reorder = list(range(n_p, len(out_cols))) + list(range(n_p))
             out = Table(

@@ -219,16 +219,24 @@ class Column:
 
         If `null_where_negative`, indices < 0 produce NULL rows (used by
         outer joins for unmatched sides)."""
+        from hyrise_tpu.kernels import gather as gatherk
+
         safe = jnp.maximum(indices, 0)
+        onehot = (not self.is_encoded) and gatherk.use_onehot(
+            int(self.data.shape[0]), int(indices.shape[0])
+        )
         if self.is_packed:
             data = take_packed(self.data, safe)
         elif self.is_rle:
             data = take_rle(self.data, safe)
+        elif onehot:
+            data = gatherk.onehot_take(self.data, safe)
         else:
             data = jnp.take(self.data, safe, axis=0)
         validity = None
         if self.validity is not None:
-            validity = jnp.take(self.validity, safe, axis=0)
+            validity = (gatherk.onehot_take(self.validity, safe) if onehot
+                        else jnp.take(self.validity, safe, axis=0))
         if null_where_negative:
             ok = indices >= 0
             validity = ok if validity is None else (validity & ok)

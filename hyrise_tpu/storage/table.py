@@ -207,8 +207,13 @@ class Table:
         from collections import defaultdict
         from dataclasses import replace as _replace
 
+        from hyrise_tpu.kernels import gather as gatherk
+
         safe = jnp.maximum(indices, 0)
         ok = (indices >= 0) if null_where_negative else None
+        # small sources (dimension tables) reroute to the one-hot select
+        # kernel: dense VPU compute instead of latency-bound HBM access
+        onehot = gatherk.use_onehot(self.capacity, int(indices.shape[0]))
         groups = defaultdict(list)  # physical dtype -> [(array, tag)]
         for i, c in enumerate(self.columns):
             if c.is_encoded:
@@ -226,10 +231,12 @@ class Table:
         for items in groups.values():
             if len(items) == 1:
                 arr, tag = items[0]
-                _set(tag, jnp.take(arr, safe, axis=0))
+                _set(tag, gatherk.onehot_take(arr, safe) if onehot
+                     else jnp.take(arr, safe, axis=0))
             else:
                 mat = jnp.stack([a for a, _ in items], axis=1)
-                gm = jnp.take(mat, safe, axis=0)
+                gm = (gatherk.onehot_take(mat, safe) if onehot
+                      else jnp.take(mat, safe, axis=0))
                 for j, (_, tag) in enumerate(items):
                     _set(tag, gm[:, j])
         out_cols = []

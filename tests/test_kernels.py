@@ -190,3 +190,53 @@ def test_expand_unique_matches_expand_matches():
         if v
     )
     assert pairs(a) == pairs(b)
+
+
+def test_onehot_take_matches_take():
+    import jax.numpy as jnp
+
+    from hyrise_tpu.kernels.gather import onehot_take
+
+    rng = np.random.default_rng(11)
+    k, n = 512, 1 << 14
+    idx = jnp.asarray(rng.integers(0, k, n), dtype=jnp.int32)
+    for dt in (np.float32, np.float64, np.int32, np.int64, np.int8):
+        if np.issubdtype(dt, np.floating):
+            src = jnp.asarray(rng.standard_normal(k).astype(dt))
+        else:
+            src = jnp.asarray(rng.integers(-100, 100, k, dtype=dt))
+        out = onehot_take(src, idx)
+        ref = jnp.take(src, idx)
+        assert out.dtype == ref.dtype
+        assert bool(jnp.all(out == ref))
+    mat = jnp.asarray(rng.standard_normal((k, 3)).astype(np.float32))
+    assert bool(jnp.all(onehot_take(mat, idx) == jnp.take(mat, idx, axis=0)))
+    b = jnp.asarray(rng.random(k) < 0.5)
+    out = onehot_take(b, idx)
+    assert out.dtype == jnp.bool_
+    assert bool(jnp.all(out == jnp.take(b, idx)))
+
+
+def test_group_rows_payload_matches_group_rows():
+    import jax.numpy as jnp
+
+    from hyrise_tpu.kernels import aggregates as aggk
+
+    rng = np.random.default_rng(12)
+    cap = 256
+    n = 200
+    keys = jnp.asarray(rng.integers(0, 8, cap), dtype=jnp.int32)
+    valid = jnp.asarray(rng.random(cap) < 0.9)
+    n_mask = jnp.arange(cap) < n
+    pay = jnp.asarray(rng.standard_normal(cap).astype(np.float32))
+    perm0, seg0, ng0 = aggk.group_rows((keys,), (valid,), n_mask)
+    (perm, seg, ng, sreal, skeys, skv, spay) = aggk.group_rows_payload(
+        (keys,), (valid,), n_mask, (pay,))
+    assert int(ng) == int(ng0)
+    assert np.asarray(seg).tolist() == np.asarray(seg0).tolist()
+    # payload rides the same permutation
+    assert bool(jnp.all(spay[0] == jnp.take(pay, perm)))
+    assert bool(jnp.all(sreal == jnp.take(n_mask, perm)))
+    assert bool(jnp.all(skeys[0] == jnp.where(
+        jnp.take(valid, perm), jnp.take(keys, perm), 0)))
+    assert bool(jnp.all(skv[0] == jnp.take(valid, perm)))

@@ -226,3 +226,55 @@ def test_table_reserve_preserves_semantics_and_mvcc():
     assert run("SELECT a FROM rsv ORDER BY a").to_pylist() == [(1,), (2,)]
     assert t.capacity >= old_cap + 1000  # inserts fit without reshape
     db.storage_manager.drop_table("rsv")
+
+
+def test_aligned_unique_build_join_is_probe_aligned():
+    """Unique-build INNER joins take the row-aligned path: the output is
+    the probe table extended by build columns, matches as a selection mask
+    (no expansion) — and the rows are still correct."""
+    from hyrise_tpu.database import Database
+    from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+    from hyrise_tpu.storage.table import TableKeyConstraint
+    from tests.sqlite_oracle import make_env, rows_match
+
+    oracle = make_env({
+        "fact": {
+            "k": [1, 2, 2, 3, 4, 4, 4, 9],
+            "v": [10.0, 20.0, 21.0, 30.0, 40.0, 41.0, 42.0, 90.0],
+        },
+        "dim": {
+            "k": [1, 2, 3, 4, 5],
+            "w": [100, 200, 300, 400, 500],
+        },
+    })
+    db = Database.get()
+    db.storage_manager.get_table("dim").key_constraints.append(
+        TableKeyConstraint(("k",), True)
+    )
+    q = ("SELECT fact.v, dim.w FROM fact JOIN dim ON fact.k = dim.k "
+         "WHERE dim.w < 450")
+    pipe = SQLPipelineBuilder(q).create_pipeline()
+    out = pipe.get_result_table()
+    assert rows_match(out.to_pylist(), oracle.execute(q), ordered=False)
+    # find the join operator output in the executed PQP: it must be
+    # probe-aligned (selection mask at the probe capacity, not expanded)
+    from hyrise_tpu.operators.joins import Join
+
+    root = pipe._pipeline_statements[-1].get_physical_plan()
+    joins = [op for op in _walk_pqp(root) if isinstance(op, Join)]
+    assert joins, "plan should contain a Join"
+    jt = joins[0].get_output()
+    fact_cap = db.storage_manager.get_table("fact").capacity
+    assert jt.capacity == fact_cap
+    assert jt.selection is not None
+
+
+def _walk_pqp(op, seen=None):
+    if seen is None:
+        seen = set()
+    if id(op) in seen:
+        return
+    seen.add(id(op))
+    yield op
+    for child in op.inputs():
+        yield from _walk_pqp(child, seen)

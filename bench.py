@@ -253,9 +253,10 @@ def main() -> None:
             base, base_rows = sqlite_run(qid)
             verified = ""
             if verify and base_rows is not None:
-                from tests.sqlite_oracle import rows_match
+                from tests.sqlite_oracle import rows_match_with_ties
 
-                ok = rows_match(our_rows, base_rows, ordered=False)
+                ok = rows_match_with_ties(sql, our_rows, base_rows,
+                                          ordered=False)
                 verified = " rows-OK" if ok else " ROWS-MISMATCH"
                 if not ok:
                     print(f"# Q{qid} row mismatch: ours={len(our_rows)} "

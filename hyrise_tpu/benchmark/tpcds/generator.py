@@ -806,6 +806,20 @@ class TPCDSTableGenerator:
         def col(name):
             return ss.column(name).host_raw(n_ss)[idx]
 
+        def colv(name):
+            """(values, validity) for a NULLABLE sales column.  Filler at
+            NULL slots is normalized to 1: host_raw of a packed column
+            yields clipped fillers, so carrying raw fillers as non-NULL
+            values made encoded and unencoded generation produce
+            DIFFERENT data (the round-4 'TPC-DS Q1 TPU rows-mismatch' was
+            exactly this, via a baseline built without packing)."""
+            c = ss.column(name)
+            vals = c.host_raw(n_ss)[idx]
+            if c.validity is None:
+                return vals, None
+            v = np.asarray(c.validity)[:n_ss][idx]
+            return np.where(v, vals, 1).astype(vals.dtype), v
+
         sold = col("ss_sold_date_sk")
         quantity = np.maximum(
             (col("ss_quantity") * rng.random(n)).astype(np.int32), 1
@@ -827,8 +841,8 @@ class TPCDSTableGenerator:
             "sr_customer_sk": returning.astype(np.int32),
             "sr_cdemo_sk": col("ss_cdemo_sk"),
             "sr_hdemo_sk": col("ss_hdemo_sk"),
-            "sr_addr_sk": col("ss_addr_sk"),
-            "sr_store_sk": col("ss_store_sk"),
+            "sr_addr_sk": (addr_vals := colv("ss_addr_sk"))[0],
+            "sr_store_sk": (store_vals := colv("ss_store_sk"))[0],
             "sr_reason_sk": rng.integers(
                 1, tables["reason"].num_rows + 1, size=n).astype(np.int32),
             "sr_ticket_number": col("ss_ticket_number"),
@@ -845,7 +859,12 @@ class TPCDSTableGenerator:
             name: (DataType.INT if arr.dtype.kind == "i" else DataType.DOUBLE)
             for name, arr in data.items()
         }
-        return Table.from_numpy(data, types)
+        validity = {
+            name: v for name, v in (("sr_addr_sk", addr_vals[1]),
+                                    ("sr_store_sk", store_vals[1]))
+            if v is not None
+        }
+        return Table.from_numpy(data, types, validity=validity)
 
     def _channel_returns(self, p: str, sp: str, sales: Table, tables) -> Table:
         """Catalog (cr_) / web (wr_) returns sampled from their channel's

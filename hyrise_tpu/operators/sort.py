@@ -44,12 +44,30 @@ class Sort(AbstractReadOnlyOperator):
             mask = t.row_mask()
             perm = sortops.sort_permutation_masked(keys, modes, mask)
             count = jnp.sum(mask, dtype=jnp.int64)
-            # gather every column through the permutation in-stage (fused)
-            datas = [jnp.take(c.data, perm) for c in t.columns]
-            valids = [
-                jnp.take(c.validity, perm) if c.validity is not None else None
-                for c in t.columns
-            ]
+            # permutation gathers batched by dtype (stacked rows amortize
+            # the per-access latency that dominates TPU gathers — same
+            # trick as Table.take, measured 5.2x for 8 cols at 4M rows)
+            from collections import defaultdict
+
+            groups = defaultdict(list)  # dtype str -> [(array, tag)]
+            for i, c in enumerate(t.columns):
+                groups[str(c.data.dtype)].append((c.data, ("d", i)))
+                if c.validity is not None:
+                    groups["bool"].append((c.validity, ("v", i)))
+            res_d: dict = {}
+            res_v: dict = {}
+            for items in groups.values():
+                if len(items) == 1:
+                    arr, (kind, i) = items[0]
+                    out = jnp.take(arr, perm, axis=0)
+                    (res_d if kind == "d" else res_v)[i] = out
+                else:
+                    mat = jnp.stack([a for a, _ in items], axis=1)
+                    gm = jnp.take(mat, perm, axis=0)
+                    for j, (_, (kind, i)) in enumerate(items):
+                        (res_d if kind == "d" else res_v)[i] = gm[:, j]
+            datas = [res_d[i] for i in range(len(t.columns))]
+            valids = [res_v.get(i) for i in range(len(t.columns))]
             sel = jnp.arange(perm.shape[0], dtype=jnp.int64) < count
             return (datas, valids, sel), None
 

@@ -22,12 +22,26 @@ _GENERATOR_FILES = {
     "tpcds": "hyrise_tpu/benchmark/tpcds/generator.py",
 }
 
+# Everything between the generator's RNG and the bytes sqlite sees: the
+# SSB/TPC-DS oracles load through device tables, so encode/decode and
+# to_pylist changes ALTER the loaded data without touching generator.py.
+# Round 4's TPC-DS baseline went stale exactly this way (Q1 "TPU rows
+# mismatch" was really a stale-baseline mismatch).
+_SHARED_DATA_FILES = (
+    "hyrise_tpu/storage/compression.py",
+    "hyrise_tpu/utils/load_table.py",
+)
+
 
 def generator_fingerprint(suite: str) -> str:
-    """Hash of the generator source: a changed generator means changed
-    data, silently invalidating stored rows — loaders check this."""
-    with open(os.path.join(_ROOT, _GENERATOR_FILES[suite]), "rb") as fh:
-        return hashlib.sha256(fh.read()).hexdigest()[:16]
+    """Hash of the generator source plus the shared data-path sources: a
+    change in any of them means changed oracle data, silently invalidating
+    stored rows — loaders check this."""
+    h = hashlib.sha256()
+    for rel in (_GENERATOR_FILES[suite],) + _SHARED_DATA_FILES:
+        with open(os.path.join(_ROOT, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
 
 
 def baseline_path(suite: str, sf: float, seed: Optional[int] = None,

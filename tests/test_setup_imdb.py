@@ -30,6 +30,9 @@ def imdb_csvs(tmp_path):
     (src / "company_name.csv").write_text(
         '10,"Warner Bros","[us]",,,,"x"\n'
         '11,"Regency \\"Ent\\"","[us]",,,,"y"\n'
+        # real-IMDB pathologies: an embedded newline inside a quoted
+        # field and a PostgreSQL literal-backslash escape
+        '12,"Multi\nLine \\\\ Co","[de]",,,,"z"\n'
     )
     return src
 
@@ -64,6 +67,11 @@ def test_convert_and_query(imdb_csvs, tmp_path):
     ).to_pylist()
     assert rows == [("The Matrix", "Warner Bros"), ("Unknown, The",
                                                     "Warner Bros")]
+    # embedded newline + literal backslash survive conversion
+    rows = sql(
+        "SELECT name FROM company_name WHERE id = 12"
+    ).to_pylist()
+    assert rows == [("Multi\nLine \\ Co",)]
 
 
 def test_schema_covers_query_columns():

@@ -133,7 +133,7 @@ def total_matches(counts: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def merge_probe(bk: jax.Array, bv: jax.Array, pk: jax.Array, pv: jax.Array):
+def merge_probe(bk, bv: jax.Array, pk, pv: jax.Array):
     """Build + probe in ONE merged sort (no searchsorted).
 
     searchsorted lowers to log2(n_build) DEPENDENT random-gather rounds
@@ -148,33 +148,47 @@ def merge_probe(bk: jax.Array, bv: jax.Array, pk: jax.Array, pv: jax.Array):
     run's first row IS its `left` bound (ref semantics:
     join_hash_steps.hpp probe ranges).
 
+    `bk`/`pk` may be TUPLES of aligned key columns: multi-column equi keys
+    sort as separate int32 operands instead of packing into one int64
+    (TPU emulates 64-bit integers as pairs — a 2x sort tax; ref composite
+    keys: join_hash_steps.hpp pack into one uint64).
+
     Returns (build_perm, left, counts): build_perm[r] = original build row
     at build-key rank r (valid keys first, key order); left[p] = rank of
     the first matching build row for probe p; counts[p] = matches.
     """
-    n_b, n_p = bk.shape[0], pk.shape[0]
+    if not isinstance(bk, (tuple, list)):
+        bk, pk = (bk,), (pk,)
+    n_b, n_p = bk[0].shape[0], pk[0].shape[0]
     n = n_b + n_p
-    dt = common_key_dtype(bk, pk)
-    sent = key_sentinel_max(dt)
-    keys = jnp.concatenate([
-        jnp.where(bv, bk.astype(dt), sent),
-        jnp.where(pv, pk.astype(dt), sent),
-    ])
+    keys = []
+    for bki, pki in zip(bk, pk):
+        dt = common_key_dtype(bki, pki)
+        sent = key_sentinel_max(dt)
+        keys.append(jnp.concatenate([
+            jnp.where(bv, bki.astype(dt), sent),
+            jnp.where(pv, pki.astype(dt), sent),
+        ]))
     side = jnp.concatenate([
         jnp.zeros(n_b, dtype=jnp.int8), jnp.ones(n_p, dtype=jnp.int8)
     ])
     iota = jnp.arange(n, dtype=jnp.int32)
-    skeys, sside, sorig = jax.lax.sort((keys, side, iota), num_keys=2,
-                                       is_stable=True)
+    out = jax.lax.sort(tuple(keys) + (side, iota), num_keys=len(keys) + 1,
+                       is_stable=True)
+    skeys_all = out[:len(keys)]
+    sside = out[len(keys)]
+    sorig = out[len(keys) + 1]
     is_build = sside == 0
     # count only VALID builds (invalid ones carry the sentinel key; a valid
     # probe key equal to the sentinel must not match them).  Row counts fit
     # int32 — int64 is emulated on TPU at ~2x cost.
     countable = jnp.take(jnp.concatenate([bv, jnp.zeros(n_p, bool)]), sorig)
     bcum = jnp.cumsum(countable.astype(jnp.int32))          # inclusive
-    run_start = jnp.concatenate(
-        [jnp.ones(1, bool), skeys[1:] != skeys[:-1]]
-    )
+    run_start = jnp.zeros(n, dtype=bool).at[0].set(True)
+    for sk in skeys_all:
+        run_start = run_start | jnp.concatenate(
+            [jnp.ones(1, bool), sk[1:] != sk[:-1]]
+        )
     excl = bcum - countable.astype(jnp.int32)               # builds < pos
     # broadcast the run-start exclusive count to the whole run: excl at
     # run starts is non-decreasing, so a running max over masked marks

@@ -180,10 +180,15 @@ class AbstractOperator:
         from hyrise_tpu.types import size_bucket
 
         if _sync_is_expensive():
+            # 4x estimated shrink at >=4M capacity already pays: the
+            # consumers are O(n log n) sorts and multi-pass cumsums whose
+            # per-row cost dwarfs the one ~25 ms count sync (SF1 Q20's
+            # aggregate ran 1.1 s at 8M capacity where 1M slots sufficed;
+            # the previous 16x headroom never fired on that shape)
             if (
                 table.capacity >= (1 << 22)
                 and est_rows is not None and est_rows > 0
-                and size_bucket(max(int(est_rows), 1)) * 16 <= table.capacity
+                and size_bucket(max(int(est_rows), 1)) * 4 <= table.capacity
             ):
                 n = table.valid_count  # big payoff: pay the one sync
                 if size_bucket(max(n, 1)) * shrink_factor <= table.capacity:

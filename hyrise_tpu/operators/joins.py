@@ -169,16 +169,20 @@ class Join(AbstractReadOnlyOperator):
                 return pk, bk, pvv, bvv
 
             pk1, bk1, pv1, bv1 = one_key(equi[0])
+            pks, bks = (pk1,), (bk1,)
             if used == 2:
+                # composite keys stay SEPARATE int32 sort operands — the
+                # reference packs into one uint64 (join_hash_steps.hpp),
+                # but TPU emulates 64-bit integers as pairs (2x sort tax)
                 pk2, bk2, pv2, bv2 = one_key(equi[1])
-                pk1 = joink.pack_keys(pk1.astype(jnp.int32), pk2.astype(jnp.int32))
-                bk1 = joink.pack_keys(bk1.astype(jnp.int32), bk2.astype(jnp.int32))
+                pks = pks + (pk2.astype(jnp.int32),)
+                bks = bks + (bk2.astype(jnp.int32),)
                 pv1 = pv1 & pv2
                 bv1 = bv1 & bv2
             if extra is not None:
                 pe2, be2, pv2e, bv2e = one_key(extra)
-                return (pk1, pv1), (bk1, bv1), (pe2, pv2e), (be2, bv2e)
-            return (pk1, pv1), (bk1, bv1)
+                return (pks, pv1), (bks, bv1), (pe2, pv2e), (be2, bv2e)
+            return (pks, pv1), (bks, bv1)
 
         # dense direct-address fast path: int build key with fresh
         # statistics bounds -> scatter build + 1-gather probes (no sort,
@@ -212,29 +216,29 @@ class Join(AbstractReadOnlyOperator):
                             not secondary or neq_fast):
             def build_fast(pt: Table, bt: Table):
                 if neq_fast:
-                    ((pk, pkv), (bk, bkv),
+                    ((pks, pkv), (bks, bkv),
                      (ps, psv), (bs, bsv)) = make_keys(pt, bt, secondary[0])
                     pv = pkv & pt.row_mask()
                     # builds with NULL s can never satisfy `<>`
                     bv = bkv & bt.row_mask() & bsv
-                    _, _, cnt_k = joink.merge_probe(bk, bv, pk, pv)
-                    pk2 = joink.pack_keys(pk.astype(jnp.int32),
-                                          ps.astype(jnp.int32))
-                    bk2 = joink.pack_keys(bk.astype(jnp.int32),
-                                          bs.astype(jnp.int32))
-                    _, _, cnt_ks = joink.merge_probe(bk2, bv, pk2, pv & psv)
+                    _, _, cnt_k = joink.merge_probe(bks, bv, pks, pv)
+                    _, _, cnt_ks = joink.merge_probe(
+                        bks + (bs.astype(jnp.int32),), bv,
+                        pks + (ps.astype(jnp.int32),), pv & psv,
+                    )
                     member = pv & psv & (cnt_k > cnt_ks)
                 else:
-                    (pk, pkv), (bk, bkv) = make_keys(pt, bt)
+                    (pks, pkv), (bks, bkv) = make_keys(pt, bt)
                     pv = pkv & pt.row_mask()
                     bv = bkv & bt.row_mask()
                     if dense_range is not None:
                         lo, dsize = dense_range
-                        slot = joink.dense_build(bk, bv, lo, dsize)
-                        _, cnt = joink.dense_probe(slot, pk, pv, lo, dsize)
+                        slot = joink.dense_build(bks[0], bv, lo, dsize)
+                        _, cnt = joink.dense_probe(slot, pks[0], pv,
+                                                   lo, dsize)
                         member = cnt > 0
                     else:
-                        _, _, cnt = joink.merge_probe(bk, bv, pk, pv)
+                        _, _, cnt = joink.merge_probe(bks, bv, pks, pv)
                         member = cnt > 0
                 if eff_mode == JoinMode.SEMI:
                     mask = member
@@ -263,16 +267,17 @@ class Join(AbstractReadOnlyOperator):
 
         # ------------- stage 1: keys + build + probe counts ---------------
         def build1(pt: Table, bt: Table):
-            (pk, pkv), (bk, bkv) = make_keys(pt, bt)
+            (pks, pkv), (bks, bkv) = make_keys(pt, bt)
             pv = pkv & pt.row_mask()
             bv = bkv & bt.row_mask()
             if dense_spec is not None:
                 lo, dsize = dense_spec
-                slot = joink.dense_build(bk, bv, lo, dsize)
-                left_pos, counts = joink.dense_probe(slot, pk, pv, lo, dsize)
+                slot = joink.dense_build(bks[0], bv, lo, dsize)
+                left_pos, counts = joink.dense_probe(slot, pks[0], pv,
+                                                     lo, dsize)
                 total = jnp.sum(counts, dtype=jnp.int64)
                 return (left_pos, counts, slot, pv, bkv, total), None
-            build_perm, left_pos, counts = joink.merge_probe(bk, bv, pk, pv)
+            build_perm, left_pos, counts = joink.merge_probe(bks, bv, pks, pv)
             total = jnp.sum(counts, dtype=jnp.int64)
             return (left_pos, counts, build_perm, pv, bkv, total), None
 

@@ -65,6 +65,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.join_to_predicate import (
             JoinToPredicateRewriteRule,
         )
+        from hyrise_tpu.optimizer.strategy.disjunction_prefilter import (
+            DisjunctionPrefilterRule,
+        )
         from hyrise_tpu.optimizer.strategy.block_pruning import (
             BlockPruningRule,
         )
@@ -75,6 +78,7 @@ class Optimizer:
         return Optimizer([
             ExpressionReductionRule(),
             InExpressionRewriteRule(),
+            DisjunctionPrefilterRule(),
             SubqueryToJoinRule(),
             DependentGroupByReductionRule(),
             SemiJoinReductionRule(),

@@ -41,7 +41,11 @@ def main(argv=None):
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    import hyrise_tpu  # noqa: F401  (enables x64 — else f64 silently
+    #                    truncates to f32 and the study measures nothing)
     import jax.numpy as jnp
+
+    assert jax.config.jax_enable_x64
 
     rng = np.random.default_rng(42)
     results = []

@@ -268,3 +268,40 @@ def test_join_ordering_reaches_subquery_inside_region(renv):
         j.mode != JoinMode.CROSS for j in inner_joins
     ), "comma-join chain inside the subquery must be ordered into equi joins"
     assert rows_match(run_sql(q).to_pylist(), renv.execute(q), ordered=False)
+
+
+def test_disjunction_prefilter_derives_in_lists():
+    """OR-of-conjunctions implies per-column IN prefilters that placement
+    pushes below joins (the TPC-H Q7 nation-pair shape)."""
+    oracle = make_env({
+        "f": {"a": [1, 2, 3, 4], "b": [10, 20, 30, 40]},
+        "d1": {"k": [1, 2, 3, 4], "n": ["w", "x", "y", "z"]},
+        "d2": {"k": [1, 2, 3, 4], "n": ["w", "x", "y", "z"]},
+    })
+    q = ("SELECT f.b FROM f, d1, d2 WHERE f.a = d1.k AND f.b / 10 = d2.k "
+         "AND ((d1.n = 'w' AND d2.n = 'x') OR (d1.n = 'x' AND d2.n = 'w'))")
+    root = _optimize(q)
+    from hyrise_tpu.expression.ast import InList
+
+    ins = [
+        p for p in _predicates(root)
+        if isinstance(p.predicate, InList) and not p.predicate.negated
+    ]
+    assert len(ins) == 2, root.description()
+    assert rows_match(run_sql(q).to_pylist(), oracle.execute(q),
+                      ordered=False)
+
+
+def test_disjunction_prefilter_no_common_column():
+    oracle = make_env({
+        "t": {"a": [1, 2, 3], "b": [1, 2, 3]},
+    })
+    q = "SELECT a FROM t WHERE (a = 1 AND b = 2) OR (b = 3)"
+    root = _optimize(q)
+    from hyrise_tpu.expression.ast import InList
+
+    # b is pinned in both disjuncts -> one derived IN; a is not
+    ins = [p for p in _predicates(root) if isinstance(p.predicate, InList)]
+    assert all(p.predicate.operand.display_name == "b" for p in ins)
+    assert rows_match(run_sql(q).to_pylist(), oracle.execute(q),
+                      ordered=False)

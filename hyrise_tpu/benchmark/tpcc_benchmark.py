@@ -42,8 +42,11 @@ def _run_mix(make_proc, seconds: float, seed: int, periodic=None):
             acc += w
             if r <= acc or name == names[-1]:
                 ok = make_proc(name, rng).run()
-                counts[name] += 1
-                if not ok:
+                if ok:
+                    # tps counts COMMITTED transactions only — counting
+                    # aborted ones inflated contended multi-client runs
+                    counts[name] += 1
+                else:
                     aborts += 1
                 break
     elapsed = time.perf_counter() - start
@@ -198,8 +201,11 @@ def main(argv=None) -> None:
             # one (warehouse, district) — without it clients collide on
             # the district row and abort each other (42% aborts at 4
             # clients/1 warehouse in round 4)
-            home = (1 + (k // gen.districts_per_w) % args.warehouses,
-                    1 + k % gen.districts_per_w)
+            # warehouses round-robin FIRST: the warehouse row itself is a
+            # Payment hotspot (w_ytd), so co-locating two clients in one
+            # warehouse aborts ~10% of the mix on the CAS
+            home = (1 + k % args.warehouses,
+                    1 + (k // args.warehouses) % gen.districts_per_w)
             results[k] = _run_mix(
                 lambda name, rng: make_engine_proc(name, rng, home=home),
                 args.seconds, args.seed + 101 * k,

@@ -161,6 +161,16 @@ def main() -> None:
                                       "rows": len(rows)}
             print(f"# Q{qid}: {best * 1e3:.1f} ms ({len(rows)} rows)",
                   file=sys.stderr)
+            try:
+                # REAL transient working-set evidence: device allocator
+                # peak after the query (base tables + stage intermediates)
+                stats = jax.devices()[0].memory_stats() or {}
+                report["queries"][qid]["peak_hbm_gib"] = round(
+                    stats.get("peak_bytes_in_use", 0) / 2**30, 2)
+                report["queries"][qid]["hbm_in_use_gib"] = round(
+                    stats.get("bytes_in_use", 0) / 2**30, 2)
+            except Exception:
+                pass
 
     if args.report:
         with open(args.report, "w") as fh:

@@ -58,6 +58,9 @@ class Aggregate(AbstractReadOnlyOperator):
         )
 
     DENSE_DOMAIN_LIMIT = 1 << 21
+    # above this many dense slots, colliding segment scatters serialize
+    # on TPU — reroute to the slot-id sort path (still sync-free)
+    DENSE_DIRECT_MAX = 1024
 
     def _dense_domains(self, table, cmap):
         """Static per-key domains when every group key maps onto a small
@@ -79,7 +82,9 @@ class Aggregate(AbstractReadOnlyOperator):
             col = table.columns[idx]
             nullable = col.validity is not None
             if col.data_type == DataType.STRING and col.dictionary is not None:
-                specs.append(("dict", 0, len(col.dictionary) + (1 if nullable else 0)))
+                specs.append(("dict", 0,
+                              len(col.dictionary) + (1 if nullable else 0),
+                              nullable))
                 continue
             if col.data_type in (DataType.INT, DataType.DATE, DataType.LONG):
                 if est is None:
@@ -93,11 +98,11 @@ class Aggregate(AbstractReadOnlyOperator):
                 size = int(cs.max_value) - lo + 1 + (1 if nullable else 0)
                 if size <= 0 or size > self.DENSE_DOMAIN_LIMIT:
                     return None
-                specs.append(("int", lo, size))
+                specs.append(("int", lo, size, nullable))
                 continue
             return None
         prod = 1
-        for _, _, size in specs:
+        for _, _, size, _ in specs:
             prod *= max(size, 1)
         if not (0 < prod <= self.DENSE_DOMAIN_LIMIT):
             return None
@@ -116,23 +121,47 @@ class Aggregate(AbstractReadOnlyOperator):
         arg_list = list(seen.values())
         arg_pos = {k: i for i, k in enumerate(seen.keys())}
 
+        def _dense_prod(specs):
+            if specs is None:
+                return None
+            prod = 1
+            for _, _, size, _ in specs:
+                prod *= max(size, 1)
+            return prod
+
         dense_domains = self._dense_domains(table, cmap)
         needs_distinct_sort = any(
             a.distinct or a.function == AggregateFunction.COUNT_DISTINCT
             for a in self.aggregates
         )
-        if (self.group_by and dense_domains is None) or needs_distinct_sort:
-            # only the sorted paths benefit from compaction; global and
-            # dense-slot aggregation are sort-free and sync-free
+        sort_based = self.group_by and (
+            dense_domains is None
+            or _dense_prod(dense_domains) > self.DENSE_DIRECT_MAX
+        )
+        if sort_based or needs_distinct_sort:
+            # the sort-based paths benefit from compaction; global and
+            # small-domain dense-slot aggregation are sort-free
             table = self.maybe_compact(
                 table, est_rows=self.input_estimated_rows()
             )
             dense_domains = self._dense_domains(table, cmap)
 
+        dense_prod = _dense_prod(dense_domains)
+        # small dense domains: XLA lowers low-slot-count segment ops
+        # efficiently — keep the sort-free direct path (Q1's 8 slots run
+        # ~2 ms at SF1).  LARGE dense domains pay colliding scatters that
+        # XLA:TPU serializes per duplicate (Q17's 200k-slot AVG over 6M
+        # rows measured 2.2 s) — sort by the precomputed slot id instead
+        # and reduce with linear passes; group count stays static (no
+        # sync) and key representatives come from slot ARITHMETIC.
+        dense_direct = (dense_domains is not None
+                        and dense_prod <= self.DENSE_DIRECT_MAX)
+        dense_sorted = (dense_domains is not None and not dense_direct)
         # rows arrive sorted by segment id on the group_rows path: segment
         # totals become cumsum diffs at run bounds (linear passes) instead
         # of scatter-adds, which XLA:TPU serializes per colliding index
         segs_sorted = bool(self.group_by) and dense_domains is None
+        out_cap_d = size_bucket(dense_prod) if dense_domains else None
 
         # ---------------- stage 1: keys, args, sort, segment ids ----------
         def _conv(r):
@@ -192,22 +221,52 @@ class Aggregate(AbstractReadOnlyOperator):
                 dis = ((n_mask, arg_arrays) if needs_distinct_sort else None)
                 return (perm, seg_ids, num_groups, sorted_real,
                         skey, sarg, sdep, dis), meta
-            # dense-domain / global grouping: segment ids stay in ORIGINAL
-            # row order (no sort, no permutation)
+            # dense-domain / global grouping: mixed-radix slot over the
+            # key domains; NULLs take the extra top slot per key — the
+            # output capacity is known statically (no host sync)
             if dense_domains is not None:
-                # dense slot = mixed-radix code over the key domains;
-                # NULLs take the extra top slot per key — no sort, and the
-                # output capacity is known statically (no host sync)
                 seg_ids = jnp.zeros(t.capacity, dtype=jnp.int64)
-                for r, (kind, offset, domain) in zip(key_results, dense_domains):
+                for r, (kind, offset, domain, _nl) in zip(key_results,
+                                                          dense_domains):
                     code = r.data.astype(jnp.int64) - offset
                     if r.validity is not None:
                         code = jnp.where(r.validity, code, domain - 1)
                     seg_ids = seg_ids * domain + jnp.clip(code, 0, domain - 1)
-                num_groups = jnp.int64(0)  # unused on the dense path
+                num_groups = jnp.int64(0)  # unused on the dense paths
             else:
                 seg_ids = jnp.where(n_mask, 0, 1).astype(jnp.int64)
                 num_groups = jnp.int64(1)
+            if dense_sorted:
+                # sort by the slot id (padding parks at out_cap_d, so it
+                # sorts last); args/deps ride as payloads — reductions
+                # then run as linear passes with batched boundary scatters
+                seg_c = jnp.where(n_mask, seg_ids, jnp.int64(out_cap_d))
+                payloads = []
+                has_valid = []
+                for d, v in arg_arrays + dep_arrays:
+                    payloads.append(d)
+                    has_valid.append(v is not None)
+                    if v is not None:
+                        payloads.append(v.astype(jnp.int8))
+                out = jax.lax.sort((seg_c,) + tuple(payloads), num_keys=1,
+                                   is_stable=True)
+                sseg = out[0]
+                spay = out[1:]
+                pairs = []
+                i = 0
+                for hv in has_valid:
+                    d = spay[i]
+                    i += 1
+                    v = None
+                    if hv:
+                        v = spay[i].astype(bool)
+                        i += 1
+                    pairs.append((d, v))
+                sarg = pairs[: len(arg_arrays)]
+                sdep = pairs[len(arg_arrays):]
+                dis = ((n_mask, arg_arrays, seg_c)
+                       if needs_distinct_sort else None)
+                return (sseg, num_groups, sarg, sdep, dis), meta
             return (seg_ids, num_groups, n_mask, key_arrays,
                     arg_arrays, dep_arrays), meta
 
@@ -235,10 +294,8 @@ class Aggregate(AbstractReadOnlyOperator):
         from hyrise_tpu.operators.base import _sync_is_expensive
 
         if dense_domains is not None:
-            num_groups = 1
-            for _, _, size in dense_domains:
-                num_groups *= size
-            out_cap = size_bucket(num_groups)
+            num_groups = dense_prod
+            out_cap = out_cap_d
         elif self.group_by and _sync_is_expensive() \
                 and table.capacity <= _SYNC_SKIP_CAP:
             # defer the group-count sync (a tunnel RTT): groups <= rows, so
@@ -307,48 +364,151 @@ class Aggregate(AbstractReadOnlyOperator):
                 return (jnp.sqrt(jnp.maximum(var, 0.0)), counts > 1)
             raise NotImplementedError(f"aggregate {fn}")
 
+        def _batched_sorted_reduce(seg_c, sorted_real, rep_pairs, sarg,
+                                   distinct_ctx):
+            """Shared sorted-order reduction: every reduction's boundary
+            scatter batches into one row-stacked scatter per dtype
+            (kernels/aggregates.multi_segment_reduce_sorted).  Returns
+            (occupied, rep_outputs, agg_outputs)."""
+            specs = []
+
+            def add(kind, arr):
+                specs.append((kind, arr))
+                return len(specs) - 1
+
+            i_occ = add("sum", sorted_real.astype(jnp.int32))
+            rep_idx = []
+            for (data, valid) in rep_pairs:
+                iv = (add("rep", valid.astype(jnp.int8))
+                      if valid is not None else None)
+                rep_idx.append((add("rep", data), iv))
+            plan = []
+            for (fn, distinct, argi) in agg_spec:
+                if argi < 0:
+                    plan.append(("star", None))
+                    continue
+                if distinct or fn == AggregateFunction.COUNT_DISTINCT:
+                    plan.append(("distinct", (argi, fn)))
+                    continue
+                sv, v0 = sarg[argi]
+                svalid = ((v0 & sorted_real) if v0 is not None
+                          else sorted_real)
+                icnt = add("sum", svalid.astype(jnp.int32))
+                if fn == AggregateFunction.COUNT:
+                    plan.append(("count", icnt))
+                elif fn == AggregateFunction.SUM:
+                    acc = sv.astype(aggk._acc_dtype(sv.dtype))
+                    isum = add("sum", jnp.where(svalid, acc, 0))
+                    plan.append(("sum", (isum, icnt)))
+                elif fn == AggregateFunction.AVG:
+                    isum = add("sum", jnp.where(
+                        svalid, sv.astype(jnp.float64), 0.0))
+                    plan.append(("avg", (isum, icnt)))
+                elif fn in (AggregateFunction.MIN, AggregateFunction.ANY):
+                    imin = add("min", jnp.where(
+                        svalid, sv, aggk._max_sentinel(sv.dtype)))
+                    plan.append(("minmax", (imin, icnt)))
+                elif fn == AggregateFunction.MAX:
+                    imax = add("max", jnp.where(
+                        svalid, sv, aggk._min_sentinel(sv.dtype)))
+                    plan.append(("minmax", (imax, icnt)))
+                elif fn == AggregateFunction.STDDEV_SAMP:
+                    f = sv.astype(jnp.float64)
+                    isum = add("sum", jnp.where(svalid, f, 0.0))
+                    isq = add("sum", jnp.where(svalid, f * f, 0.0))
+                    plan.append(("std", (isum, isq, icnt)))
+                else:
+                    raise NotImplementedError(f"aggregate {fn}")
+            res = aggk.multi_segment_reduce_sorted(seg_c, specs, out_cap)
+            occupied = res[i_occ]
+            reps = [
+                (res[idd], res[iv].astype(bool) if iv is not None else None)
+                for idd, iv in rep_idx
+            ]
+            aggs = []
+            for kind, info in plan:
+                if kind == "star":
+                    aggs.append((occupied.astype(jnp.int64), None))
+                elif kind == "distinct":
+                    aggs.append(distinct_ctx(*info))
+                elif kind == "count":
+                    aggs.append((res[info].astype(jnp.int64), None))
+                elif kind == "sum":
+                    isum, icnt = info
+                    aggs.append((res[isum], res[icnt] > 0))
+                elif kind == "avg":
+                    isum, icnt = info
+                    counts = res[icnt]
+                    aggs.append((res[isum] / jnp.maximum(counts, 1),
+                                 counts > 0))
+                elif kind == "minmax":
+                    iv_, icnt = info
+                    nonempty = res[icnt] > 0
+                    aggs.append((jnp.where(nonempty, res[iv_], 0), nonempty))
+                else:  # std
+                    isum, isq, icnt = info
+                    n = res[icnt].astype(jnp.float64)
+                    var = (res[isq] - res[isum] * res[isum]
+                           / jnp.maximum(n, 1)) / jnp.maximum(n - 1, 1)
+                    aggs.append((jnp.sqrt(jnp.maximum(var, 0.0)),
+                                 res[icnt] > 1))
+            return occupied, reps, aggs
+
         def build2_sorted(perm, seg_ids, _ng, sorted_real, skey, sarg, sdep,
                           dis):
             cap = perm.shape[0]
             seg_c = jnp.where(sorted_real, seg_ids, out_cap)
-            out_arrays = []
-            occupied = aggk.segment_count_sorted(seg_c, sorted_real,
-                                                 num_segments=out_cap)
-            out_arrays.append((occupied, None))
-            # representatives: run-start scatters (no gathers)
-            for (data, valid) in skey + sdep:
-                kd = aggk.segment_rep_sorted(data, seg_c,
-                                             num_segments=out_cap)
-                kv = None
-                if valid is not None:
-                    kv = aggk.segment_rep_sorted(
-                        valid.astype(jnp.int8), seg_c, num_segments=out_cap
-                    ).astype(bool)
-                out_arrays.append((kd, kv))
             seg_orig_cell = {}
 
-            for (fn, distinct, argi) in agg_spec:
-                sv = svalid = None
-                if argi >= 0:
-                    sv, v0 = sarg[argi]
-                    svalid = ((v0 & sorted_real) if v0 is not None
-                              else sorted_real)
+            def distinct_for(argi, fn):
+                n_mask, arg_arrays = dis
+                data, valid = arg_arrays[argi]
+                valid = valid if valid is not None else jnp.ones(cap, bool)
+                if "seg_orig" not in seg_orig_cell:
+                    seg_orig_cell["seg_orig"] = (
+                        jnp.full(cap, out_cap, dtype=jnp.int64)
+                        .at[perm].set(seg_c, unique_indices=True)
+                    )
+                return _distinct_agg(fn, data, valid,
+                                     seg_orig_cell["seg_orig"], n_mask,
+                                     out_cap)
 
-                def distinct_ctx(argi=argi):
-                    n_mask, arg_arrays = dis
-                    data, valid = arg_arrays[argi]
-                    valid = (valid if valid is not None
-                             else jnp.ones(cap, bool))
-                    if "seg_orig" not in seg_orig_cell:
-                        seg_orig_cell["seg_orig"] = (
-                            jnp.full(cap, out_cap, dtype=jnp.int64)
-                            .at[perm].set(seg_c, unique_indices=True)
-                        )
-                    return data, valid, seg_orig_cell["seg_orig"], n_mask
+            occupied, reps, aggs = _batched_sorted_reduce(
+                seg_c, sorted_real, list(skey) + list(sdep), sarg,
+                distinct_for,
+            )
+            out_arrays = [(occupied, None)] + reps + aggs
+            return out_arrays, None
 
-                out_arrays.append(_agg_outputs(
-                    seg_c, occupied, fn, distinct, argi, sv, svalid,
-                    distinct_ctx))
+        def build2_dense_sorted(sseg, _ng, sarg, sdep, dis):
+            sorted_real = sseg < out_cap
+            # key representatives by slot ARITHMETIC: decode the mixed-
+            # radix slot index back into per-key values (no scatters)
+            rem = jnp.arange(out_cap, dtype=jnp.int64)
+            digits = []
+            for (kind, offset, domain, _nl) in reversed(dense_domains):
+                digits.append(rem % domain)
+                rem = rem // domain
+            digits.reverse()
+            key_reps = []
+            for digit, (kind, offset, domain, nullable), (kdt, _d, _s) in zip(
+                    digits, dense_domains, key_meta):
+                data = (digit + offset).astype(physical_dtype(kdt))
+                valid = (digit != domain - 1) if nullable else None
+                key_reps.append((data, valid))
+
+            def distinct_for(argi, fn):
+                n_mask, arg_arrays, seg_orig = dis
+                data, valid = arg_arrays[argi]
+                valid = (valid if valid is not None
+                         else jnp.ones(data.shape[0], bool))
+                return _distinct_agg(fn, data, valid, seg_orig, n_mask,
+                                     out_cap)
+
+            occupied, reps, aggs = _batched_sorted_reduce(
+                sseg, sorted_real, list(sdep), sarg, distinct_for,
+            )
+            out_arrays = [(occupied, None)] + key_reps + reps + aggs
             return out_arrays, None
 
         def build2_direct(seg_ids, _ng, n_mask, key_arrays, arg_arrays,
@@ -389,7 +549,9 @@ class Aggregate(AbstractReadOnlyOperator):
             return out_arrays, None
 
         out_arrays, _ = run_arrays(
-            "agg2", build2_sorted if segs_sorted else build2_direct,
+            "agg2",
+            (build2_sorted if segs_sorted
+             else build2_dense_sorted if dense_sorted else build2_direct),
             stage1,
             extra_key=(agg_spec, out_cap, bool(self.group_by), segs_sorted,
                        tuple(e.key() for e in self.group_by),

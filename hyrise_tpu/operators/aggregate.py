@@ -555,7 +555,11 @@ class Aggregate(AbstractReadOnlyOperator):
             stage1,
             extra_key=(agg_spec, out_cap, bool(self.group_by), segs_sorted,
                        tuple(e.key() for e in self.group_by),
-                       tuple(e.key() for e in self.dependent)),
+                       tuple(e.key() for e in self.dependent),
+                       # the dense-sorted stage BAKES the slot-decode
+                       # arithmetic: same-shaped plans with different
+                       # stats-derived domains must not share executables
+                       tuple(dense_domains) if dense_domains else None),
             cacheable=cacheable,
         )
 

@@ -76,6 +76,11 @@ class SSBTableGenerator:
                 "lineorder": ("lo_orderkey", "lo_linenumber"),
             }[name]
             t.key_constraints.append(TableKeyConstraint(pk, True))
+            # generation order is PK order (order_of_line is sorted) —
+            # record physical sortedness for sort-skipping consumers
+            from hyrise_tpu.types import SortMode
+
+            t.sorted_by = [(c, SortMode.ASC_NULLS_LAST) for c in pk]
         return tables
 
     def generate_into(self, storage_manager) -> Dict[str, Table]:

@@ -22,7 +22,7 @@ from hyrise_tpu.storage.table import (
     Table,
     TableKeyConstraint,
 )
-from hyrise_tpu.types import DataType
+from hyrise_tpu.types import DataType, SortMode
 from hyrise_tpu.utils.dates import single_date_to_days
 
 # ---- spec value lists (TPC-H v3 clause 4.2.2.13) -------------------------
@@ -540,6 +540,10 @@ def _add_constraints(tables: Dict[str, Table]) -> None:
     }
     for name, cols in pk.items():
         tables[name].key_constraints.append(TableKeyConstraint(cols, True))
+        # generation order IS primary-key order (dbgen emits rows keyed
+        # ascending) — record physical sortedness so aggregates/joins can
+        # skip their sort passes (chunk.hpp:156 individually_sorted_by)
+        tables[name].sorted_by = [(c, SortMode.ASC_NULLS_LAST) for c in cols]
     fks = [
         ("nation", ("n_regionkey",), "region", ("r_regionkey",)),
         ("supplier", ("s_nationkey",), "nation", ("n_nationkey",)),

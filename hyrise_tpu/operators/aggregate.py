@@ -62,7 +62,30 @@ class Aggregate(AbstractReadOnlyOperator):
     # on TPU — reroute to the slot-id sort path (still sync-free)
     DENSE_DIRECT_MAX = 1024
 
-    def _dense_domains(self, table, cmap):
+    # sorted-input dense domains may exceed DENSE_DOMAIN_LIMIT: no sort is
+    # paid, so the only cost is the slot-array footprint (SF1 Q18 groups
+    # 6M rows by l_orderkey whose domain is ~6M — the load order IS the
+    # key order, so the whole sort+sync pipeline collapses to linear
+    # boundary passes)
+    PRESORTED_DOMAIN_LIMIT = 1 << 23
+
+    def _presorted_key(self, table, cmap) -> bool:
+        """True when the single group-by key is a base column the table is
+        already physically ordered by (Table.sorted_by, set by bulk loads
+        and Sort/scan propagation).  Only CONTIGUITY of equal keys matters
+        for the linear reduction passes, so any sort direction qualifies;
+        nullable keys are excluded (NULL rows would break run contiguity
+        under the top-slot convention)."""
+        if len(self.group_by) != 1 or not table.sorted_by:
+            return False
+        idx = cmap.get(self.group_by[0].key())
+        if idx is None:
+            return False
+        if table.columns[idx].validity is not None:
+            return False
+        return table.column_names[idx] == table.sorted_by[0][0]
+
+    def _dense_domains(self, table, cmap, limit=None):
         """Static per-key domains when every group key maps onto a small
         dense integer range: dictionary codes, or int/date base columns
         with known min/max statistics.  Grouping then becomes direct slot
@@ -96,7 +119,7 @@ class Aggregate(AbstractReadOnlyOperator):
                     return None
                 lo = int(cs.min_value)
                 size = int(cs.max_value) - lo + 1 + (1 if nullable else 0)
-                if size <= 0 or size > self.DENSE_DOMAIN_LIMIT:
+                if size <= 0 or size > (limit or self.DENSE_DOMAIN_LIMIT):
                     return None
                 specs.append(("int", lo, size, nullable))
                 continue
@@ -104,7 +127,7 @@ class Aggregate(AbstractReadOnlyOperator):
         prod = 1
         for _, _, size, _ in specs:
             prod *= max(size, 1)
-        if not (0 < prod <= self.DENSE_DOMAIN_LIMIT):
+        if not (0 < prod <= (limit or self.DENSE_DOMAIN_LIMIT)):
             return None
         return specs
 
@@ -129,7 +152,11 @@ class Aggregate(AbstractReadOnlyOperator):
                 prod *= max(size, 1)
             return prod
 
-        dense_domains = self._dense_domains(table, cmap)
+        # physically-ordered single-key input: the dense-sorted machinery
+        # can skip its lax.sort entirely, so a much larger slot domain pays
+        presorted = self._presorted_key(table, cmap)
+        _limit = self.PRESORTED_DOMAIN_LIMIT if presorted else None
+        dense_domains = self._dense_domains(table, cmap, limit=_limit)
         needs_distinct_sort = any(
             a.distinct or a.function == AggregateFunction.COUNT_DISTINCT
             for a in self.aggregates
@@ -140,11 +167,12 @@ class Aggregate(AbstractReadOnlyOperator):
         )
         if sort_based or needs_distinct_sort:
             # the sort-based paths benefit from compaction; global and
-            # small-domain dense-slot aggregation are sort-free
+            # small-domain dense-slot aggregation are sort-free (compaction
+            # keeps row order, so `presorted` stays valid)
             table = self.maybe_compact(
                 table, est_rows=self.input_estimated_rows()
             )
-            dense_domains = self._dense_domains(table, cmap)
+            dense_domains = self._dense_domains(table, cmap, limit=_limit)
 
         dense_prod = _dense_prod(dense_domains)
         # small dense domains: XLA lowers low-slot-count segment ops
@@ -157,6 +185,7 @@ class Aggregate(AbstractReadOnlyOperator):
         dense_direct = (dense_domains is not None
                         and dense_prod <= self.DENSE_DIRECT_MAX)
         dense_sorted = (dense_domains is not None and not dense_direct)
+        presorted = presorted and dense_sorted
         # rows arrive sorted by segment id on the group_rows path: segment
         # totals become cumsum diffs at run bounds (linear passes) instead
         # of scatter-adds, which XLA:TPU serializes per colliding index
@@ -237,10 +266,29 @@ class Aggregate(AbstractReadOnlyOperator):
                 seg_ids = jnp.where(n_mask, 0, 1).astype(jnp.int64)
                 num_groups = jnp.int64(1)
             if dense_sorted:
+                seg_c = jnp.where(n_mask, seg_ids, jnp.int64(out_cap_d))
+                if out_cap_d < 2 ** 31:
+                    # 64-bit sort keys pay the emulated-i64 tax on TPU
+                    seg_c = seg_c.astype(jnp.int32)
+                if presorted:
+                    # rows already ascend in the (single) group key: equal
+                    # slots are contiguous as loaded — skip the sort.
+                    # Selection-masked rows KEEP their slot (contributions
+                    # are zeroed through the real-row mask threaded to
+                    # stage 2) so runs stay contiguous; only capacity
+                    # padding parks at out_cap.
+                    in_rows = jnp.arange(t.capacity) < t.num_rows
+                    sseg = jnp.where(in_rows, seg_ids,
+                                     jnp.int64(out_cap_d))
+                    if out_cap_d < 2 ** 31:
+                        sseg = sseg.astype(jnp.int32)
+                    dis = ((n_mask, arg_arrays, seg_c)
+                           if needs_distinct_sort else None)
+                    return (sseg, num_groups, list(arg_arrays),
+                            list(dep_arrays), dis, n_mask), meta
                 # sort by the slot id (padding parks at out_cap_d, so it
                 # sorts last); args/deps ride as payloads — reductions
                 # then run as linear passes with batched boundary scatters
-                seg_c = jnp.where(n_mask, seg_ids, jnp.int64(out_cap_d))
                 payloads = []
                 has_valid = []
                 for d, v in arg_arrays + dep_arrays:
@@ -283,6 +331,7 @@ class Aggregate(AbstractReadOnlyOperator):
                 ),
                 tuple(dense_domains) if dense_domains else None,
                 segs_sorted,
+                presorted,
             ),
             cacheable=cacheable,
             used_cols=_used_cols(
@@ -480,8 +529,12 @@ class Aggregate(AbstractReadOnlyOperator):
             out_arrays = [(occupied, None)] + reps + aggs
             return out_arrays, None
 
-        def build2_dense_sorted(sseg, _ng, sarg, sdep, dis):
-            sorted_real = sseg < out_cap
+        def build2_dense_sorted(sseg, _ng, sarg, sdep, dis, real_mask=None):
+            # presorted inputs thread the true row mask (selection-masked
+            # rows keep their slot to preserve run contiguity, so slot
+            # range alone cannot identify them)
+            sorted_real = real_mask if real_mask is not None \
+                else sseg < out_cap
             # key representatives by slot ARITHMETIC: decode the mixed-
             # radix slot index back into per-key values (no scatters)
             rem = jnp.arange(out_cap, dtype=jnp.int64)
@@ -554,6 +607,7 @@ class Aggregate(AbstractReadOnlyOperator):
              else build2_dense_sorted if dense_sorted else build2_direct),
             stage1,
             extra_key=(agg_spec, out_cap, bool(self.group_by), segs_sorted,
+                       presorted,
                        tuple(e.key() for e in self.group_by),
                        tuple(e.key() for e in self.dependent),
                        # the dense-sorted stage BAKES the slot-decode
@@ -597,6 +651,14 @@ class Aggregate(AbstractReadOnlyOperator):
         if dense_domains is not None or num_groups is None:
             # slots include empty groups — hide them via selection
             out.selection = occupied[: out.capacity] > 0
+        if dense_domains is not None and self.group_by:
+            # slot order IS ascending lexicographic key order (NULLs in
+            # the per-key top slot -> nulls last)
+            from hyrise_tpu.types import SortMode
+
+            out.sorted_by = [
+                (e.name(), SortMode.ASC_NULLS_LAST) for e in self.group_by
+            ]
         return out
 
     def _describe_self(self) -> str:

@@ -51,12 +51,14 @@ class GetTable(AbstractReadOnlyOperator):
             rowid = Column(
                 DataType.LONG, jnp.arange(out.capacity, dtype=jnp.int64)
             )
-            out = Table(
+            with_ids = Table(
                 out.column_names + ["__rowid__"],
                 out.columns + [rowid],
                 out.num_rows,
             )
-            out.mvcc = table.mvcc
+            with_ids.mvcc = table.mvcc
+            with_ids.sorted_by = out.sorted_by
+            out = with_ids
         if not self.output_expressions:
             self.output_expressions = [
                 ast.ColumnRef(n, c.data_type, c.validity is not None,
@@ -117,6 +119,8 @@ class GetTable(AbstractReadOnlyOperator):
             int(len(kept_idx) * B),
             selection=valid,
         )
+        # blocks re-pack in ascending block order: row order is preserved
+        packed.sorted_by = out.sorted_by
         return packed
 
     def _resolve_dynamic_predicates(self, stats):

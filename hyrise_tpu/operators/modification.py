@@ -105,6 +105,8 @@ class Insert(AbstractReadWriteOperator):
                         )
             target.columns = new_cols
             target.num_rows = new_n
+            # appended rows need not follow the load order
+            target.sorted_by = []
             # soft invalidation: histograms stay usable until the row count
             # drifts ~10% (ref: chunk statistics are immutable-per-chunk,
             # chunk_statistics aren't rebuilt per insert) — rebuilding per

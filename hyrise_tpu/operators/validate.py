@@ -65,6 +65,7 @@ class Validate(AbstractReadOnlyOperator):
         )
         out = Table(table.column_names, table.columns, table.num_rows,
                     selection=visible)
+        out.sorted_by = table.sorted_by
         return out
 
     def _describe_self(self) -> str:

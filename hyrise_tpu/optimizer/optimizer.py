@@ -71,6 +71,9 @@ class Optimizer:
         from hyrise_tpu.optimizer.strategy.block_pruning import (
             BlockPruningRule,
         )
+        from hyrise_tpu.optimizer.strategy.aggregate_reduction import (
+            AggregateReductionRule,
+        )
 
         # Rule order mirrors the reference (optimizer.cpp:198-272):
         # reductions first, then subquery unnesting, join ordering,
@@ -92,6 +95,13 @@ class Optimizer:
             BetweenCompositionRule(),
             PredicateReorderingRule(),
             PredicateMergeRule(),
+            # AggregateReduction introduces a DAG (the join partner is
+            # shared with the reducer's build side) — it must run after
+            # every chain-splicing rule; BlockPruning/ColumnPruning below
+            # are DAG-safe.  The SemiJoinReduction re-run pushes the new
+            # reducer down through joins inside the aggregate's input.
+            AggregateReductionRule(),
+            SemiJoinReductionRule(),
             BlockPruningRule(),
             ColumnPruningRule(),
         ])

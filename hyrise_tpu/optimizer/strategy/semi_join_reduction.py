@@ -21,7 +21,16 @@ class SemiJoinReductionRule(AbstractRule):
     name = "SemiJoinReduction"
 
     def apply(self, root: L.LQPNode) -> L.LQPNode:
+        # memoized by node identity: AggregateReductionRule introduces
+        # DAGs (a subtree shared by two parents); every parent must
+        # receive the SAME replacement or the second one is left pointing
+        # at a node _push spliced deeper into the tree
+        memo: dict = {}
+
         def visit(node: L.LQPNode) -> L.LQPNode:
+            hit = memo.get(id(node))
+            if hit is not None:
+                return hit
             if node.left is not None:
                 node.left = visit(node.left)
             if node.right is not None:
@@ -30,9 +39,11 @@ class SemiJoinReductionRule(AbstractRule):
                 for sub in e.walk():
                     if isinstance(sub, ast.Subquery):
                         sub.lqp = self.apply(sub.lqp)
+            out = node
             if isinstance(node, L.JoinNode) and node.mode in _SEMI_MODES:
-                return self._push(node)
-            return node
+                out = self._push(node)
+            memo[id(node)] = out
+            return out
 
         return visit(root)
 

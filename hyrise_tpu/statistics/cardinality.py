@@ -146,7 +146,24 @@ class CardinalityEstimator:
             return l * r
         if node.mode in (JoinMode.SEMI, JoinMode.ANTI_NULL_AS_TRUE,
                          JoinMode.ANTI_NULL_AS_FALSE):
-            return max(l * 0.5, 1.0)
+            # semi selectivity ~ fraction of left key values present on the
+            # right: min(1, ndv_r / ndv_l) per equi predicate (take the most
+            # selective).  The old flat 0.5 hid 1000x reductions (a semi
+            # reducer of 6M lineitem rows by 200 filtered parts estimated
+            # 3M, so downstream compaction never fired).
+            sels = []
+            for p in node.predicates:
+                if not (isinstance(p, ast.Predicate) and len(p.children) == 2
+                        and p.condition == PredicateCondition.EQUALS):
+                    continue
+                ndv_l = self.distinct_count(p.children[0], l)
+                ndv_r = self.distinct_count(p.children[1], r)
+                if ndv_l > 0:
+                    sels.append(min(1.0, ndv_r / ndv_l))
+            sel = min(sels) if sels else 0.5
+            if node.mode == JoinMode.SEMI:
+                return max(l * sel, 1.0)
+            return max(l * (1.0 - sel), 1.0)
         out = self.join_output_rows(l, r, node.predicates)
         if node.mode in (JoinMode.LEFT, JoinMode.FULL):
             out = max(out, l)

@@ -366,10 +366,16 @@ class Table:
     def select(self, names: Sequence[str]) -> "Table":
         for n in names:
             self.access_counters[n] = self.access_counters.get(n, 0) + 1
-        return Table(
+        t = Table(
             list(names), [self.column(n) for n in names], self.num_rows,
             self.selection,
         )
+        # keep the longest sorted prefix whose columns survive
+        for cn, m in self.sorted_by:
+            if cn not in names:
+                break
+            t.sorted_by.append((cn, m))
+        return t
 
     # ------------------------------------------------------------------ host
 

@@ -73,12 +73,16 @@ def build_section() -> str:
                 lines.append(line)
     roof = _load("ROOFLINE_TPU.json")
     if roof:
-        kernels = roof.get("kernels") or roof.get("results") or []
+        kernels = (roof if isinstance(roof, list)
+                   else roof.get("kernels") or roof.get("results") or [])
         stream = [k for k in kernels
-                  if isinstance(k, dict) and k.get("gbps", 0) > 100]
+                  if isinstance(k, dict)
+                  and (k.get("gbps") or k.get("gb_per_s") or 0) > 100]
         if stream:
-            topk = sorted(stream, key=lambda k: -k["gbps"])[:3]
-            desc = ", ".join(f"{k['name']} {k['gbps']:.0f} GB/s"
+            def _g(k):
+                return k.get("gbps") or k.get("gb_per_s") or 0
+            topk = sorted(stream, key=lambda k: -_g(k))[:3]
+            desc = ", ".join(f"{k['name']} {_g(k):.0f} GB/s"
                              for k in topk)
             lines.append(
                 f"- **Kernel rooflines** (`ROOFLINE_TPU.json`): {desc} "
@@ -86,8 +90,10 @@ def build_section() -> str:
                 "floor metric vs the v5e's 819 GB/s HBM).")
     tpcc = _load("TPCC_CPU.json")
     if tpcc:
-        ours = tpcc.get("tps") or tpcc.get("summary", {}).get("tps")
-        base = tpcc.get("sqlite_tps")
+        head = tpcc.get("headline") or {}
+        ours = (tpcc.get("tps") or head.get("tps")
+                or tpcc.get("summary", {}).get("tps"))
+        base = tpcc.get("sqlite_tps") or head.get("sqlite_tps")
         if ours:
             line = (f"- **TPC-C** (`TPCC_CPU.json`): {ours:.1f} tps"
                     + (f" vs sqlite {base:.0f} tps on the same data"

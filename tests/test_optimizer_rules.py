@@ -305,3 +305,57 @@ def test_disjunction_prefilter_no_common_column():
     assert all(p.predicate.operand.display_name == "b" for p in ins)
     assert rows_match(run_sql(q).to_pylist(), oracle.execute(q),
                       ordered=False)
+
+
+def test_aggregate_reduction_inserts_semi_reducer():
+    """Q17-shape: a decorrelated scalar-aggregate subquery over the fact
+    table inner-joins a highly selective partner — the AggregateReduction
+    rule must semi-filter the aggregate's INPUT by the partner's keys
+    (optimizer/strategy/aggregate_reduction.py)."""
+    import numpy as np
+
+    n_k = 2000
+    rng = np.random.default_rng(3)
+    oracle = make_env({
+        "fact": {
+            "k": np.repeat(np.arange(n_k), 4).tolist(),
+            "v": rng.uniform(1, 100, size=n_k * 4).round(2).tolist(),
+        },
+        "dim": {
+            "k": list(range(n_k)),
+            "name": [f"n{i}" for i in range(n_k)],
+        },
+    })
+    q = ("SELECT d.name, s.t FROM dim d, "
+         "(SELECT k, SUM(v) AS t FROM fact GROUP BY k) s "
+         "WHERE d.k = s.k AND d.name = 'n7'")
+    root = _optimize(q)
+    reduced = [
+        n for n in root.walk()
+        if isinstance(n, L.AggregateNode) and n.group_by
+        and isinstance(n.left, L.JoinNode) and n.left.mode == JoinMode.SEMI
+    ]
+    assert reduced, root.tree_string()
+    assert rows_match(run_sql(q).to_pylist(), oracle.execute(q),
+                      ordered=False)
+
+
+def test_aggregate_reduction_declines_unselective_partner():
+    """Q18-shape: the partner (full orders) is NOT selective — reducing
+    the aggregate input would add work, so the rule must not fire."""
+    oracle = make_env({
+        "fact": {"k": [1, 1, 2, 2, 3, 3], "v": [1, 2, 3, 4, 5, 6]},
+        "dim": {"k": [1, 2, 3], "name": ["a", "b", "c"]},
+    })
+    q = ("SELECT d.name, s.t FROM dim d, "
+         "(SELECT k, SUM(v) AS t FROM fact GROUP BY k) s "
+         "WHERE d.k = s.k")
+    root = _optimize(q)
+    reduced = [
+        n for n in root.walk()
+        if isinstance(n, L.AggregateNode) and n.group_by
+        and isinstance(n.left, L.JoinNode) and n.left.mode == JoinMode.SEMI
+    ]
+    assert not reduced, root.tree_string()
+    assert rows_match(run_sql(q).to_pylist(), oracle.execute(q),
+                      ordered=False)

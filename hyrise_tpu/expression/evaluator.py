@@ -68,6 +68,19 @@ class EvaluationError(ValueError):
     pass
 
 
+# (id(source_dict), fname, literal_args) -> (new_dict, device LUT, source).
+# The source dictionary rides in the value so its id() cannot be recycled
+# while the entry lives.  Bounded FIFO.
+_DICT_TRANSFORM_CACHE: dict = {}
+_DICT_TRANSFORM_CAP = 64
+
+
+def _dict_cache_put(key, value) -> None:
+    if len(_DICT_TRANSFORM_CACHE) >= _DICT_TRANSFORM_CAP:
+        _DICT_TRANSFORM_CACHE.pop(next(iter(_DICT_TRANSFORM_CACHE)))
+    _DICT_TRANSFORM_CACHE[key] = value
+
+
 class ExpressionEvaluator:
     def __init__(
         self,
@@ -603,9 +616,41 @@ class ExpressionEvaluator:
         if arg0.dtype != DataType.STRING:
             raise EvaluationError(f"{f} needs a string argument")
         src = arg0.dictionary
+        # host dictionary transforms are O(|dict|) python + an np.unique
+        # SORT — at SF1 c_phone's 150k-entry dictionary costs ~40 ms per
+        # evaluation and the same SUBSTR re-evaluates in several stages of
+        # one query (scan, group key, projection).  id(dictionary) is
+        # already stage-key material (append paths preserve identity), so
+        # it keys this cache too.
+        cacheable = f != "concat" and all(
+            isinstance(c, ast.Literal) for c in expr.children[1:]
+        )
+        cache_key = (
+            id(src), f, tuple(c.value for c in expr.children[1:])
+        ) if cacheable else None
+        hit = _DICT_TRANSFORM_CACHE.get(cache_key) if cacheable else None
+        if hit is not None:
+            # cached as HOST arrays: device uploads inside a trace become
+            # baked constants, so reusing a device array across traces
+            # would leak tracers
+            new_dict, inverse, keep = hit
+            if f in ("length", "char_length"):
+                data = jnp.take(jnp.asarray(inverse),
+                                jnp.clip(arg0.data, 0, len(src) - 1))
+                return ExprResult(data, arg0.validity, DataType.LONG)
+            if inverse.shape[0]:
+                data = jnp.take(jnp.asarray(inverse),
+                                jnp.clip(arg0.data, 0, inverse.shape[0] - 1))
+            else:
+                data = arg0.data
+            return ExprResult(data, arg0.validity, DataType.STRING,
+                              new_dict, True)
         if f in ("length", "char_length"):
             lut = np.array([len(s) for s in src], dtype=np.int64)
-            data = jnp.take(jnp.asarray(lut), jnp.clip(arg0.data, 0, max(len(src) - 1, 0)))
+            if cacheable:
+                _dict_cache_put(cache_key, (None, lut, src))
+            data = jnp.take(jnp.asarray(lut),
+                            jnp.clip(arg0.data, 0, max(len(src) - 1, 0)))
             return ExprResult(data, arg0.validity, DataType.LONG)
         if f in ("upper", "lower", "trim", "ltrim", "rtrim"):
             tf = {
@@ -659,10 +704,11 @@ class ExpressionEvaluator:
             new_vals
         ) else (np.array([], dtype=str), np.array([], dtype=np.int64))
         if len(inverse):
-            data = jnp.take(
-                jnp.asarray(inverse.astype(np.int32)),
-                jnp.clip(arg0.data, 0, len(inverse) - 1),
-            )
+            inv32 = inverse.astype(np.int32)
+            if cacheable:
+                _dict_cache_put(cache_key, (new_dict, inv32, src))
+            data = jnp.take(jnp.asarray(inv32),
+                            jnp.clip(arg0.data, 0, len(inverse) - 1))
         else:
             data = arg0.data
         return ExprResult(data, arg0.validity, DataType.STRING, new_dict, True)

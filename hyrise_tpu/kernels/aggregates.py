@@ -332,7 +332,8 @@ def segment_max_sorted(values, seg_sorted, valid, num_segments: int):
     )
 
 
-def multi_segment_reduce_sorted(seg_sorted, specs, num_segments: int):
+def multi_segment_reduce_sorted(seg_sorted, specs, num_segments: int,
+                                consecutive: bool = False):
     """Batched sorted-segment reductions sharing ONE row-stacked scatter
     per (boundary, dtype) group.
 
@@ -348,17 +349,28 @@ def multi_segment_reduce_sorted(seg_sorted, specs, num_segments: int):
       'sum' — array pre-masked, in its accumulator dtype;
       'min'/'max' — array pre-masked with sentinels;
       'rep' — representative (value at each segment's first row).
+
+    `consecutive=True` promises segment ids are DENSE RANKS (0..G-1, every
+    rank occupied — the group_rows path): each 'sum' then needs only the
+    END scatter, its start value being the previous rank's end (a shifted
+    diff).  Slots >= G receive garbage from the diff — callers already
+    mask empty slots through `occupied > 0`, which stays correct because
+    the garbage occupied value is <= 0 there.
+
     Returns a list of (num_segments,) arrays aligned with specs."""
     start, end = _run_bounds(seg_sorted)
     t_end = _bound_targets(seg_sorted, end, num_segments)
-    t_start = _bound_targets(seg_sorted, start, num_segments)
+    need_start = (not consecutive) or any(k == "rep" for k, _ in specs)
+    t_start = (_bound_targets(seg_sorted, start, num_segments)
+               if need_start else None)
     end_req = {}
     start_req = {}
     for i, (kind, arr) in enumerate(specs):
         if kind == "sum":
             c = jnp.cumsum(arr)
             end_req[i] = c
-            start_req[i] = c - arr
+            if not consecutive:
+                start_req[i] = c - arr
         elif kind == "min":
             end_req[i] = _segmented_scan(jnp.minimum, arr, start)
         elif kind == "max":
@@ -391,11 +403,17 @@ def multi_segment_reduce_sorted(seg_sorted, specs, num_segments: int):
         return out
 
     e = scatter_group(end_req, t_end)
-    b = scatter_group(start_req, t_start)
+    b = scatter_group(start_req, t_start) if start_req else {}
     results = []
     for i, (kind, arr) in enumerate(specs):
         if kind == "sum":
-            results.append(e[i] - b[i])
+            if consecutive:
+                ei = e[i]
+                results.append(
+                    ei - jnp.concatenate([jnp.zeros(1, ei.dtype), ei[:-1]])
+                )
+            else:
+                results.append(e[i] - b[i])
         elif kind in ("min", "max"):
             results.append(e[i])
         else:

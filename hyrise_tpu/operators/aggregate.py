@@ -62,12 +62,13 @@ class Aggregate(AbstractReadOnlyOperator):
     # on TPU — reroute to the slot-id sort path (still sync-free)
     DENSE_DIRECT_MAX = 1024
 
-    # sorted-input dense domains may exceed DENSE_DOMAIN_LIMIT: no sort is
-    # paid, so the only cost is the slot-array footprint (SF1 Q18 groups
-    # 6M rows by l_orderkey whose domain is ~6M — the load order IS the
-    # key order, so the whole sort+sync pipeline collapses to linear
-    # boundary passes)
-    PRESORTED_DOMAIN_LIMIT = 1 << 23
+    # sorted-input dense domains could exceed DENSE_DOMAIN_LIMIT (no sort
+    # is paid), but the slot-array output capacity rides into every
+    # downstream operator: SF1 Q18 measured the 8M-slot variant costing
+    # the consuming semi join +700 ms — more than the skipped 6M-row sort
+    # saved.  Keep presorted within the dense envelope: it then purely
+    # removes the lax.sort from shapes that were already dense-sorted.
+    PRESORTED_DOMAIN_LIMIT = DENSE_DOMAIN_LIMIT
 
     def _presorted_key(self, table, cmap) -> bool:
         """True when the single group-by key is a base column the table is
@@ -414,7 +415,7 @@ class Aggregate(AbstractReadOnlyOperator):
             raise NotImplementedError(f"aggregate {fn}")
 
         def _batched_sorted_reduce(seg_c, sorted_real, rep_pairs, sarg,
-                                   distinct_ctx):
+                                   distinct_ctx, consecutive=False):
             """Shared sorted-order reduction: every reduction's boundary
             scatter batches into one row-stacked scatter per dtype
             (kernels/aggregates.multi_segment_reduce_sorted).  Returns
@@ -468,7 +469,8 @@ class Aggregate(AbstractReadOnlyOperator):
                     plan.append(("std", (isum, isq, icnt)))
                 else:
                     raise NotImplementedError(f"aggregate {fn}")
-            res = aggk.multi_segment_reduce_sorted(seg_c, specs, out_cap)
+            res = aggk.multi_segment_reduce_sorted(
+                seg_c, specs, out_cap, consecutive=consecutive)
             occupied = res[i_occ]
             reps = [
                 (res[idd], res[iv].astype(bool) if iv is not None else None)
@@ -507,6 +509,10 @@ class Aggregate(AbstractReadOnlyOperator):
                           dis):
             cap = perm.shape[0]
             seg_c = jnp.where(sorted_real, seg_ids, out_cap)
+            if out_cap < 2 ** 31:
+                # rank ids fit int32: boundary compares/parks drop the
+                # emulated-i64 tax
+                seg_c = seg_c.astype(jnp.int32)
             seg_orig_cell = {}
 
             def distinct_for(argi, fn):
@@ -524,7 +530,7 @@ class Aggregate(AbstractReadOnlyOperator):
 
             occupied, reps, aggs = _batched_sorted_reduce(
                 seg_c, sorted_real, list(skey) + list(sdep), sarg,
-                distinct_for,
+                distinct_for, consecutive=True,
             )
             out_arrays = [(occupied, None)] + reps + aggs
             return out_arrays, None

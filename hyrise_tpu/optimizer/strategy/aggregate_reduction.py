@@ -84,6 +84,9 @@ class AggregateReductionRule(AbstractRule):
                 # between them could not separate sides
                 continue
             reducer_preds = []
+            key_ratio = 1.0
+            rows_in = est.estimate(agg.left)
+            rows_other = est.estimate(other)
             for p in join.predicates:
                 if not (
                     isinstance(p, ast.Predicate)
@@ -99,12 +102,22 @@ class AggregateReductionRule(AbstractRule):
                         and other_expr.key() in other_keys
                     ):
                         reducer_preds.append(ast.eq(agg_expr, other_expr))
+                        ndv_in = est.distinct_count(agg_expr, rows_in)
+                        ndv_other = est.distinct_count(
+                            other_expr, rows_other
+                        )
+                        if ndv_in > 0:
+                            key_ratio = min(key_ratio, ndv_other / ndv_in)
                         break
             if not reducer_preds:
                 continue
-            rows_in = est.estimate(agg.left)
-            rows_other = est.estimate(other)
             if rows_other * self.FACTOR > rows_in:
+                continue
+            if key_ratio * self.FACTOR > 1.0:
+                # the partner covers (most of) the aggregate's key domain
+                # (SF1 Q15: the full supplier table joins the per-supplier
+                # revenue aggregate — a semi by its keys filters nothing
+                # and cost 780 ms of pure overhead)
                 continue
             agg.left = L.JoinNode(
                 JoinMode.SEMI, reducer_preds, agg.left, other

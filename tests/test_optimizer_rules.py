@@ -359,3 +359,31 @@ def test_aggregate_reduction_declines_unselective_partner():
     assert not reduced, root.tree_string()
     assert rows_match(run_sql(q).to_pylist(), oracle.execute(q),
                       ordered=False)
+
+
+def test_aggregate_reduction_declines_fk_complete_partner():
+    """Q15-shape: the partner table covers the aggregate's whole key
+    domain (every group key matches) — a reducer would filter nothing."""
+    import numpy as np
+
+    n_k = 500
+    oracle = make_env({
+        "fact": {
+            "k": np.repeat(np.arange(n_k), 8).tolist(),
+            "v": (np.arange(n_k * 8) % 97).tolist(),
+        },
+        # partner has EXACTLY the fact's key domain (an FK parent)
+        "dim": {"k": list(range(n_k)), "name": ["x"] * n_k},
+    })
+    q = ("SELECT d.k, s.t FROM dim d, "
+         "(SELECT k, SUM(v) AS t FROM fact GROUP BY k) s "
+         "WHERE d.k = s.k")
+    root = _optimize(q)
+    reduced = [
+        n for n in root.walk()
+        if isinstance(n, L.AggregateNode) and n.group_by
+        and isinstance(n.left, L.JoinNode) and n.left.mode == JoinMode.SEMI
+    ]
+    assert not reduced, root.tree_string()
+    assert rows_match(run_sql(q).to_pylist(), oracle.execute(q),
+                      ordered=False)
